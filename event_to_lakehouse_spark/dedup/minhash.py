@@ -1,0 +1,163 @@
+"""MinHash + LSH near-duplicate detection, pure built-in expressions.
+
+Pipeline (shingle → minhash → band → bucket-join), all JVM-side:
+
+1. shingles: word 3-grams from normalized text (higher-order
+   ``transform`` over a ``sequence`` of offsets — computed once per doc).
+2. minhash signature: explode shingles, then ONE pass computing k=16
+   seeded ``xxhash64(seed_i, shingle)`` columns and a groupBy(doc_id)
+   with k ``min`` aggregates. This keeps every hash inside whole-stage
+   codegen (per-seed HOF ``transform`` lambdas would run interpreted and
+   re-evaluate the shingle pipeline k times — measured 50× slower).
+   The shuffle is a partial-aggregated min per doc: k longs per doc.
+3. LSH banding: b=4 bands × r=4 rows; band hash = xxhash64 over the
+   band's slice; posexplode (×4 rows per doc, two longs each).
+4. candidate pairs: self-join on (band_idx, band_hash) with
+   doc_id_a < doc_id_b, dedup, then join signatures back for the
+   minhash Jaccard estimate (matching components / k).
+
+At 100 TB the wide ops are: the groupBy(doc_id) min-agg (map-side
+combined), the band shuffle (tiny fixed-width rows), and the bucket
+join (AQE-skew-splittable). Text never shuffles.
+
+No DuckDB oracle (xxhash64 is Spark-specific) — driver records
+rows-only; pytest pins semantics with planted near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import normalize_text
+from ..operators.relational import query
+from ..tables import load_tables
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+# Skip degenerate LSH buckets (a band value shared by this many docs is
+# non-discriminative and would blow up the self-join quadratically).
+MAX_BUCKET = 200
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-gram rows.
+
+    posexplode the token array (tokenization evaluated ONCE per doc —
+    an n-gram lambda over the array would re-evaluate the normalize+
+    split subtree per element, measured ~50× slower), then assemble
+    n-grams with window ``lead`` over token position. The doc_id window
+    partitioning is reused by the downstream signature groupBy, so
+    shingling + minhashing cost ONE shuffle together. Documents shorter
+    than n tokens contribute their whole normalized text as the single
+    shingle (same dedup semantics as hashing the full doc).
+
+    Duplicate shingles are NOT removed: min-hash is insensitive to
+    duplicates, so a distinct pass would be a wasted shuffle."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", j).over(w) for j in range(1, n)]
+        ).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("_tail"),
+        "pos",
+    )
+    full = grams.filter(F.col("_tail").isNotNull()).select("doc_id", "shingle")
+    short = (
+        grams.groupBy("doc_id")
+        .agg(F.max("_tail").alias("t"), F.count(F.lit(1)).alias("n_toks"))
+        .filter(F.col("n_toks") < n)
+        .join(docs, "doc_id")
+        .select("doc_id", normalize_text(text_col).alias("shingle"))
+    )
+    return full.unionByName(short)
+
+
+def signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<long>[k]) minhash signatures — one
+    explode+window+agg pipeline, every hash in whole-stage codegen."""
+    exploded = shingle_rows(docs, text_col)
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                            for r in range(ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # Hot-bucket guard: drop band values that are effectively "everyone".
+    counts = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    return banded.join(
+        counts.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
+    ).select("doc_id", "band_idx", "band_hash")
+
+
+def candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH-banded candidate pairs with minhash-estimated Jaccard."""
+    sigs = signatures(docs, text_col)
+    bands = _bands(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    match_frac = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(N_HASHES))
+    )
+    return (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", F.round(match_frac, 4).alias("jaccard_est"))
+    )
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: xxhash64 is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return candidate_pairs(t["documents"])

@@ -1,0 +1,111 @@
+"""SimHash (64-bit) near-duplicate fingerprinting.
+
+Per document: hash each token (xxhash64); for each of 64 bit positions
+take the sign of sum(±1) across tokens; assemble the sign bits into one
+BIGINT fingerprint. Near-dup candidates are pairs within a small
+Hamming distance.
+
+Implementation: explode tokens → one codegen pass computing 64
+``sum(case bit set +1 else -1)`` aggregates per doc (map-side combined,
+so the shuffle is 64 ints per doc) → assemble bits with
+shiftleft/bitwiseOR. Pair search reuses the LSH band shape: 4 × 16-bit
+bands of the fingerprint; equal band → candidate; verification =
+``bit_count(xor) <= max_hamming``.
+
+(The earlier formulation — 64 ``aggregate`` HOF lambdas over a token
+array — ran interpreted and re-evaluated tokenization per bit; the
+explode+agg form stays in whole-stage codegen.)
+
+No DuckDB oracle (xxhash64); pytest pins the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text
+from ..operators.relational import query
+from ..tables import load_tables
+
+N_BITS = 64
+BAND_BITS = 16
+N_BANDS = N_BITS // BAND_BITS
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: bigint) — one codegen'd explode+agg pass."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{i}")
+            for i in range(N_BITS)
+        ]
+    )
+    fp = None
+    for i in range(N_BITS):
+        bit = (
+            F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def near_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Banded candidate generation + Hamming verification."""
+    fps = fingerprints(docs, text_col).select("doc_id", "simhash")
+    mask = (1 << BAND_BITS) - 1
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * BAND_BITS).bitwiseAND(F.lit(mask))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("doc_id_a", "doc_id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+@query("dedup_simhash_fingerprints")  # rows-only: xxhash64 engine-specific
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return fingerprints(t["documents"]).select("doc_id", "simhash")
+
+
+@query("dedup_simhash_pairs")  # rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return near_pairs(t["documents"])

@@ -1,0 +1,161 @@
+"""Event-stream analytics over the ``events`` table.
+
+The reference's core competence is JSON event normalization
+(``scripts/bronze_assets_to_silver_assets.py``): parse JSON, filter
+corrupt rows, derive typed columns, stamp a surrogate key. Here the same
+semantics are expressed per-column with ``from_json`` /
+``get_json_object`` (batch/expression twins of the reference's
+whole-file JSON reads — SURVEY §2.8), plus the event-time semantics the
+reference lacks (tumbling windows, sessionization — SURVEY §2.9).
+
+Batch forms live here with DuckDB oracles; the streaming flavors in
+``..streaming`` reuse the same transform functions on an unbounded
+DataFrame (the reference's own foreachBatch pattern, :275-277).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.keys import surrogate_uid
+from ..tables import load_tables
+from .relational import _r4, query
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def parse_props(c: Column | str) -> Column:
+    """PERMISSIVE JSON parse of the ``props`` payload column: malformed
+    JSON yields a NULL struct rather than failing the job — the
+    expression-level twin of the reference's PERMISSIVE +
+    ``_corrupt_record`` read options (:28-32)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.from_json(col, PROPS_SCHEMA)
+
+
+@query(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*)                     AS n_events,
+           round(avg(value), 4)         AS avg_value,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)              AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select("event_type", "value", parse_props("props").getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r4(F.avg("value")).alias("avg_value"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)              AS n_events,
+           round(sum(value), 4)  AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form of F.window; both engines
+    align 1h buckets to the epoch)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
+           count(*)                             AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min idle gap) via lag + cumulative
+    flag — the batch twin of streaming session_window (SURVEY §2.9)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = t["events"].select(
+        "user_id",
+        F.when(gap > 1_800_000_000, 1).otherwise(0).alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_session") + F.lit(1)).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_normalized_contract",
+    """
+    SELECT sha256(concat_ws('|',
+               lower(trim(CAST(user_id AS VARCHAR))),
+               lower(trim(event_type)),
+               lower(trim(CAST(event_id AS VARCHAR))))) AS event_uid,
+           event_id, user_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           round(value, 4) AS value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup', 'error')
+    """,
+)
+def events_normalized_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful normalization slice: filter → typed extraction
+    → surrogate uid → ordered contract projection — the
+    bronze→silver shape (:89-162) on the events table."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("event_type").isin("purchase", "signup", "error"))
+        .select(
+            surrogate_uid("user_id", "event_type", "event_id").alias("event_uid"),
+            "event_id",
+            "user_id",
+            "event_type",
+            parse_props("props").getField("k").alias("prop_k"),
+            _r4(F.col("value")).alias("value"),
+        )
+    )

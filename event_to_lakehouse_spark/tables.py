@@ -1,0 +1,55 @@
+"""Catalog of the driver-provided parquet tables (TESTDATA.md).
+
+``load_tables`` is the single scan entry point used by every query — it
+registers temp views so operators can be written in either DataFrame or
+SQL form. Reads are plain ``spark.read.parquet`` so Catalyst gets full
+predicate pushdown / column pruning on the vectorized parquet reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import configure_runtime
+
+__all__ = ["TABLES", "load_tables", "table"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): read as long (nanosAsLong
+    # conf, see session.py) and truncate to µs TimestampType — the same
+    # ns→µs truncation DuckDB applies, keeping oracle parity. Integer
+    # `div` (not /) so int64 nanos never round-trip through double.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register matching temp views. Metadata-only
+    (lazy); repeated calls are cheap and idempotent."""
+    configure_runtime(spark)
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,184 @@
+"""Text-analysis queries over ``documents`` (language-ID, quality
+scoring, token counting, fingerprinting — the LLM-pipeline text layer).
+
+All metrics are the pure-expression column functions from
+``functions.text``; queries here register them with DuckDB oracles.
+Everything is a narrow scan→project (or one hash-agg), so throughput is
+scan-bound at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    STOPWORDS,
+    char_count,
+    fingerprint,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from .operators.relational import _r4, query
+from .tables import load_tables
+
+_PUNCT_CLASS = "[\\.,;:!\\?''\"()\\[\\]{}-]"
+_STOP_RE = "\\b(?:" + "|".join(STOPWORDS) + ")\\b"
+
+_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+_PUNCT_SQL = (
+    f"(length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')))"
+    " / CAST(greatest(length(text), 1) AS DOUBLE)"
+)
+_STOP_SQL = (
+    f"len(regexp_extract_all(lower(text), '{_STOP_RE}'))"
+    f" / CAST(greatest({_TOKENS_SQL}, 1) AS DOUBLE)"
+)
+
+
+@query(
+    "text_metrics",
+    f"""
+    SELECT doc_id,
+           CAST({_TOKENS_SQL} AS INTEGER)      AS n_tokens,
+           CAST(length(text) AS INTEGER)       AS n_chars,
+           round({_PUNCT_SQL}, 4)              AS punct_ratio,
+           round({_STOP_SQL}, 4)               AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars"),
+        _r4(punct_ratio("text")).alias("punct_ratio"),
+        _r4(stopword_ratio("text")).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_quality_by_source",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               round(
+                   (CASE WHEN length(text) BETWEEN 50 AND 20000
+                         THEN 0.5 ELSE 0.0 END)
+                 + least({_STOP_SQL} * 2.0, 0.3)
+                 - least({_PUNCT_SQL}, 0.2)
+                 + 0.2, 4) AS q
+        FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(q), 4) AS avg_quality,
+           round(min(q), 4) AS min_quality,
+           round(max(q), 4) AS max_quality
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].select(
+        "source", quality_score("text").alias("q")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _r4(F.avg("q")).alias("avg_quality"),
+        _r4(F.min("q")).alias("min_quality"),
+        _r4(F.max("q")).alias("max_quality"),
+    )
+
+
+@query(
+    "text_langid",
+    """
+    WITH g AS (
+        SELECT doc_id, lang,
+               CASE
+                 WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+                      / CAST(greatest(length(text), 1) AS DOUBLE) > 0.05
+                   THEN 'zh'
+                 WHEN length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) >
+                      length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g'))
+                  AND length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) >
+                      length(regexp_replace(text, '[^äöüß]', '', 'g'))
+                  AND length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) > 0
+                   THEN 'es'
+                 WHEN length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g')) >
+                      length(regexp_replace(text, '[^äöüß]', '', 'g'))
+                  AND length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g')) > 0
+                   THEN 'fr'
+                 WHEN length(regexp_replace(text, '[^äöüß]', '', 'g')) > 0
+                   THEN 'de'
+                 ELSE 'en'
+               END AS guessed_lang
+        FROM documents
+    )
+    SELECT lang, guessed_lang, count(*) AS n_docs
+    FROM g GROUP BY lang, guessed_lang
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("lang", lang_guess("text").alias("guessed_lang"))
+        .groupBy("lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(regexp_replace(regexp_replace(lower(trim(text)),
+               '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_token_topk",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM toks
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram top-k: explode → hash-agg → top-k. The
+    explode is the only row-multiplying step; partial aggregation keeps
+    the shuffle at vocabulary size, not token count."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
