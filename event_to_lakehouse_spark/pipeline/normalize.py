@@ -1,0 +1,190 @@
+"""Bronze → silver normalization engine (SURVEY §7.2 step 3).
+
+Semantics re-expressed from the reference
+(``scripts/bronze_assets_to_silver_assets.py``):
+
+- PERMISSIVE multiLine JSON read with ``_corrupt_record`` capture — the
+  corrupt column MUST be declared in the schema (:24-32, :41).
+- corrupt-row rejection filter (:87-89).
+- contract normalization: here one compiled ``select`` from a
+  ``SourceMapping`` instead of 30 hand-written withColumns (:91-162).
+- ``raw_json`` audit payload = to_json(struct(all non-corrupt source
+  columns)) (:133-136).
+- cross-source integration as an explicit ``unionByName`` into one
+  silver table (the reference appends both streams to the same Iceberg
+  table — a deferred union; SURVEY §2.7).
+
+Batch and streaming share the same transform functions; the streaming
+writer's ``foreachBatch`` reuses the batch path exactly as the
+reference does (:275-277), with an optional idempotence fix for its
+known blind-append replay gap (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .contracts import SILVER_ASSETS_CONTRACT, SourceMapping
+
+# Reference JSON reader hardening (:28-32).
+JSON_OPTIONS = {
+    "mode": "PERMISSIVE",
+    "columnNameOfCorruptRecord": "_corrupt_record",
+}
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def with_corrupt_column(schema: T.StructType) -> T.StructType:
+    """PERMISSIVE corrupt-record capture requires the column declared in
+    the schema (reference :24-27, :41)."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(
+        [T.StructField(CORRUPT_COL, T.StringType(), True)] + list(schema.fields)
+    )
+
+
+def read_bronze(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    streaming: bool = False,
+    multiline: bool = True,
+) -> DataFrame:
+    """Bronze JSON topic scan, batch or unbounded (reference :80-85).
+
+    Implemented as text scan + ``from_json`` rather than the raw JSON
+    file source: identical PERMISSIVE/corrupt-capture semantics, but the
+    file relation always references a real column (``value``), so
+    downstream count-only plans never trip Spark's
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN analysis restriction (SURVEY §7.4),
+    and batch/streaming share one code path. ``multiline=True`` maps to
+    one-JSON-document-per-file bronze layout (wholetext)."""
+    schema = with_corrupt_column(schema)
+    reader = spark.readStream if streaming else spark.read
+    text = (
+        reader.format("text")
+        .option("wholetext", "true" if multiline else "false")
+        .load(path)
+    )
+    return text.select(
+        F.from_json(F.col("value"), schema, JSON_OPTIONS).alias("_r")
+    ).select("_r.*")
+
+
+def drop_corrupt(df: DataFrame) -> DataFrame:
+    """Reject malformed rows (reference :89). Filter references other
+    columns downstream, so the PERMISSIVE version-sensitivity noted in
+    SURVEY §7.4 does not bite."""
+    return df.filter(F.col(CORRUPT_COL).isNull())
+
+
+def _uid_expr(mapping: SourceMapping) -> Column:
+    """Surrogate key built from the SOURCE expressions of its target
+    components (so no target aliases need to exist yet, and source
+    columns sharing a target's name can't collide)."""
+
+    def src(target: str) -> Column:
+        if target in mapping.exprs:
+            return F.expr(mapping.exprs[target]).cast("string")
+        return F.lit(None).cast("string")
+
+    parts = [F.lower(F.trim(src(c))) for c in mapping.uid.canonicalized]
+    parts += [src(c) for c in mapping.uid.raw]
+    return F.sha2(F.concat_ws("|", *parts), 256)
+
+
+def apply_mapping(
+    df: DataFrame,
+    mapping: SourceMapping,
+    contract: list[tuple[str, str]] = SILVER_ASSETS_CONTRACT,
+) -> DataFrame:
+    """Compile a SourceMapping into one ordered projection.
+
+    Single narrow ``select`` — Catalyst gets the whole contract at once
+    (no 30-deep Project chain to collapse), pushdown/pruning reach the
+    scan, and the same function serves batch and micro-batch."""
+    clean = drop_corrupt(df)
+    source_cols = [c for c in clean.columns if c != CORRUPT_COL]
+
+    derived: dict[str, Column] = {}
+    for target, dtype in contract:
+        if target == mapping.uid_target:
+            derived[target] = _uid_expr(mapping)
+        elif target == "source_system":
+            derived[target] = F.lit(mapping.source_system).cast(dtype)
+        elif target == "ingest_ts":
+            derived[target] = F.current_timestamp()
+        elif target == "raw_json":
+            derived[target] = F.to_json(
+                F.struct(*[F.col(f"`{c}`") for c in source_cols])
+            )
+        elif target in mapping.exprs:
+            derived[target] = F.expr(mapping.exprs[target]).cast(dtype)
+        else:
+            derived[target] = F.lit(None).cast(dtype)  # typed NULL (:96-110)
+
+    # ONE ordered projection over raw source columns only — no staged
+    # aliases, so a source column named like a target can't collide.
+    return clean.select(*[derived[name].alias(name) for name, _ in contract])
+
+
+def silver_union(*normalized: DataFrame) -> DataFrame:
+    """Schema-aligned union of normalized sources — the explicit form of
+    the reference's append-to-shared-table integration (SURVEY §2.7)."""
+    out = normalized[0]
+    for df in normalized[1:]:
+        out = out.unionByName(df, allowMissingColumns=False)
+    return out
+
+
+def write_silver_batch(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Batch silver write. Parquet append partitioned by source_system —
+    at 100 TB the partition column gives pruning for per-source reads;
+    an Iceberg/Delta deployment swaps this for writeTo(...).append()
+    (reference :277) with hidden partitioning."""
+    df.write.mode(mode).partitionBy("source_system").parquet(path)
+
+
+def foreach_batch_writer(path: str, idempotent: bool = True):
+    """foreachBatch sink factory (reference :275-277 blind-appends and
+    ignores batch_id — replayed micro-batches double-append; SURVEY
+    §7.4). With ``idempotent=True`` each batch writes to a
+    batch_id-derived subdirectory overwrite-mode, so replays rewrite
+    the same files instead of duplicating."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if idempotent:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy("source_system")
+                .parquet(f"{path}/batch_id={batch_id}")
+            )
+        else:
+            batch_df.write.mode("append").partitionBy("source_system").parquet(path)
+
+    return _write
+
+
+def start_silver_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    idempotent: bool = True,
+):
+    """Streaming silver writer (reference :280-296): append mode,
+    checkpointed, foreachBatch. ``trigger`` defaults to availableNow
+    for testable runs; pass {"processingTime": "30 seconds"} for the
+    reference's cadence."""
+    trigger = trigger or {"availableNow": True}
+    return (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .foreachBatch(foreach_batch_writer(path, idempotent=idempotent))
+        .start()
+    )

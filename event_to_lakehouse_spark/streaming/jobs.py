@@ -1,0 +1,108 @@
+"""Structured Streaming semantics (SURVEY §2.9).
+
+The reference's streaming surface is stateless map/filter with a
+processing-time trigger and foreachBatch append (:280-299). This module
+keeps that shape (see ``pipeline.normalize.start_silver_stream``) and
+adds the stateful event-time semantics the reference lacks:
+
+- watermarked tumbling / sliding window aggregation
+- session windows (``F.session_window``)
+- streaming dedup (``dropDuplicatesWithinWatermark``)
+- multi-query concurrency + awaitAnyTermination (reference :280-299)
+
+Every transform takes and returns DataFrames, so the same function is
+testable with ``availableNow`` triggers over file sources and
+deployable against Kafka (swap the reader). State stores are
+checkpointed; watermarks bound state size at 100 TB/day streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Unbounded JSON file source (declared schema — streaming sources
+    cannot infer; reference :81-84)."""
+    reader = spark.readStream.format("json").schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if ``slide``) window counts per
+    event_type. Late rows beyond the watermark are dropped and window
+    state is GC'd — bounded state at any scale."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time session windows per user (the streaming twin of the
+    batch ``events_sessionize`` operator)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    GC'd (SURVEY §2.9 fill)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_completion(query) -> None:
+    """Drive an availableNow query to its end (test/maintenance-job
+    helper; production uses awaitAnyTermination like the reference
+    :299)."""
+    query.awaitTermination()

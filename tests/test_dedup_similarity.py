@@ -1,0 +1,100 @@
+"""Semantics tests for the LLM-pipeline operators: planted duplicates
+must be found; similarity rankings must match a NumPy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.dedup.exact import dedup_exact_groups
+from event_to_lakehouse_spark.dedup.minhash import candidate_pairs, signatures
+from event_to_lakehouse_spark.dedup.simhash import fingerprints, near_pairs
+from event_to_lakehouse_spark.functions.vectors import cosine
+from event_to_lakehouse_spark.similarity.ann import brute_force_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one-token edit → high Jaccard
+FAR = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats with vectorized execution pipelines today"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, FAR), (4, BASE.upper() + "  ")],
+        ["doc_id", "text"],
+    )
+
+
+def test_minhash_finds_planted_neardup(spark):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard_est
+        for r in candidate_pairs(_docs(spark)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # case/trim-normalized
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_signature_shape(spark):
+    sigs = signatures(_docs(spark)).collect()
+    assert len(sigs) == 4
+    assert all(len(r.sig) == 16 for r in sigs)
+    by_id = {r.doc_id: tuple(r.sig) for r in sigs}
+    assert by_id[1] == by_id[4]  # normalization-identical docs
+
+
+def test_simhash_hamming(spark):
+    fps = {r.doc_id: r.simhash for r in fingerprints(_docs(spark)).collect()}
+    ham_12 = bin(fps[1] ^ fps[2]).count("1")
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    assert fps[1] == fps[4]
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+    got = {(r.doc_id_a, r.doc_id_b) for r in near_pairs(_docs(spark)).collect()}
+    assert (1, 4) in got
+
+
+def test_exact_dedup_counts(spark, tmp_dir):
+    docs = _docs(spark)
+    docs.write.parquet(f"{tmp_dir}/documents.parquet")
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        spark.read.parquet(f"/root/testdata/sf0.001/{name}.parquet").limit(1).write.parquet(
+            f"{tmp_dir}/{name}.parquet"
+        )
+    groups = dedup_exact_groups(spark, tmp_dir).collect()
+    n_copies = {r.keep_id: r.n_copies for r in groups}
+    assert n_copies[1] == 2  # doc 4 is a normalized copy of doc 1
+    assert len(groups) == 3
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = brute_force_topk(df, df.filter(F.col("vec_id") < 2), k=5).collect()
+
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in (0, 1):
+        order = [
+            i for i in np.argsort(-np.round(sims[q], 6), kind="stable") if i != q
+        ][:5]
+        got = [r.vec_id for r in sorted(out, key=lambda r: r.rank) if r.query_id == q]
+        assert got == order, f"query {q}: {got} != {order}"
+
+
+def test_cosine_function_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"]
+    )
+    vals = [r.c for r in df.select(cosine("a", "b").alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12

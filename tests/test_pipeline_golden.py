@@ -1,0 +1,174 @@
+"""Golden tests for the bronze→silver normalization pipeline
+(FIXTURES.md §B): pins the reference-faithful contract semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from event_to_lakehouse_spark.pipeline.contracts import (
+    FORTISIEM_MAPPING,
+    RAPID7_MAPPING,
+    SILVER_ASSETS_CONTRACT,
+)
+from event_to_lakehouse_spark.pipeline.normalize import (
+    apply_mapping,
+    read_bronze,
+    silver_union,
+    start_silver_stream,
+    write_silver_batch,
+)
+
+RAPID7_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("ip", T.StringType()),
+        T.StructField("hostName", T.StringType()),
+        T.StructField(
+            "addresses", T.ArrayType(T.StructType([T.StructField("ip", T.StringType())]))
+        ),
+        T.StructField("assessedForPolicies", T.BooleanType()),
+        T.StructField("assessedForVulnerabilities", T.BooleanType()),
+        T.StructField("os", T.StringType()),
+        T.StructField("osCertainty", T.StringType()),
+        T.StructField(
+            "osFingerprint",
+            T.StructType(
+                [
+                    T.StructField("architecture", T.StringType()),
+                    T.StructField("family", T.StringType()),
+                    T.StructField("vendor", T.StringType()),
+                    T.StructField("product", T.StringType()),
+                    T.StructField(
+                        "cpe", T.StructType([T.StructField("version", T.StringType())])
+                    ),
+                ]
+            ),
+        ),
+        T.StructField("riskScore", T.DoubleType()),
+        T.StructField("rawRiskScore", T.DoubleType()),
+        T.StructField(
+            "vulnerabilities",
+            T.StructType(
+                [
+                    T.StructField("total", T.IntegerType()),
+                    T.StructField("critical", T.IntegerType()),
+                    T.StructField("severe", T.IntegerType()),
+                    T.StructField("moderate", T.IntegerType()),
+                    T.StructField("exploits", T.IntegerType()),
+                    T.StructField("malwareKits", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FORTI_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StructType([T.StructField("$oid", T.StringType())])),
+        T.StructField("accessIp", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("naturalId", T.StringType()),
+        T.StructField("approved", T.BooleanType()),
+        T.StructField("unmanaged", T.BooleanType()),
+        T.StructField(
+            "deviceType",
+            T.StructType(
+                [
+                    T.StructField("vendor", T.StringType()),
+                    T.StructField("model", T.StringType()),
+                    T.StructField("version", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+CONTRACT_COLS = [name for name, _ in SILVER_ASSETS_CONTRACT]
+
+
+def test_rapid7_golden(spark, rapid7_bronze):
+    bronze = read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA)
+    silver = apply_mapping(bronze, RAPID7_MAPPING)
+    rows = {r.rapid7_id: r for r in silver.collect()}
+
+    # corrupt record excluded; 2 clean rows survive
+    assert len(rows) == 2
+    assert silver.columns == CONTRACT_COLS  # ordered 32-col contract
+
+    r = rows["101"]
+    assert r.source_system == "rapid7"
+    # nested extraction incl. 3-deep cpe.version
+    assert r.os_version == "22.04" and r.os_family == "Linux"
+    assert r.os_certainty == 0.85  # string→double cast
+    assert r.vuln_total == 12 and r.vuln_malware_kits == 0
+    # fortisiem-only fields are typed NULLs
+    assert r.fortisiem_id is None and r.approved is None and r.device_vendor is None
+    # uid: lower(trim(host))|lower(trim(ip))|raw id — reference :139-149
+    expected = hashlib.sha256(b"web-01|10.0.0.1|101").hexdigest()
+    assert r.asset_uid == expected
+    assert '"hostName"' in r.raw_json and "_corrupt_record" not in r.raw_json
+
+
+def test_fortisiem_golden(spark, forti_bronze):
+    bronze = read_bronze(spark, forti_bronze, FORTI_SCHEMA)
+    silver = apply_mapping(bronze, FORTISIEM_MAPPING)
+    rows = {r.fortisiem_id: r for r in silver.collect()}
+
+    assert len(rows) == 2
+    r = rows["64f1aa00c2d3e4f5a6b7c8d9"]
+    # $-named Mongo field extracted (reference :172-174, :203)
+    assert r.source_system == "fortisiem"
+    assert r.device_vendor == "Fortinet" and r.device_version == "7.2"
+    assert r.approved is True and r.unmanaged is False
+    # rapid7-only fields are typed NULLs
+    assert r.rapid7_id is None and r.os_name is None and r.vuln_total is None
+    expected = hashlib.sha256(
+        b"fw-edge-01|172.16.0.5|64f1aa00c2d3e4f5a6b7c8d9"
+    ).hexdigest()
+    assert r.asset_uid == expected
+
+
+def test_uid_deterministic_across_runs(spark, rapid7_bronze):
+    bronze = read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA)
+    a = {r.asset_uid for r in apply_mapping(bronze, RAPID7_MAPPING).collect()}
+    b = {r.asset_uid for r in apply_mapping(bronze, RAPID7_MAPPING).collect()}
+    assert a == b and len(a) == 2
+
+
+def test_silver_union_and_batch_write(spark, rapid7_bronze, forti_bronze, tmp_dir):
+    r7 = apply_mapping(read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA), RAPID7_MAPPING)
+    fs = apply_mapping(read_bronze(spark, forti_bronze, FORTI_SCHEMA), FORTISIEM_MAPPING)
+    silver = silver_union(r7, fs)
+    assert silver.count() == 4
+    # exactly one of rapid7_id / fortisiem_id per row (FIXTURES §B3)
+    bad = silver.filter(
+        F.col("rapid7_id").isNotNull() == F.col("fortisiem_id").isNotNull()
+    ).count()
+    assert bad == 0
+
+    out = f"{tmp_dir}/silver_assets"
+    write_silver_batch(silver, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert set(back.columns) == set(CONTRACT_COLS)
+    assert {r.source_system for r in back.select("source_system").distinct().collect()} == {
+        "rapid7",
+        "fortisiem",
+    }
+
+
+def test_streaming_silver_end_to_end(spark, rapid7_bronze, tmp_dir):
+    """The reference's own shape: unbounded bronze scan → same transform
+    → checkpointed foreachBatch append (availableNow for the test)."""
+    bronze = read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA, streaming=True)
+    silver = apply_mapping(bronze, RAPID7_MAPPING)
+    q = start_silver_stream(
+        silver, f"{tmp_dir}/silver", f"{tmp_dir}/ckpt", idempotent=True
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(f"{tmp_dir}/silver")
+    assert back.count() == 2  # corrupt row filtered in-stream
+    assert set(back.select("rapid7_id").toPandas()["rapid7_id"]) == {"101", "102"}
