@@ -23,12 +23,17 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_revenue_forecast",
+    "q10_returned_items",
+    "q18_large_orders",
     "agg_rollup_region_nation",
     "window_rank_topk",
     "events_json_extract",
     "events_tumbling_window",
     "events_sessionize",
+    "events_sliding_window",
+    "join_asof_prior_purchase",
     "dedup_exact_groups",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_fingerprints",
     "ann_bruteforce_topk",

@@ -1,1 +1,1 @@
-from . import events, relational  # noqa: F401
+from . import advanced, events, relational  # noqa: F401
