@@ -35,11 +35,17 @@ N_BANDS = N_BITS // BAND_BITS
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash: bigint) — one codegen'd explode+agg pass."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        # hash once per token; the 64 bit-vote aggregates below then
+        # read this column instead of each re-evaluating xxhash64.
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    h = F.col("h")
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -101,6 +101,68 @@ def dedup_within_watermark(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
+    §2.9 fill; the escape hatch for semantics window/session aggs can't
+    express): per-user lifetime totals maintained in the state store
+    and re-emitted on every update.
+
+    State is one (count, sum) pair per user — O(distinct users), not
+    O(events); rows arrive Arrow-batched per group. Update output mode:
+    downstream sinks see the latest totals after each micro-batch."""
+    import pandas as pd  # local import: Arrow path only
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def purchase_attribution(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream join (SURVEY §2.3/§2.9 fill): each
+    purchase is attributed to same-user clicks in the preceding
+    ``horizon``. The time-bound condition lets Spark GC both join state
+    buffers past the watermark — mandatory for unbounded streams."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts", "value")
+        .withWatermark("ts", watermark)
+    )
+    cond = (
+        (purchases.user_id == clicks.c_user)
+        & (clicks.click_ts < purchases.ts)
+        & (clicks.click_ts >= purchases.ts - F.expr(f"INTERVAL {horizon}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", "user_id", "ts", "value", "click_id", "click_ts"
+    )
+
+
 def run_to_completion(query) -> None:
     """Drive an availableNow query to its end (test/maintenance-job
     helper; production uses awaitAnyTermination like the reference

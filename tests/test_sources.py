@@ -1,0 +1,98 @@
+"""Connector layer: format round-trips, corrupt-record CSV hardening,
+streaming schema enforcement, Kafka payload normalization (SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from event_to_lakehouse_spark.sources.connectors import (
+    parse_kafka_payload,
+    read_csv,
+    read_files,
+    write_files,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+ROWS = [(1, "alpha", 0.5), (2, "beta", 1.5), (3, "gamma", -2.0)]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, tmp_dir, fmt):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    opts = {"header": "true"} if fmt == "csv" else {}
+    write_files(df, f"{tmp_dir}/{fmt}", fmt, mode="overwrite", **opts)
+    back = read_files(spark, f"{tmp_dir}/{fmt}", fmt, schema=SCHEMA, **opts)
+    assert sorted((r.id, r.name, r.score) for r in back.collect()) == sorted(ROWS)
+
+
+def test_partitioned_write_prunes(spark, tmp_dir):
+    df = spark.createDataFrame(ROWS, SCHEMA).withColumn(
+        "bucket", F.when(F.col("id") < 3, "small").otherwise("large")
+    )
+    write_files(df, f"{tmp_dir}/p", "parquet", mode="overwrite", partition_by=["bucket"])
+    back = read_files(spark, f"{tmp_dir}/p", "parquet").filter(F.col("bucket") == "small")
+    assert back.count() == 2
+    # partition filter must prune at scan level, not post-filter
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_csv_corrupt_record_capture(spark, tmp_dir):
+    import pathlib
+
+    p = pathlib.Path(tmp_dir) / "csv_raw"
+    p.mkdir(parents=True)
+    (p / "a.csv").write_text("id,name,score\n1,alpha,0.5\n2,beta,notanumber\n")
+    df = read_csv(spark, str(p), schema=SCHEMA).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 1 and bad.count() == 1
+    assert bad.collect()[0]._corrupt_record.startswith("2,beta")
+
+
+def test_streaming_requires_schema(spark, tmp_dir):
+    with pytest.raises(ValueError, match="declared schema"):
+        read_files(spark, tmp_dir, "json", streaming=True)
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_files(spark, tmp_dir, "avro")
+
+
+def test_kafka_payload_normalization(spark):
+    """Transport-gated: the Kafka value→typed-columns contract is tested
+    on a synthetic frame with the connector's record shape."""
+    raw = spark.createDataFrame(
+        [
+            Row(
+                key=b"k1",
+                topic="assets",
+                partition=0,
+                offset=42,
+                timestamp="2024-01-01 00:00:00",
+                value=b'{"id": 7, "name": "x", "score": 1.25}',
+            ),
+            Row(
+                key=None,
+                topic="assets",
+                partition=0,
+                offset=43,
+                timestamp="2024-01-01 00:00:01",
+                value=b'{"id": BROKEN',
+            ),
+        ]
+    )
+    out = parse_kafka_payload(raw, SCHEMA).cache()
+    ok = out.filter(F.col("_corrupt_record").isNull()).collect()
+    assert len(ok) == 1 and ok[0].id == 7 and ok[0].kafka_key == "k1"
+    bad = out.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0].offset == 43

@@ -9,7 +9,9 @@ from pathlib import Path
 
 from event_to_lakehouse_spark.streaming.jobs import (
     dedup_within_watermark,
+    purchase_attribution,
     read_event_stream,
+    running_user_totals,
     session_windows,
     windowed_counts,
 )
@@ -84,6 +86,47 @@ def test_dedup_within_watermark(spark, tmp_dir):
     rows = spark.sql(f"select * from {name}").collect()
     ids = [r.event_id for r in rows]
     assert sorted(ids) == [1, 2, 3, 4]  # duplicate event_id=2 dropped
+
+
+def test_running_user_totals_stateful(spark, tmp_dir):
+    """applyInPandasWithState: per-user totals survive across
+    micro-batches in the state store."""
+    src = _write_events(f"{tmp_dir}/events", EVENTS)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    name = f"tot_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(running_user_totals(stream), name, "update")
+    q.awaitTermination(120)
+    latest = {
+        r.user_id: r
+        for r in spark.sql(
+            f"""select user_id, n_events, sum_value from (
+                  select *, row_number() over
+                    (partition by user_id order by n_events desc) as rn
+                  from {name}) where rn = 1"""
+        ).collect()
+    }
+    assert latest[1].n_events == 4 and latest[1].sum_value == 8.0
+    assert latest[2].n_events == 1 and latest[2].sum_value == 4.0
+
+
+ATTRIB_EVENTS = [
+    {"event_id": 10, "ts": "2024-01-01T10:00:00", "user_id": 5, "event_type": "click", "value": 0.0, "props": "{}"},
+    {"event_id": 11, "ts": "2024-01-01T10:30:00", "user_id": 5, "event_type": "purchase", "value": 9.5, "props": "{}"},
+    # click outside the 1h attribution horizon
+    {"event_id": 12, "ts": "2024-01-01T08:00:00", "user_id": 6, "event_type": "click", "value": 0.0, "props": "{}"},
+    {"event_id": 13, "ts": "2024-01-01T10:00:00", "user_id": 6, "event_type": "purchase", "value": 1.5, "props": "{}"},
+]
+
+
+def test_purchase_attribution_stream_join(spark, tmp_dir):
+    src = _write_events(f"{tmp_dir}/events", ATTRIB_EVENTS)
+    stream = read_event_stream(spark, src)
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(purchase_attribution(stream, horizon="1 hour"), name, "append")
+    q.awaitTermination(120)
+    rows = spark.sql(f"select * from {name}").collect()
+    assert len(rows) == 1  # user 6's click is outside the horizon
+    assert rows[0].purchase_id == 11 and rows[0].click_id == 10
 
 
 def test_idempotent_foreach_batch_replay(spark, tmp_dir):
