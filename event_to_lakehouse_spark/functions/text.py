@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "bpe_token_count",
     "char_count",
     "punct_ratio",
     "stopword_ratio",
@@ -38,6 +39,22 @@ def token_count(c: Column | str) -> Column:
     """Whitespace tokenization count; empty/blank text counts 0."""
     t = F.trim(_c(c))
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("int")
+
+
+# GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit
+# runs, punctuation runs, each with optional leading space). Kept to
+# syntax shared by Java regex (Spark) and RE2 (DuckDB) so the oracle
+# can mirror it; applied to lowercased text.
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """BPE-ish subword-boundary token count — the cheap estimator of
+    LLM token cost (a real BPE merges within these pre-token spans, so
+    this upper-bounds merged-token count with the right shape)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(c)), F.lit(BPE_TOKEN_RE), F.lit(0))
+    ).cast("int")
 
 
 def char_count(c: Column | str) -> Column:

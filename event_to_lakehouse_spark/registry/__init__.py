@@ -1,1 +1,1 @@
-from . import schema_registry  # noqa: F401
+from . import evolution, schema_registry  # noqa: F401

@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import (
+    BPE_TOKEN_RE,
     STOPWORDS,
+    bpe_token_count,
     char_count,
     fingerprint,
     lang_guess,
@@ -61,6 +63,39 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count("text").alias("n_chars"),
         _r4(punct_ratio("text")).alias("punct_ratio"),
         _r4(stopword_ratio("text")).alias("stopword_ratio"),
+    )
+
+
+_BPE_SQL_RE = BPE_TOKEN_RE.replace("'", "''")  # SQL-literal quote escape
+
+
+@query(
+    "text_bpe_tokens",
+    f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text),
+                '{_BPE_SQL_RE}'))) AS BIGINT) AS total_bpe_tokens,
+           round(avg(len(regexp_extract_all(lower(text),
+                '{_BPE_SQL_RE}'))), 4) AS avg_bpe_tokens,
+           round(avg(CAST({_TOKENS_SQL} AS DOUBLE)), 4) AS avg_ws_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token-cost estimation per corpus source: BPE-ish regex
+    pre-tokenizer count next to the whitespace count (the two
+    estimators the pipeline budget uses)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", bpe_token_count("text").alias("bpe"), token_count("text").alias("ws"))
+        .groupBy("source")
+        .agg(
+            F.sum("bpe").cast("long").alias("total_bpe_tokens"),
+            _r4(F.avg("bpe")).alias("avg_bpe_tokens"),
+            _r4(F.avg(F.col("ws").cast("double"))).alias("avg_ws_tokens"),
+        )
     )
 
 

@@ -1,0 +1,97 @@
+"""Schema evolution: diff/classify/conform semantics (the governance
+mechanics the reference declares but does not implement)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from event_to_lakehouse_spark.registry.evolution import (
+    classify,
+    conform,
+    diff_schemas,
+)
+
+V1 = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField(
+            "meta",
+            T.StructType([T.StructField("score", T.FloatType())]),
+        ),
+    ]
+)
+
+V2_SAFE = T.StructType(  # id widened, nested field added, new column
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("tag", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("added_col", T.StringType()),
+    ]
+)
+
+V3_BREAKING = T.StructType(  # name removed, id narrowed to string
+    [T.StructField("id", T.StringType())]
+)
+
+
+def test_diff_nested_paths():
+    d = diff_schemas(V1, V2_SAFE)
+    assert ("added_col", "string") in d.added
+    assert ("meta.tag", "string") in d.added
+    assert d.removed == []
+    assert ("id", "int", "bigint") in d.changed
+    assert ("meta.score", "float", "double") in d.changed
+
+
+def test_classify():
+    assert classify(diff_schemas(V1, V1)) == "none"
+    assert classify(diff_schemas(V1, V2_SAFE)) == "safe"
+    assert classify(diff_schemas(V1, V3_BREAKING)) == "breaking"
+    # a type narrowing alone is breaking
+    narrowed = T.StructType(
+        [T.StructField("id", T.ShortType())] + list(V1.fields[1:])
+    )
+    assert classify(diff_schemas(V1, narrowed)) == "breaking"
+
+
+def test_conform_adds_casts_drops_orders(spark):
+    df = spark.createDataFrame([(1, "a", "junk")], ["id", "name", "extra"])
+    target = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("added_col", T.StringType()),
+        ]
+    )
+    out = conform(df, target)
+    assert out.columns == ["name", "id", "added_col"]
+    assert out.schema["id"].dataType == T.LongType()
+    row = out.collect()[0]
+    assert row.name == "a" and row.id == 1 and row.added_col is None
+
+
+def test_conform_then_union_across_versions(spark):
+    """Old-version rows conform to the new contract and union cleanly —
+    the evolution path for mixed-version bronze."""
+    old = spark.createDataFrame([(1, "a")], ["id", "name"])
+    new_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("added_col", T.StringType()),
+        ]
+    )
+    new = spark.createDataFrame([(2, "b", "x")], new_schema)
+    merged = conform(old, new_schema).unionByName(new)
+    assert merged.count() == 2
+    assert {r.added_col for r in merged.collect()} == {None, "x"}
