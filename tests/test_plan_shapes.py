@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: pin the physical-plan facts the 100 TB
+design depends on (pushdown, pruning, broadcast choices, shuffle
+counts). A failure here is a performance regression even if results
+stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from event_to_lakehouse_spark.plans import audit_plan
+from event_to_lakehouse_spark.plans.audit import pushed_filter_columns
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_q1_single_shuffle_pushdown(spark, qs):
+    a = audit_plan(qs["q1_pricing_summary"](spark, SF_DIR))
+    # one shuffle for the groupBy; partial (map-side) aggregation before it
+    assert a.shuffle_exchanges == 1
+    assert a.has_partial_aggregate
+    assert "l_shipdate" in pushed_filter_columns(a)
+
+
+def test_q6_scan_prunes_columns(spark, qs):
+    a = audit_plan(qs["q6_revenue_forecast"](spark, SF_DIR))
+    # global agg: one all-to-one exchange carrying one partial row per
+    # partition — constant bytes regardless of input size
+    assert a.shuffle_exchanges == 1
+    cols = pushed_filter_columns(a)
+    assert {"l_shipdate", "l_discount", "l_quantity"} <= cols
+    # projection pruning: the scan must not read all 11 lineitem columns
+    assert a.read_schemas and "l_returnflag" not in a.read_schemas[0]
+
+
+def test_q3_dimensions_broadcast(spark, qs):
+    a = audit_plan(qs["q3_shipping_priority"](spark, SF_DIR))
+    assert a.broadcast_hash_joins >= 1
+    assert a.sort_merge_joins == 0  # no fact-fact sort-merge at this shape
+    assert a.take_ordered  # top-k must be TakeOrderedAndProject, not global sort
+
+
+def test_q5_all_dims_broadcast(spark, qs):
+    a = audit_plan(qs["q5_region_revenue"](spark, SF_DIR))
+    assert a.broadcast_hash_joins >= 2  # region + nation (at least)
+
+
+def test_topk_never_global_sort(spark, qs):
+    a = audit_plan(qs["sort_limit_topk"](spark, SF_DIR))
+    assert a.take_ordered
+
+
+def test_ann_bruteforce_corpus_not_shuffled(spark, qs):
+    """The corpus side must stay partition-local: query set broadcast,
+    no shuffle before scoring (only the final window/top-k may
+    exchange)."""
+    a = audit_plan(qs["ann_bruteforce_topk"](spark, SF_DIR))
+    assert a.nested_loop_joins + a.broadcast_hash_joins >= 1
+    assert a.sort_merge_joins == 0
+
+
+def test_jaccard_pairs_equi_join(spark, qs):
+    """Candidate pairing must be an equi-join on the block key — never
+    a nested-loop cross product."""
+    a = audit_plan(qs["dedup_ngram_jaccard"](spark, SF_DIR))
+    assert a.nested_loop_joins == 0
+
+
+def test_normalization_is_narrow(spark, rapid7_bronze):
+    """The bronze→silver contract pipeline is scan→filter→project:
+    zero shuffles at any scale."""
+    from event_to_lakehouse_spark.pipeline.contracts import RAPID7_MAPPING
+    from event_to_lakehouse_spark.pipeline.normalize import (
+        apply_mapping,
+        read_bronze,
+    )
+    from tests.test_pipeline_golden import RAPID7_SCHEMA
+
+    silver = apply_mapping(
+        read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA), RAPID7_MAPPING
+    )
+    a = audit_plan(silver)
+    assert a.shuffle_exchanges == 0
+    assert a.exchanges == 0
