@@ -120,6 +120,137 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(as_assets(t["documents"]))
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_SCHEMA),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Resize pipeline plumbing. A real implementation decodes, resizes
+    (PIL/OpenCV), re-encodes; codecs are absent here so the transform is
+    a DETERMINISTIC FAKE — payload truncated to width*height bytes —
+    while everything the engine is responsible for is real: Arrow batch
+    iteration, binary in/out columns, nested meta struct rewrite,
+    partition-local execution (no shuffle)."""
+
+    n = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": pdf["payload"].map(lambda b: b[:n]),
+                    "meta": pdf["meta"].map(
+                        lambda m: {
+                            "mime": m["mime"],
+                            "width": width,
+                            "height": height,
+                            "dur_ms": m["dur_ms"],
+                        }
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+# Fake decode: 1 byte of payload == 1 ms of media. 128 "ms" per frame
+# so the test corpus (50-550 byte docs) genuinely fans out 1:N.
+FRAME_STRIDE = 128
+
+
+def sample_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling plumbing: one input asset fans out to N frame
+    rows (1:N mapInPandas — the shape a real ffmpeg sampler needs).
+    DETERMINISTIC FAKE decode: frame k is payload[k*stride:(k+1)*stride]
+    (real sampler: decode at k*every_ms). Bounded memory: frames are
+    emitted one pandas batch per input batch, partition-local."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, shas = [], [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                for k in range(0, (len(payload) + stride - 1) // stride):
+                    chunk = payload[k * stride : (k + 1) * stride]
+                    ids.append(asset_id)
+                    idxs.append(k)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(strlen(substr(text, 1, 256)) AS BIGINT) AS n_bytes,
+           sha256(substr(text, 1, 256)) AS sha,
+           16 AS width, 16 AS height
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: asset table → mapInPandas resize →
+    feature projection; oracle recomputes the deterministic fake."""
+    t = load_tables(spark, sf_dir)
+    resized = resize_assets(as_assets(t["documents"]), 16, 16)
+    return resized.select(
+        "asset_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    f"""
+    WITH f AS (
+      SELECT doc_id AS asset_id,
+             unnest(range(0, CAST(ceil(strlen(text) / {FRAME_STRIDE}.0) AS BIGINT)))
+               AS frame_idx,
+             text
+      FROM documents WHERE strlen(text) > 0
+    )
+    SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(strlen(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INTEGER),
+                              {FRAME_STRIDE})) AS BIGINT) AS frame_bytes,
+           sha256(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INTEGER),
+                         {FRAME_STRIDE})) AS frame_sha
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling end-to-end: 1:N fan-out through mapInPandas with
+    the oracle recomputing each deterministic frame slice."""
+    t = load_tables(spark, sf_dir)
+    return sample_frames(as_assets(t["documents"]))
+
+
 @query(
     "multimodal_meta_stats",
     """
