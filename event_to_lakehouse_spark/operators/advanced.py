@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..tables import load_tables
 from .relational import _r4, query
@@ -380,6 +381,90 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@query(
+    "agg_unpivot_measures",
+    """
+    SELECT l_returnflag, measure, round(avg(val), 4) AS avg_val
+    FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice,
+                          l_discount, l_tax FROM lineitem)
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE val)
+    GROUP BY l_returnflag, measure
+    """,
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide measure columns to long (measure, value) rows
+    — the inverse of pivot, one narrow projection (no shuffle until the
+    aggregate)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .unpivot(
+            ids=["l_returnflag"],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(_r4(F.avg("val")).alias("avg_val"))
+    )
+
+
+@query(
+    "agg_median_percentile",
+    """
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4)            AS med_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 4)     AS p25_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / interpolated percentiles. Exact percentile is a
+    full-sort-per-group aggregate — fine at dashboard cardinalities;
+    the sketch path for 100 TB is approx_percentile (see
+    agg_approx_distinct_users for the rows-only sketch pattern)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            _r4(F.median("l_extendedprice")).alias("med_price"),
+            _r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+            _r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
+        )
+    )
+
+
+@query(
+    "events_props_map_explode",
+    """
+    SELECT k AS prop_key, count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT)
+             AS total
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType path: JSON props parsed to map<string,bigint>, exploded
+    to (key, value) rows, aggregated per key — the generic form of
+    schema-on-read over semi-structured payloads (SURVEY §2.8
+    from_json note)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(
+            F.explode(
+                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+            ).alias("prop_key", "v")
+        )
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
     )
 
 
