@@ -1,0 +1,100 @@
+"""Job launcher: ``python -m event_to_lakehouse_spark <job> ...``.
+
+The reference ships its two jobs as bare spark-submit scripts
+(docker-compose.yml:324-345); this CLI is the equivalent operational
+surface for this engine's jobs, sharing one session factory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .session import get_spark
+
+
+def _cmd_infer_schemas(args) -> int:
+    from .registry.schema_registry import SchemaRegistry
+
+    spark = get_spark("schema-inferer")
+    reg = SchemaRegistry(spark, args.registry)
+    states = reg.run_once(args.bronze_root, sampling_ratio=args.sampling_ratio)
+    for topic, st in states.items():
+        status = "FAIL" if st.failure_reason else ("OK" if st.schema_changed else "SKIP")
+        print(f"[{status}] {topic}: v{st.schema_version} {st.failure_reason or ''}")
+    return 1 if any(s.failure_reason for s in states.values()) else 0
+
+
+def _cmd_normalize(args) -> int:
+    from .pipeline.contracts import FORTISIEM_MAPPING, RAPID7_MAPPING
+    from .pipeline.normalize import (
+        apply_mapping,
+        read_bronze,
+        silver_union,
+        start_silver_stream,
+        write_silver_batch,
+    )
+    from pyspark.sql import types as T
+
+    mappings = {"rapid7": RAPID7_MAPPING, "fortisiem": FORTISIEM_MAPPING}
+    spark = get_spark("bronze-to-silver")
+    outs = []
+    for spec in args.source:  # name=path=schema.json
+        name, path, schema_file = spec.split("=", 2)
+        with open(schema_file) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        bronze = read_bronze(spark, path, schema, streaming=args.stream)
+        outs.append(apply_mapping(bronze, mappings[name]))
+    silver = silver_union(*outs) if len(outs) > 1 else outs[0]
+    if args.stream:
+        q = start_silver_stream(silver, args.out, args.checkpoint)
+        q.awaitTermination()
+    else:
+        write_silver_batch(silver, args.out)
+    return 0
+
+
+def _cmd_compact(args) -> int:
+    from .storage.compaction import compact
+
+    spark = get_spark("compaction")
+    n = compact(
+        spark, args.path, args.target_bytes, args.sort_by.split(",") if args.sort_by else None
+    )
+    print(f"compacted {args.path} -> {n} files")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="event_to_lakehouse_spark")
+    sub = p.add_subparsers(dest="job", required=True)
+
+    s = sub.add_parser("infer-schemas", help="registry maintenance pass")
+    s.add_argument("--bronze-root", required=True)
+    s.add_argument("--registry", required=True)
+    s.add_argument("--sampling-ratio", type=float, default=0.2)
+    s.set_defaults(fn=_cmd_infer_schemas)
+
+    s = sub.add_parser("normalize", help="bronze -> silver")
+    s.add_argument(
+        "--source", action="append", required=True,
+        metavar="NAME=PATH=SCHEMA_JSON",
+    )
+    s.add_argument("--out", required=True)
+    s.add_argument("--stream", action="store_true")
+    s.add_argument("--checkpoint")
+    s.set_defaults(fn=_cmd_normalize)
+
+    s = sub.add_parser("compact", help="bin-pack small parquet files")
+    s.add_argument("--path", required=True)
+    s.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    s.add_argument("--sort-by", default="")
+    s.set_defaults(fn=_cmd_compact)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

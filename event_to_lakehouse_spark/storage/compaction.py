@@ -1,0 +1,74 @@
+"""Small-file compaction (lakehouse maintenance).
+
+Streaming ingestion writes one file set per micro-batch (the
+reference's 30 s trigger → ~2880 file sets/day/stream); small files
+destroy scan throughput (per-file open cost, tiny row groups, listing
+pressure). This job bin-packs a parquet directory into
+``target_file_bytes`` files — the plain-parquet analog of Iceberg's
+rewrite_data_files / Delta OPTIMIZE.
+
+Mechanics: size the output partition count from the INPUT BYTES (not
+row count — the one signal that tracks actual file sizes), optionally
+range-cluster by sort columns so parquet min/max stats become
+selective (data skipping), write to a sibling staging dir, then
+atomically swap. Readers mid-swap see old or new, never a mix; the
+swap is two renames on posix (on object stores, do this behind a table
+format's atomic commit instead).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def data_file_count(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if not f.startswith(("_", ".")) and f.endswith(".parquet"))
+    return n
+
+
+def plan_output_files(input_bytes: int, target_file_bytes: int) -> int:
+    return max(1, math.ceil(input_bytes / target_file_bytes))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact the parquet dir at ``path`` in place; returns the number
+    of output files. ``sort_cols`` range-clusters rows across the
+    output files (global order → tight per-file min/max → skipping)."""
+    n_out = plan_output_files(dir_bytes(path), target_file_bytes)
+    df: DataFrame = spark.read.parquet(path)
+    if sort_cols:
+        shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        shaped = df.repartition(n_out)
+
+    staging = f"{path}__compacting"
+    backup = f"{path}__precompact"
+    shaped.write.mode("overwrite").parquet(staging)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return data_file_count(path)

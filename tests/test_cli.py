@@ -1,0 +1,53 @@
+"""CLI job launcher: end-to-end over the in-process session."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from event_to_lakehouse_spark.__main__ import main
+from tests.conftest import RAPID7_RECORDS, write_bronze
+
+
+def test_infer_schemas_cli(spark, tmp_dir, capsys):
+    write_bronze(f"{tmp_dir}/bronze/topic_a", RAPID7_RECORDS)
+    rc = main(
+        [
+            "infer-schemas",
+            "--bronze-root", f"{tmp_dir}/bronze",
+            "--registry", f"{tmp_dir}/registry",
+        ]
+    )
+    assert rc == 0
+    assert "[OK] topic_a: v1" in capsys.readouterr().out
+    v1 = Path(f"{tmp_dir}/registry/topic_a/schema/v1.json")
+    assert v1.exists() and "hostName" in v1.read_text()
+
+
+def test_normalize_cli_batch(spark, tmp_dir):
+    from tests.test_pipeline_golden import RAPID7_SCHEMA
+
+    bronze = write_bronze(f"{tmp_dir}/bronze/rapid7", RAPID7_RECORDS)
+    schema_file = Path(tmp_dir) / "rapid7_schema.json"
+    schema_file.write_text(json.dumps(json.loads(RAPID7_SCHEMA.json())))
+    rc = main(
+        [
+            "normalize",
+            "--source", f"rapid7={bronze}={schema_file}",
+            "--out", f"{tmp_dir}/silver",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(f"{tmp_dir}/silver")
+    assert back.count() == 2
+    assert {r.source_system for r in back.collect()} == {"rapid7"}
+
+
+def test_compact_cli(spark, tmp_dir):
+    import pyspark.sql.functions as F
+
+    path = f"{tmp_dir}/tiny"
+    spark.range(1000).select(F.col("id")).repartition(20).write.parquet(path)
+    rc = main(["compact", "--path", path])
+    assert rc == 0
+    assert spark.read.parquet(path).count() == 1000
