@@ -38,9 +38,13 @@ HEADLINE = [
     "dedup_simhash_fingerprints",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
     "text_metrics",
     "text_token_topk",
+    "text_bpe_tokens",
     "multimodal_features",
+    "multimodal_frame_sample",
+    "profile_documents",
 ]
 
 
