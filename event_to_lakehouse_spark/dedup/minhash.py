@@ -122,9 +122,19 @@ def _bands(sigs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH-banded candidate pairs with minhash-estimated Jaccard."""
-    sigs = signatures(docs, text_col)
-    bands = _bands(sigs)
+    """LSH-banded candidate pairs with minhash-estimated Jaccard.
+
+    ``sigs`` is referenced three times downstream (banding + both
+    sides of the signature join-back) and ``bands`` twice (candidate
+    self-join); without materialization Catalyst re-executes the whole
+    explode+window+16-min-agg pipeline per reference (~6× the work, 20
+    shuffles). Persisting the two small intermediates (k longs / 2
+    longs per doc — MEMORY_AND_DISK, spill-safe at any corpus size)
+    collapses the plan to the 4 real shuffles."""
+    from pyspark import StorageLevel
+
+    sigs = signatures(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _bands(sigs).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
