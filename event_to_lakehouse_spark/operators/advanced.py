@@ -651,6 +651,59 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_cross_region_pairs",
+    """
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    """,
+)
+def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dimension×dimension only — the one join
+    shape that must never touch a fact table at scale)."""
+    t = load_tables(spark, sf_dir)
+    a = t["region"].select(F.col("r_name").alias("region_a"))
+    b = t["region"].select(F.col("r_name").alias("region_b"))
+    return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
+
+
+@query(
+    "setop_except_all_quantities",
+    """
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_except_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — duplicates preserved per
+    multiplicity difference), completing the set-op surface next to the
+    distinct-flavored intersect/except entries."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    return r.exceptAll(a)
+
+
+@query(
+    "setop_intersect_all_quantities",
+    """
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (min multiplicity per value)."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    return r.intersectAll(a)
+
+
 # ---------------------------------------------------------------------------
 # Regex + array higher-order scalar functions (§2.8 fill)
 # ---------------------------------------------------------------------------
