@@ -1,0 +1,111 @@
+"""Duplicate-cluster labeling: connected components of the near-dup
+pair graph.
+
+Pairwise similarity (jaccard/minhash/simhash modules) yields EDGES;
+deduplication needs COMPONENTS — "these 5 docs are all one document,
+keep exactly one". This operator assigns every paired doc a cluster id
+(the min doc_id in its component) via Pregel-style min-label
+propagation expressed with plain joins/aggregations:
+
+    label(v) ← min(label(v), min over neighbors' labels)
+
+iterated to fixpoint. Convergence needs diameter(component) rounds —
+near-dup clusters are shallow (a handful of rounds); ``max_iter``
+bounds pathological chains. Each round is one equi-join + one
+hash-agg, both partitioned on vertex id; the only driver-side value is
+the scalar converged-count (never data). Intermediates are persisted:
+each round's DAG would otherwise re-derive every prior round.
+
+The DuckDB oracle computes the same fixpoint with a recursive CTE over
+the SAME pair SQL (composed from the registered jaccard oracle), so
+the whole chain — shingles → blocked pairs → transitive closure — is
+verified end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.relational import ORACLES, query
+from ..tables import load_tables
+from .jaccard import dedup_ngram_jaccard
+
+MAX_ITER = 20
+
+
+def cluster_labels(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = MAX_ITER
+) -> DataFrame:
+    """(doc_id, cluster_id) for every vertex of the pair graph;
+    cluster_id = min doc_id in the connected component."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _oracle() -> str:
+    pair_sql = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pair_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+    FROM reach GROUP BY id
+    """
+
+
+@query("dedup_cluster_labels", _oracle())
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster ids over the exact-Jaccard near-dup graph."""
+    load_tables(spark, sf_dir)
+    return cluster_labels(dedup_ngram_jaccard(spark, sf_dir))

@@ -217,3 +217,81 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+# Entity-redaction pattern. The synthetic corpus has no emails/phones,
+# so the demo pattern targets entity words that DO occur; a production
+# deployment swaps in PII regexes (email, phone, SSN) — the operator
+# (global regexp_replace + match count + content hash) is unchanged.
+REDACT_RE = r"\b(customer|supplier|order)\b"
+REDACT_TOKEN = "[REDACTED]"
+
+
+@query(
+    "text_redact",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{REDACT_RE.replace("'", "''")}'))
+                AS INTEGER) AS n_redacted,
+           sha256(regexp_replace(text, '{REDACT_RE.replace("'", "''")}',
+                                 '{REDACT_TOKEN}', 'g')) AS redacted_sha
+    FROM documents
+    WHERE regexp_matches(text, '{REDACT_RE.replace("'", "''")}')
+    """,
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-span redaction: global regex replace + audit count,
+    content-hashed so the oracle proves byte-identical scrubbing. Pure
+    codegen expressions — scrubbing 100 TB is scan-bound."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("text").rlike(REDACT_RE))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(REDACT_RE), F.lit(0))).alias(
+                "n_redacted"
+            ),
+            F.sha2(F.regexp_replace("text", REDACT_RE, REDACT_TOKEN), 256).alias(
+                "redacted_sha"
+            ),
+        )
+    )
+
+
+# Deterministic sampling: first hex byte of a salted sha256 of the key.
+# '32' keeps 0x00..0x32 = 51/256 ≈ 20%. Unlike rand()-based sampleBy,
+# this is reproducible across engines, retries, and cluster sizes —
+# the property a training-data pipeline needs for holdout splits.
+SAMPLE_SALT = "split-v1|"
+SAMPLE_MAX_BUCKET = "32"
+
+
+@query(
+    "text_sample_deterministic",
+    f"""
+    SELECT source, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+          <= '{SAMPLE_MAX_BUCKET}'
+    GROUP BY source
+    """,
+)
+def text_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket sampling (~20%) keyed on a salted content key: the
+    split is a pure function of (salt, doc_id), so re-runs, engines,
+    and partitionings all agree on membership."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256), 1, 2
+    )
+    return (
+        t["documents"]
+        .filter(bucket <= SAMPLE_MAX_BUCKET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )

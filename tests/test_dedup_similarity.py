@@ -98,3 +98,15 @@ def test_cosine_function_exact(spark):
     vals = [r.c for r in df.select(cosine("a", "b").alias("c")).collect()]
     assert abs(vals[0]) < 1e-12
     assert abs(vals[1] - 1.0) < 1e-12
+
+
+def test_cluster_labels_known_graph(spark):
+    """Chain 1-2-3 and pair (10,11) must collapse to min-id labels,
+    including transitivity across the chain."""
+    from event_to_lakehouse_spark.dedup.cluster import cluster_labels
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in cluster_labels(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
