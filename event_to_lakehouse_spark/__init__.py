@@ -18,3 +18,18 @@ Design stance (SURVEY.md §7.0):
 """
 
 __version__ = "0.1.0"
+
+# Public API surface. Heavy submodules (operators, dedup, similarity,
+# textops, multimodal) register their query catalogs on import — pull
+# them explicitly or via __spark_entry__; these are the building blocks
+# a pipeline author composes directly.
+from .session import configure_runtime, get_spark  # noqa: E402,F401
+from .tables import load_tables, table  # noqa: E402,F401
+
+__all__ = [
+    "__version__",
+    "configure_runtime",
+    "get_spark",
+    "load_tables",
+    "table",
+]
