@@ -25,6 +25,9 @@ HEADLINE = [
     "q6_revenue_forecast",
     "q10_returned_items",
     "q18_large_orders",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
     "agg_rollup_region_nation",
     "window_rank_topk",
     "events_json_extract",
