@@ -229,6 +229,42 @@ def q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN exclusion subquery (complaints surrogate: suppliers
+    in deficit; partsupp surrogate: lineitem part-supplier pairs).
+    NOT IN becomes a broadcast left_anti join — the exclusion list is a
+    dimension subset, never collected. The count(DISTINCT) expands to
+    a two-phase partial-dedup aggregate under Catalyst."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#11")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
     "q13_order_count_distribution",
     """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
