@@ -43,13 +43,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (applicationId, sf_dir) -> {table: DataFrame}. A fresh read of the
+# same directory costs ~1s of driver time (10 × parquet footer/schema
+# jobs + py4j), which dwarfs many queries at bench scale — DataFrames
+# are immutable plan handles, so reusing them is free and safe. The
+# applicationId key drops the cache with the session.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# applicationId -> sf_dir whose tables currently back the temp views.
+_VIEWS_AT: dict[str, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table and register matching temp views. Metadata-only
-    (lazy); repeated calls are cheap and idempotent."""
+    (lazy); repeated calls are cached per (session, sf_dir)."""
     configure_runtime(spark)
-    out: dict[str, DataFrame] = {}
-    for name in TABLES:
-        df = table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
-        out[name] = df
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    out = _CACHE.get(key)
+    if out is None:
+        out = {name: table(spark, sf_dir, name) for name in TABLES}
+        _CACHE[key] = out
+    if _VIEWS_AT.get(app_id) != sf_dir:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
+        _VIEWS_AT[app_id] = sf_dir
     return out
