@@ -67,15 +67,15 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
             " ", "tok", *[F.lead("tok", j).over(w) for j in range(1, n)]
         ).alias("shingle"),
         F.lead("tok", n - 1).over(w).alias("_tail"),
-        "pos",
     )
     full = grams.filter(F.col("_tail").isNotNull()).select("doc_id", "shingle")
-    short = (
-        grams.groupBy("doc_id")
-        .agg(F.max("_tail").alias("t"), F.count(F.lit(1)).alias("n_toks"))
-        .filter(F.col("n_toks") < n)
-        .join(docs, "doc_id")
-        .select("doc_id", normalize_text(text_col).alias("shingle"))
+    # Short-doc detection is per-row (size of the token array) — no
+    # aggregation over the exploded grams, so the only corpus-wide
+    # shuffle in this function is the window's doc_id partitioning,
+    # which the downstream signature groupBy then reuses.
+    norm = normalize_text(text_col)
+    short = docs.filter(F.size(F.split(norm, " ")) < n).select(
+        "doc_id", norm.alias("shingle")
     )
     return full.unionByName(short)
 
@@ -113,12 +113,16 @@ def _bands(sigs: DataFrame) -> DataFrame:
         ).alias("band_idx", "band_hash"),
     )
     # Hot-bucket guard: drop band values that are effectively "everyone".
-    counts = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
+    # A window count over the bucket key is one shuffle (vs groupBy +
+    # join-back = two), and its (band_idx, band_hash) partitioning is
+    # exactly the downstream self-join key, so the candidate join
+    # reuses it without another exchange.
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= MAX_BUCKET)
+        .select("doc_id", "band_idx", "band_hash")
     )
-    return banded.join(
-        counts.filter(F.col("bucket_n") <= MAX_BUCKET), ["band_idx", "band_hash"]
-    ).select("doc_id", "band_idx", "band_hash")
 
 
 def candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
