@@ -87,3 +87,36 @@ def test_normalization_is_narrow(spark, rapid7_bronze):
     a = audit_plan(silver)
     assert a.shuffle_exchanges == 0
     assert a.exchanges == 0
+
+
+def test_q9_star_join_dims_broadcast(spark, qs):
+    """Q9's 5-table star: supplier/part/nation must broadcast; the only
+    permissible shuffle joins are on the lineitem-orders fact spine."""
+    a = audit_plan(qs["q9_product_profit"](spark, SF_DIR))
+    assert a.broadcast_hash_joins >= 3
+    assert a.sort_merge_joins + a.shuffled_hash_joins <= 1
+    assert a.nested_loop_joins == 0
+
+
+def test_q21_self_joins_are_equi(spark, qs):
+    """Q21's EXISTS/NOT EXISTS self-joins must plan as equi semi/anti
+    joins on l_orderkey (the <> residual must not force nested-loop)."""
+    a = audit_plan(qs["q21_waiting_suppliers"](spark, SF_DIR))
+    assert a.nested_loop_joins == 0
+
+
+def test_q16_exclusion_broadcasts(spark, qs):
+    """The NOT IN exclusion list is a dimension subset: it must ride a
+    broadcast anti-join, never a shuffle."""
+    a = audit_plan(qs["q16_supplier_part_counts"](spark, SF_DIR))
+    assert a.broadcast_hash_joins >= 2
+    assert a.sort_merge_joins == 0
+    assert a.has_partial_aggregate
+
+
+def test_q2_scalar_subquery_broadcasts(spark, qs):
+    """The decorrelated per-part MIN aggregate joins back by broadcast;
+    no fact-fact sort-merge anywhere in the plan."""
+    a = audit_plan(qs["q2_min_cost_per_part"](spark, SF_DIR))
+    assert a.broadcast_hash_joins >= 3
+    assert a.sort_merge_joins == 0
