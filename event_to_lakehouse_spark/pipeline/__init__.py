@@ -1,1 +1,1 @@
-from . import contracts, normalize  # noqa: F401
+from . import contracts, gold, normalize, upsert  # noqa: F401

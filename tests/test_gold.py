@@ -1,0 +1,96 @@
+"""Gold-layer tests: the marts over the silver assets contract.
+
+The reference declares the gold layer (README.md:25) without code; the
+semantics pinned here are this repo's: latest-wins current state per
+asset_uid, posture rollup, per-source risk top-N, idempotent refresh.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.pipeline.contracts import (
+    FORTISIEM_MAPPING,
+    RAPID7_MAPPING,
+)
+from event_to_lakehouse_spark.pipeline.gold import (
+    asset_posture,
+    current_assets,
+    refresh_gold,
+    riskiest_assets,
+)
+from event_to_lakehouse_spark.pipeline.normalize import (
+    apply_mapping,
+    read_bronze,
+    silver_union,
+    write_silver_batch,
+)
+from tests.test_pipeline_golden import FORTI_SCHEMA, RAPID7_SCHEMA
+
+
+def _silver(spark, rapid7_bronze, forti_bronze):
+    r7 = apply_mapping(read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA), RAPID7_MAPPING)
+    fs = apply_mapping(read_bronze(spark, forti_bronze, FORTI_SCHEMA), FORTISIEM_MAPPING)
+    return silver_union(r7, fs)
+
+
+def test_current_assets_latest_wins(spark, rapid7_bronze, forti_bronze):
+    silver = _silver(spark, rapid7_bronze, forti_bronze)
+    # Re-ingest one asset with a newer ingest_ts and a changed name:
+    # the duplicate must collapse to the newer row.
+    dup = (
+        silver.limit(1)
+        .withColumn("ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("asset_name", F.lit("RENAMED"))
+    )
+    cur = current_assets(silver.unionByName(dup))
+    assert cur.count() == silver.count()
+    renamed_uid = dup.select("asset_uid").first()[0]
+    assert (
+        cur.filter(F.col("asset_uid") == renamed_uid).select("asset_name").first()[0]
+        == "RENAMED"
+    )
+
+
+def test_asset_posture_rollup(spark, rapid7_bronze, forti_bronze):
+    cur = current_assets(_silver(spark, rapid7_bronze, forti_bronze))
+    posture = asset_posture(cur).collect()
+    by_src = {}
+    for r in posture:
+        by_src[r["source_system"]] = by_src.get(r["source_system"], 0) + r["asset_count"]
+    assert by_src["rapid7"] == 2
+    assert by_src["fortisiem"] == 2
+    # fortisiem rows carry no risk_score in the fixtures → NULL avg
+    forti_rows = [r for r in posture if r["source_system"] == "fortisiem"]
+    assert all(r["avg_risk_score"] is None for r in forti_rows)
+    # vuln sums are coalesced, never NULL
+    assert all(r["vuln_total"] is not None for r in posture)
+
+
+def test_riskiest_assets_ranked_per_source(spark, rapid7_bronze, forti_bronze):
+    cur = current_assets(_silver(spark, rapid7_bronze, forti_bronze))
+    top = riskiest_assets(cur, top_n=1)
+    rows = {r["source_system"]: r for r in top.collect()}
+    assert set(rows) == {"rapid7", "fortisiem"}
+    assert all(r["risk_rank"] == 1 for r in rows.values())
+    # rapid7's rank-1 is the fixture asset with the higher risk score
+    r7_max = cur.filter(F.col("source_system") == "rapid7").agg(
+        F.max("risk_score")
+    ).first()[0]
+    assert rows["rapid7"]["risk_score"] == r7_max
+
+
+def test_refresh_gold_idempotent(spark, rapid7_bronze, forti_bronze, tmp_dir):
+    silver_path = f"{tmp_dir}/silver"
+    write_silver_batch(_silver(spark, rapid7_bronze, forti_bronze), silver_path)
+    gold_root = f"{tmp_dir}/gold"
+    first = refresh_gold(spark, silver_path, gold_root)
+    assert set(first) == {"current_assets", "asset_posture", "riskiest_assets"}
+    counts1 = {n: spark.read.parquet(p).count() for n, p in first.items()}
+    # a second refresh overwrites in place — same marts, same counts
+    second = refresh_gold(spark, silver_path, gold_root)
+    counts2 = {n: spark.read.parquet(p).count() for n, p in second.items()}
+    assert counts1 == counts2
+    assert counts1["current_assets"] == 4
