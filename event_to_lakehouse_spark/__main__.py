@@ -55,6 +55,16 @@ def _cmd_normalize(args) -> int:
     return 0
 
 
+def _cmd_refresh_gold(args) -> int:
+    from .pipeline.gold import refresh_gold
+
+    spark = get_spark("silver-to-gold")
+    marts = refresh_gold(spark, args.silver, args.gold_root, top_n=args.top_n)
+    for name, path in marts.items():
+        print(f"[OK] {name}: {path}")
+    return 0
+
+
 def _cmd_compact(args) -> int:
     from .storage.compaction import compact
 
@@ -85,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--stream", action="store_true")
     s.add_argument("--checkpoint")
     s.set_defaults(fn=_cmd_normalize)
+
+    s = sub.add_parser("refresh-gold", help="silver -> gold marts")
+    s.add_argument("--silver", required=True)
+    s.add_argument("--gold-root", required=True)
+    s.add_argument("--top-n", type=int, default=10)
+    s.set_defaults(fn=_cmd_refresh_gold)
 
     s = sub.add_parser("compact", help="bin-pack small parquet files")
     s.add_argument("--path", required=True)

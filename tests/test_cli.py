@@ -51,3 +51,29 @@ def test_compact_cli(spark, tmp_dir):
     rc = main(["compact", "--path", path])
     assert rc == 0
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_refresh_gold_cli(spark, tmp_dir, capsys):
+    from tests.test_pipeline_golden import RAPID7_SCHEMA
+
+    bronze = write_bronze(f"{tmp_dir}/bronze/rapid7", RAPID7_RECORDS)
+    schema_file = Path(tmp_dir) / "rapid7_schema.json"
+    schema_file.write_text(json.dumps(json.loads(RAPID7_SCHEMA.json())))
+    assert main(
+        [
+            "normalize",
+            "--source", f"rapid7={bronze}={schema_file}",
+            "--out", f"{tmp_dir}/silver",
+        ]
+    ) == 0
+    rc = main(
+        [
+            "refresh-gold",
+            "--silver", f"{tmp_dir}/silver",
+            "--gold-root", f"{tmp_dir}/gold",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[OK] asset_posture" in out
+    assert spark.read.parquet(f"{tmp_dir}/gold/current_assets").count() == 2
