@@ -295,3 +295,70 @@ def text_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
     )
+
+
+DECON_NGRAM = 5  # word n-gram width (3-grams collide on generic phrases)
+DECON_MIN_SHARED = 3  # shared distinct n-grams to flag contamination
+DECON_EVAL_MOD = 20  # eval split: doc_id % 20 == 0 (a held-out benchmark)
+
+
+@query(
+    "text_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(lower(text),' ')) - {DECON_NGRAM - 2}),
+               i -> array_to_string(string_split(lower(text),' ')[i:i+{DECON_NGRAM - 1}], ' ')))
+             AS grams
+      FROM documents
+      WHERE len(string_split(lower(text),' ')) >= {DECON_NGRAM}
+    ),
+    e AS (SELECT doc_id AS eval_doc_id, unnest(grams) AS g
+          FROM t WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, unnest(grams) AS g
+           FROM t WHERE doc_id % {DECON_EVAL_MOD} <> 0)
+    SELECT tr.doc_id, e.eval_doc_id,
+           CAST(count(*) AS BIGINT) AS shared_ngrams
+    FROM tr JOIN e USING (g)
+    GROUP BY tr.doc_id, e.eval_doc_id
+    HAVING count(*) >= {DECON_MIN_SHARED}
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥K
+    distinct word n-grams with a held-out eval split (here doc_id %
+    20 == 0 stands in for the benchmark corpus).
+
+    Plan shape: distinct n-grams per doc (one ``transform`` HOF over
+    the token array, evaluated once per doc), explode both sides, then
+    an equi-join on the n-gram — the eval side is BROADCAST because
+    eval corpora are benchmark-sized (thousands of docs), so at 100 TB
+    the training corpus streams partition-local with zero shuffle until
+    the tiny (train, eval) pair aggregation. Grams stay strings here
+    for the DuckDB oracle; at scale hash them to longs (xxhash64) to
+    shrink the broadcast.
+    """
+    t = load_tables(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    toks = t["documents"].select("doc_id", w.alias("w")).filter(
+        F.size("w") >= DECON_NGRAM
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (DECON_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + j) for j in range(DECON_NGRAM)]
+        ),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(gram)).alias("g")
+    )
+    ev = grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= DECON_MIN_SHARED)
+    )
