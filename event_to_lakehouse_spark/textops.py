@@ -362,3 +362,60 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= DECON_MIN_SHARED)
     )
+
+
+# Per-stratum mix fractions (2-hex-char bucket ceilings, frac ≈ ceil/256):
+# high-quality sources oversampled, the long tail thinned — the data-mix
+# shaping step of an LLM training pipeline.
+STRATA_BUCKETS = {
+    "src0": "9a", "src1": "9a", "src2": "9a", "src3": "9a", "src4": "9a",  # ~60%
+    "src5": "4d", "src6": "4d", "src7": "4d", "src8": "4d", "src9": "4d",  # ~30%
+}
+STRATA_DEFAULT_BUCKET = "1a"  # ~10% for every other source
+
+_STRATA_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN '{b}'" for s, b in STRATA_BUCKETS.items())
+    + f" ELSE '{STRATA_DEFAULT_BUCKET}' END"
+)
+
+
+@query(
+    "text_sample_stratified",
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < ({_STRATA_CASE_SQL})
+    GROUP BY source
+    """,
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mix sampling: each source keeps a configured
+    fraction, decided by the same salted content-hash bucket as
+    ``text_sample_deterministic`` — membership is a pure function of
+    (salt, doc_id, source fraction), so re-runs, engines, and
+    partitionings agree exactly. The per-stratum fraction is one CASE
+    expression (broadcast-free, partition-local); scan→filter→hash-agg
+    is the whole plan at any scale."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256), 1, 2
+    )
+    ceiling = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(b))
+            for s, b in STRATA_BUCKETS.items()
+        ],
+        F.lit(STRATA_DEFAULT_BUCKET),
+    )
+    return (
+        t["documents"]
+        .filter(bucket < ceiling)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
