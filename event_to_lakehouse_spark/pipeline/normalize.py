@@ -149,19 +149,29 @@ def write_silver_batch(df: DataFrame, path: str, mode: str = "append") -> None:
     df.write.mode(mode).partitionBy("source_system").parquet(path)
 
 
-def foreach_batch_writer(path: str, idempotent: bool = True):
+def foreach_batch_writer(path: str, idempotent: bool = True, writer_id: str = ""):
     """foreachBatch sink factory (reference :275-277 blind-appends and
     ignores batch_id — replayed micro-batches double-append; SURVEY
     §7.4). With ``idempotent=True`` each batch writes to a
     batch_id-derived subdirectory overwrite-mode, so replays rewrite
-    the same files instead of duplicating."""
+    the same files instead of duplicating.
+
+    ``writer_id`` namespaces the batch directory per streaming query.
+    Without it, two queries appending to the same table (the
+    reference's own topology: rapid7 + fortisiem into one silver,
+    :280-296) both write ``batch_id=0`` and clobber each other. It
+    must be stable across restarts of the same query (replay
+    idempotence keys on it) and unique per query — the checkpoint
+    directory name satisfies both, which is what
+    ``start_silver_stream`` passes."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if idempotent:
+            prefix = f"{writer_id}-" if writer_id else ""
             (
                 batch_df.write.mode("overwrite")
                 .partitionBy("source_system")
-                .parquet(f"{path}/batch_id={batch_id}")
+                .parquet(f"{path}/batch_id={prefix}{batch_id}")
             )
         else:
             batch_df.write.mode("append").partitionBy("source_system").parquet(path)
@@ -181,10 +191,13 @@ def start_silver_stream(
     for testable runs; pass {"processingTime": "30 seconds"} for the
     reference's cadence."""
     trigger = trigger or {"availableNow": True}
+    writer_id = checkpoint.rstrip("/").rsplit("/", 1)[-1]
     return (
         df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(**trigger)
-        .foreachBatch(foreach_batch_writer(path, idempotent=idempotent))
+        .foreachBatch(
+            foreach_batch_writer(path, idempotent=idempotent, writer_id=writer_id)
+        )
         .start()
     )

@@ -172,3 +172,38 @@ def test_streaming_silver_end_to_end(spark, rapid7_bronze, tmp_dir):
     back = spark.read.parquet(f"{tmp_dir}/silver")
     assert back.count() == 2  # corrupt row filtered in-stream
     assert set(back.select("rapid7_id").toPandas()["rapid7_id"]) == {"101", "102"}
+
+
+def test_two_concurrent_silver_streams(spark, rapid7_bronze, forti_bronze, tmp_dir):
+    """The reference's hallmark runtime shape (:280-299): TWO streaming
+    queries in one session appending to the SAME silver table with
+    separate checkpoints, awaited via awaitAnyTermination-style
+    multi-query management."""
+    from event_to_lakehouse_spark.pipeline.contracts import FORTISIEM_MAPPING
+
+    out = f"{tmp_dir}/silver"
+    q1 = start_silver_stream(
+        apply_mapping(
+            read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA, streaming=True),
+            RAPID7_MAPPING,
+        ),
+        out,
+        f"{tmp_dir}/ckpt_r7",
+    )
+    q2 = start_silver_stream(
+        apply_mapping(
+            read_bronze(spark, forti_bronze, FORTI_SCHEMA, streaming=True),
+            FORTISIEM_MAPPING,
+        ),
+        out,
+        f"{tmp_dir}/ckpt_fs",
+    )
+    # both queries run concurrently in this session until drained
+    assert {q.id for q in spark.streams.active} >= {q1.id, q2.id}
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert {
+        r.source_system for r in back.select("source_system").distinct().collect()
+    } == {"rapid7", "fortisiem"}
