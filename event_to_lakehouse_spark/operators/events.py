@@ -159,3 +159,53 @@ def events_normalized_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.col("value")).alias("value"),
         )
     )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('week', cohort_week, activity_week) AS INTEGER)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users bucketed by first-seen week, then
+    counted per weeks-since-cohort offset — the standard product-
+    analytics triangle.
+
+    Shape: two aggregations over one events scan, both keyed on
+    user_id, so the distinct-activity pass and the first-seen pass
+    share a single hash partitioning; the cohort join is user_id-
+    co-partitioned (no extra exchange under AQE), and the final rollup
+    groups the tiny (cohort, offset) space. Both week columns are
+    week-truncated dates, so the offset is exact integer division —
+    engine-stable."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first_seen = ev.groupBy("user_id").agg(
+        week(F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week(F.col("ts")).alias("activity_week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
