@@ -209,3 +209,107 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT DISTINCT s.user_id
+        FROM s JOIN events p
+          ON p.user_id = s.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= s.signup_ts
+         AND p.ts < s.signup_ts + INTERVAL 7 DAY
+    )
+    SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP) AS signup_day,
+           CAST(count(*) AS BIGINT) AS n_signups,
+           CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+           round(count(conv.user_id) / CAST(count(*) AS DOUBLE), 4)
+               AS conversion_rate
+    FROM s LEFT JOIN conv USING (user_id)
+    GROUP BY signup_day
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: of each day's first-time signups, how
+    many purchased within 7 days.
+
+    Shape: first-touch aggregation, then a range SEMI join (purchase
+    within the window) — all three legs key on user_id, so one hash
+    partitioning serves the agg, the semi join, and the left join;
+    the final rollup is per-day tiny. The semi join keeps the plan
+    safe at 100 TB: candidate purchases never multiply signup rows."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (s.user_id == F.col("p_user"))
+            & (F.col("p_ts") >= s.signup_ts)
+            & (F.col("p_ts") < s.signup_ts + F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .select("user_id")
+        .withColumn("_conv", F.lit(1))
+    )
+    return (
+        s.join(conv, "user_id", "left")
+        .groupBy(F.date_trunc("day", "signup_ts").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("_conv").alias("n_converted"),
+            _r4(F.count("_conv") / F.count(F.lit(1)).cast("double")).alias(
+                "conversion_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT event_id, user_id,
+           CAST(first_value(value) OVER w AS DOUBLE) AS first_val,
+           CAST(last_value(value)  OVER w AS DOUBLE) AS last_val,
+           CAST(nth_value(value, 2) OVER w AS DOUBLE) AS second_val
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit unbounded
+    frame (SURVEY §2.5's analytic set) — per-user first, latest, and
+    second purchase amounts on every purchase row. The deterministic
+    (ts, event_id) ordering makes last/nth engine-stable."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+            F.nth_value("value", 2).over(w).alias("second_val"),
+        )
+    )
