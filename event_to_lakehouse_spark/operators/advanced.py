@@ -768,3 +768,42 @@ def array_hof_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos_sum"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
     )
+
+
+@query(
+    "join_basket_copurchase",
+    """
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM pairs
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def join_basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs: parts appearing in the same
+    order, counted and top-k'd.
+
+    Shape: a fact-fact SELF-join strictly equi-keyed on l_orderkey, so
+    both sides co-partition on one shuffle key and the pair blow-up is
+    bounded by per-order basket size (≤7 lines in TPC-H-shaped data),
+    never corpus size. The pair aggregation reuses no extra exchange
+    beyond its own groupBy, and the final top-20 is
+    TakeOrderedAndProject — no global sort. Deterministic (count,
+    part_a, part_b) ordering keeps the LIMIT engine-stable."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = l.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
