@@ -807,3 +807,38 @@ def join_basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "agg_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, bucket
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type (25-unit buckets as
+    ``floor(value/width)`` — arithmetic bucketing is engine-portable,
+    unlike ``width_bucket`` which this DuckDB lacks) — the
+    distribution-profiling primitive; one scan, one partial-aggregated
+    groupBy over a bounded (type × bucket) key space."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("int").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r4(F.min("value")).alias("lo"),
+            _r4(F.max("value")).alias("hi"),
+        )
+    )
