@@ -84,14 +84,13 @@ def signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, sig: array<long>[k]) minhash signatures — one
     explode+window+agg pipeline, every hash in whole-stage codegen."""
     exploded = shingle_rows(docs, text_col)
+    # SQL-string aggregates: one JVM-side parse instead of ~100 py4j
+    # round-trips of Column building (same lesson as simhash.py).
     mins = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-            for i in range(N_HASHES)
-        ]
+        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh_{i}") for i in range(N_HASHES)]
     )
-    return mins.select(
-        "doc_id", F.array(*[f"mh_{i}" for i in range(N_HASHES)]).alias("sig")
+    return mins.selectExpr(
+        "doc_id", f"array({', '.join(f'mh_{i}' for i in range(N_HASHES))}) AS sig"
     )
 
 
