@@ -17,13 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Importing the packages registers every query/oracle pair.
-import event_to_lakehouse_spark.operators  # noqa: F401  (relational, events)
-import event_to_lakehouse_spark.dedup  # noqa: F401
-import event_to_lakehouse_spark.similarity  # noqa: F401
-import event_to_lakehouse_spark.textops  # noqa: F401
-import event_to_lakehouse_spark.multimodal  # noqa: F401
-from event_to_lakehouse_spark.operators.relational import ORACLES, QUERIES
+# catalog imports every operator module (master registry) and curates
+# the ≤50-entry driver-facing surface (see its module docstring).
+from event_to_lakehouse_spark.catalog import driver_oracles, driver_queries
 from event_to_lakehouse_spark.functions.keys import surrogate_uid
 from event_to_lakehouse_spark.operators.events import parse_props
 from event_to_lakehouse_spark.tables import load_tables
@@ -65,8 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return driver_oracles()

@@ -1,10 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", "runs", "sd"}.
 
 Each query is forced end-to-end with the noop sink (full computation,
 zero driver-side collection) — the number measures the engine, not
-toPandas serialization.
+toPandas serialization. $SPARK_GRAFT_BENCH_RUNS (default 3) timed
+passes are averaged; "value" is the mean total, "sd" its standard
+deviation across runs, "queries" the per-query means.
 """
 
 from __future__ import annotations
@@ -12,61 +14,75 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# The shipped driver-catalog surface (catalog.FINAL_CATALOG names);
+# combos cover the round-1 entries they merged (e.g. events_payload_parse
+# ⊇ events_json_extract, agg_multidim ⊇ agg_rollup_region_nation).
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_per_part",
     "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q18_large_orders",
     "q9_product_profit",
     "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
-    "agg_rollup_region_nation",
+    "q22_untapped_segments",
+    "agg_multidim",
+    "agg_distinct_stats",
     "window_rank_topk",
-    "events_json_extract",
-    "events_tumbling_window",
+    "window_analytics",
+    "scalar_functions_suite",
+    "setop_flavors",
+    "events_payload_parse",
+    "events_windowed_agg",
     "events_sessionize",
-    "events_sliding_window",
+    "events_retention_cohorts",
+    "events_funnel_conversion",
     "join_asof_prior_purchase",
-    "dedup_exact_groups",
+    "join_range_follow_events",
+    "join_basket_copurchase",
+    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_fingerprints",
+    "dedup_simhash_pairs",
+    "dedup_cluster_labels",
+    "dedup_embedding_neardup",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
-    "text_metrics",
+    "text_enrich",
     "text_token_topk",
-    "text_bpe_tokens",
+    "text_decontaminate",
     "multimodal_features",
-    "multimodal_frame_sample",
+    "multimodal_transform",
     "profile_documents",
+    "gold_current_assets",
+    "gold_asset_posture",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     from event_to_lakehouse_spark.session import get_spark
-    import __spark_entry__ as entrymod
+    from event_to_lakehouse_spark.catalog import QUERIES  # master registry
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = QUERIES
 
     # Warmup, not counted: each query once at the smallest SF compiles
     # its whole-stage-codegen classes (identical plan shape, so the
-    # timed run below measures the engine, not janino compilation —
-    # the 64-aggregate simhash alone costs ~9s of one-time codegen).
+    # timed runs below measure the engine, not janino compilation).
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         try:
@@ -74,19 +90,28 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run reports real errors
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    per_query: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    totals: list[float] = []
+    for _ in range(n_runs):
+        run_total = 0.0
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            per_query[name].append(dt)
+            run_total += dt
+        totals.append(run_total)
 
+    timings = {n: round(statistics.mean(v), 3) for n, v in per_query.items()}
     out = {
         "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(statistics.mean(totals), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": n_runs,
+        "sd": round(statistics.stdev(totals), 3) if n_runs > 1 else 0.0,
     }
     print(json.dumps(out))
 

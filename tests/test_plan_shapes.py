@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-import __spark_entry__ as entrymod
+from event_to_lakehouse_spark.catalog import QUERIES  # master registry
 from event_to_lakehouse_spark.plans import audit_plan
 from event_to_lakehouse_spark.plans.audit import pushed_filter_columns
 
@@ -16,7 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def qs():
-    return entrymod.queries()
+    return dict(QUERIES)
 
 
 def test_q1_single_shuffle_pushdown(spark, qs):

@@ -3,7 +3,11 @@
 a given scale factor; compare row count, column names, and
 order-insensitive values.
 
-Usage: python tools/parity.py [sf_dir] [query_name ...]
+Usage: python tools/parity.py [--full] [sf_dir] [query_name ...]
+
+``--full`` runs the complete master registry (including entries retired
+from the ≤50-entry driver catalog — see ``catalog.py``); the default
+mirrors exactly what the driver sees.
 """
 
 from __future__ import annotations
@@ -48,13 +52,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    full = "--full" in args
+    if full:
+        args.remove("--full")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if full:
+        from event_to_lakehouse_spark.operators.relational import ORACLES, QUERIES
+
+        qs, oracles = dict(QUERIES), dict(ORACLES)
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     spark = get_spark("parity")
     con = duck_con(sf_dir)
 
