@@ -110,3 +110,52 @@ def test_cluster_labels_known_graph(spark):
     )
     got = {r.doc_id: r.cluster_id for r in cluster_labels(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_lsh_neardup_recall_planted(spark):
+    """Random-projection LSH near-dup on an UNLABELED corpus: plant 40
+    (base, base+tiny-noise) pairs among 64-dim vectors; bucket-blocked
+    pairing must recover >= 90% of them (no label column anywhere)."""
+    from event_to_lakehouse_spark.similarity.ann import embedding_neardup_pairs
+
+    rng = np.random.default_rng(123)
+    base = rng.normal(size=(40, 64)).astype("float32")
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]]))
+        dup = base[i] + rng.normal(scale=0.01, size=64).astype("float32")
+        rows.append((100 + i, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    found = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    recall = sum((i, 100 + i) in found for i in range(40)) / 40
+    assert recall >= 0.9, f"planted near-dup recall {recall}"
+
+
+def test_lsh_topk_multiprobe_finds_planted_neighbor(spark):
+    """Multi-probe bucketed ANN must rank each query's planted
+    near-identical partner first, and the candidate join must be a
+    hash join on the bucket id — never a nested-loop."""
+    from event_to_lakehouse_spark.plans import audit_plan
+    from event_to_lakehouse_spark.similarity.ann import lsh_topk
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 64)).astype("float32")
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]]))
+        dup = base[i] + rng.normal(scale=0.01, size=64).astype("float32")
+        rows.append((100 + i, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    result = lsh_topk(df, F.col("vec_id") < 5, k=3)
+    assert audit_plan(result).nested_loop_joins == 0
+    out = result.collect()
+    hits = sum(
+        [r.vec_id for r in out if r.query_id == q and r.rank == 1] == [100 + q]
+        for q in range(5)
+    )
+    assert hits >= 4, f"only {hits}/5 planted neighbors ranked first"
