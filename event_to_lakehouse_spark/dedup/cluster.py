@@ -16,6 +16,12 @@ hash-agg, both partitioned on vertex id; the only driver-side value is
 the scalar converged-count (never data). Intermediates are persisted:
 each round's DAG would otherwise re-derive every prior round.
 
+The convergence probe (changed-label count) costs an extra join + one
+driver-sync job, so it runs only every ``check_every`` rounds: labels
+are monotone non-increasing, so one no-change round proves fixpoint no
+matter when it is observed, and the skipped rounds collapse into the
+next check's job (half the job count for typical shallow graphs).
+
 The DuckDB oracle computes the same fixpoint with a recursive CTE over
 the SAME pair SQL (composed from the registered jaccard oracle), so
 the whole chain — shingles → blocked pairs → transitive closure — is
@@ -35,10 +41,15 @@ MAX_ITER = 20
 
 
 def cluster_labels(
-    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = MAX_ITER
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = MAX_ITER,
+    check_every: int = 2,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex of the pair graph;
-    cluster_id = min doc_id in the connected component."""
+    cluster_id = min doc_id in the connected component. Convergence is
+    probed every ``check_every`` rounds (see module docstring)."""
     from pyspark import StorageLevel
 
     edges = (
@@ -53,7 +64,10 @@ def cluster_labels(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    for _ in range(max_iter):
+    deferred: list[DataFrame] = []  # old handles kept alive until the
+    # next materializing check (unpersisting earlier would force their
+    # lineage to recompute inside the accumulated lazy chain)
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
@@ -69,16 +83,24 @@ def cluster_labels(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+        deferred.append(labels)
+        if it % check_every == check_every - 1 or it == max_iter - 1:
+            # one job materializes this check's round AND any skipped
+            # rounds; a no-change adjacent pair proves global fixpoint
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            for h in deferred:
+                h.unpersist()
+            deferred = []
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -90,12 +90,24 @@ def shingle_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard near-dup pairs over ``documents`` (threshold 0.6)."""
     t = load_tables(spark, sf_dir)
-    s = shingle_sets(t["documents"])
+    return jaccard_pairs(t["documents"])
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = THRESHOLD,
+    max_block: int = MAX_BLOCK,
+) -> DataFrame:
+    """Prefix-blocked exact-Jaccard pairs over any (doc_id, text)
+    corpus; degenerate blocks (> ``max_block`` docs — boilerplate
+    prefixes) are dropped before the self-join so the pair space stays
+    bounded by block occupancy."""
+    s = shingle_sets(docs)
 
     ok = (
         s.groupBy("block")
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= MAX_BLOCK)
+        .filter(F.col("n") <= max_block)
         .select("block")
     )
     a = s.alias("a")
@@ -113,7 +125,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= THRESHOLD)
+        .filter(F.col("jaccard_raw") >= threshold)
         .select(
             F.col("doc_id").alias("doc_a"),
             "doc_b",

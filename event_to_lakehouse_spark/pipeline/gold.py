@@ -15,11 +15,13 @@ layer as idiomatic Spark over the 32-column silver assets contract
   appear twice).
 
 Scale posture: every mart derives from one ``current_assets`` pass —
-a single asset_uid-partitioned shuffle reused by the window and the
-rollup; marts are tiny relative to silver and are rewritten atomically
-(overwrite), which makes refresh idempotent under replays — the same
-gap the reference's blind-append writer leaves open for silver
-(SURVEY §7.4). Refresh via ``Trigger.AvailableNow`` on a schedule; a
+``refresh_gold`` materializes it and the derived marts read it back,
+so silver is scanned once; marts are tiny relative to silver and are
+published stage-then-rename (readers see old or new, never partial;
+see ``refresh_gold`` for the object-store caveat), which makes refresh
+idempotent under replays — the same gap the reference's blind-append
+writer leaves open for silver (SURVEY §7.4). Refresh via
+``Trigger.AvailableNow`` on a schedule; a
 continuously-updated gold would instead stream silver with update-mode
 aggregations, which no mart here needs.
 """
@@ -93,18 +95,40 @@ def riskiest_assets(current: DataFrame, top_n: int = 10) -> DataFrame:
 def refresh_gold(
     spark: SparkSession, silver_path: str, gold_root: str, top_n: int = 10
 ) -> dict[str, str]:
-    """Batch gold refresh: read silver parquet, rebuild every mart under
-    ``gold_root`` with atomic overwrite. Returns mart name → path."""
+    """Batch gold refresh. Silver is scanned ONCE: ``current_assets``
+    is materialized first and the derived marts read it back, instead
+    of re-deriving the latest-wins subtree three times.
+
+    Publish is stage-then-rename: each mart writes to a staging dir and
+    is swapped in with two renames, so a mid-refresh failure leaves the
+    previous mart in place and readers never observe a half-written
+    directory. (Rename is atomic on posix local/HDFS paths; on object
+    stores swap this for a table format with snapshot commits —
+    parquet ``mode=overwrite`` alone is delete-then-write and exposes
+    an empty window.) Returns mart name → path."""
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    root = Path(gold_root)
+    root.mkdir(parents=True, exist_ok=True)
+
+    def publish(df, name: str) -> str:
+        final = root / name
+        tag = uuid.uuid4().hex[:8]
+        stage = root / f"_stage_{name}_{tag}"
+        df.write.mode("overwrite").parquet(str(stage))
+        old = root / f"_old_{name}_{tag}"
+        if final.exists():
+            final.rename(old)
+        stage.rename(final)
+        if old.exists():
+            shutil.rmtree(old)
+        return str(final)
+
     silver = spark.read.parquet(silver_path)
-    cur = current_assets(silver)
-    marts = {
-        "current_assets": cur,
-        "asset_posture": asset_posture(cur),
-        "riskiest_assets": riskiest_assets(cur, top_n=top_n),
-    }
-    out: dict[str, str] = {}
-    for name, df in marts.items():
-        path = f"{gold_root}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        out[name] = path
+    out = {"current_assets": publish(current_assets(silver), "current_assets")}
+    cur = spark.read.parquet(out["current_assets"])  # the one silver pass
+    out["asset_posture"] = publish(asset_posture(cur), "asset_posture")
+    out["riskiest_assets"] = publish(riskiest_assets(cur, top_n=top_n), "riskiest_assets")
     return out

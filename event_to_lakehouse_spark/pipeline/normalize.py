@@ -142,11 +142,52 @@ def silver_union(*normalized: DataFrame) -> DataFrame:
 
 
 def write_silver_batch(df: DataFrame, path: str, mode: str = "append") -> None:
-    """Batch silver write. Parquet append partitioned by source_system —
-    at 100 TB the partition column gives pruning for per-source reads;
-    an Iceberg/Delta deployment swaps this for writeTo(...).append()
-    (reference :277) with hidden partitioning."""
+    """Batch silver write, parquet flavor. Partitioned by source_system —
+    at 100 TB the partition column gives pruning for per-source reads.
+    ``write_silver`` adds the writer-v2 branch for Iceberg/Delta
+    deployments (reference :277)."""
     df.write.mode(mode).partitionBy("source_system").parquet(path)
+
+
+def v2_catalog_available(spark: SparkSession, table: str | None) -> bool:
+    """True when ``table`` names a configured DataSource-V2 catalog —
+    Iceberg/Delta register themselves as ``spark.sql.catalog.<name>``
+    (reference ``docker-compose.yml:336-339`` sets
+    ``spark.sql.catalog.iceberg`` + warehouse confs). The sandbox has
+    no such jars, so here this is the honest runtime probe that decides
+    which sink branch runs."""
+    if not table or "." not in table:
+        return False
+    cat = table.split(".", 1)[0]
+    try:
+        return spark.conf.get(f"spark.sql.catalog.{cat}", None) is not None
+    except Exception:
+        return False
+
+
+def write_silver(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str | None = None,
+    table: str | None = None,
+    mode: str = "append",
+) -> str:
+    """S5 table-append sink with the writer-v2 branch: when ``table``
+    names a configured V2 catalog, append via
+    ``df.writeTo(table).append()`` — the reference's actual sink
+    (``bronze_assets_to_silver_assets.py:275-277``:
+    ``writeTo("iceberg.silver.assets").append()``) with snapshot
+    isolation and hidden partitioning; otherwise fall back to the
+    partitioned-parquet writer. Returns the branch taken
+    (``"writer_v2"`` | ``"parquet"``) so callers/tests can assert
+    selection."""
+    if v2_catalog_available(spark, table):
+        df.writeTo(table).append()
+        return "writer_v2"
+    if path is None:
+        raise ValueError("no V2 catalog configured and no parquet path given")
+    write_silver_batch(df, path, mode)
+    return "parquet"
 
 
 def foreach_batch_writer(path: str, idempotent: bool = True, writer_id: str = ""):
@@ -161,9 +202,10 @@ def foreach_batch_writer(path: str, idempotent: bool = True, writer_id: str = ""
     reference's own topology: rapid7 + fortisiem into one silver,
     :280-296) both write ``batch_id=0`` and clobber each other. It
     must be stable across restarts of the same query (replay
-    idempotence keys on it) and unique per query — the checkpoint
-    directory name satisfies both, which is what
-    ``start_silver_stream`` passes."""
+    idempotence keys on it) and unique per query —
+    ``start_silver_stream`` passes a hash of the FULL checkpoint path
+    (two checkpoints sharing a leaf name, e.g. ``/a/checkpoint`` and
+    ``/b/checkpoint``, must not collide)."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if idempotent:
@@ -185,13 +227,21 @@ def start_silver_stream(
     checkpoint: str,
     trigger: dict | None = None,
     idempotent: bool = True,
+    writer_id: str | None = None,
 ):
     """Streaming silver writer (reference :280-296): append mode,
     checkpointed, foreachBatch. ``trigger`` defaults to availableNow
     for testable runs; pass {"processingTime": "30 seconds"} for the
-    reference's cadence."""
+    reference's cadence. ``writer_id`` defaults to a hash of the full
+    checkpoint path — stable across restarts, collision-free for
+    checkpoints that share a basename."""
+    import hashlib
+
     trigger = trigger or {"availableNow": True}
-    writer_id = checkpoint.rstrip("/").rsplit("/", 1)[-1]
+    if writer_id is None:
+        writer_id = hashlib.sha256(
+            checkpoint.rstrip("/").encode("utf-8")
+        ).hexdigest()[:12]
     return (
         df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

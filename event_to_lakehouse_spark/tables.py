@@ -55,7 +55,10 @@ _VIEWS_AT: dict[str, str] = {}
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every table and register matching temp views. Metadata-only
-    (lazy); repeated calls are cached per (session, sf_dir)."""
+    (lazy); repeated calls are cached per (session, sf_dir). Returns a
+    fresh dict each call so caller mutation can't pollute the cache;
+    the _VIEWS_AT fast path is re-validated against the live catalog so
+    a view dropped elsewhere is restored."""
     configure_runtime(spark)
     app_id = spark.sparkContext.applicationId
     key = (app_id, sf_dir)
@@ -63,8 +66,11 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if out is None:
         out = {name: table(spark, sf_dir, name) for name in TABLES}
         _CACHE[key] = out
-    if _VIEWS_AT.get(app_id) != sf_dir:
+    views_ok = _VIEWS_AT.get(app_id) == sf_dir and all(
+        spark.catalog.tableExists(name) for name in TABLES
+    )
+    if not views_ok:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
         _VIEWS_AT[app_id] = sf_dir
-    return out
+    return dict(out)

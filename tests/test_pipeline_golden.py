@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import hashlib
+from pathlib import Path
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -207,3 +208,91 @@ def test_two_concurrent_silver_streams(spark, rapid7_bronze, forti_bronze, tmp_d
     assert {
         r.source_system for r in back.select("source_system").distinct().collect()
     } == {"rapid7", "fortisiem"}
+
+
+def test_write_silver_branch_selection(spark, rapid7_bronze, tmp_dir):
+    """S5 sink branch: writeTo(...).append() (reference :275-277) when a
+    V2 catalog is configured, partitioned parquet otherwise — both
+    selections exercised without Iceberg jars (conf probe + stub)."""
+    from event_to_lakehouse_spark.pipeline.normalize import (
+        v2_catalog_available,
+        write_silver,
+    )
+
+    silver = apply_mapping(
+        read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA), RAPID7_MAPPING
+    )
+
+    # no catalog configured -> parquet fallback actually writes
+    assert not v2_catalog_available(spark, "iceberg.silver.assets")
+    out = f"{tmp_dir}/silver_v2_fallback"
+    assert write_silver(silver, spark, path=out) == "parquet"
+    assert spark.read.parquet(out).count() == 2
+
+    # catalog conf present -> v2 branch chosen; a stub df records the
+    # writeTo(...).append() call (the sandbox has no Iceberg jars to
+    # execute it for real)
+    calls = []
+
+    class _StubDF:
+        def writeTo(self, table):
+            calls.append(("writeTo", table))
+
+            class _W:
+                def append(_self):
+                    calls.append("append")
+
+            return _W()
+
+    spark.conf.set(
+        "spark.sql.catalog.fakecat", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert v2_catalog_available(spark, "fakecat.silver.assets")
+        got = write_silver(_StubDF(), spark, table="fakecat.silver.assets")
+        assert got == "writer_v2"
+        assert calls == [("writeTo", "fakecat.silver.assets"), "append"]
+    finally:
+        spark.conf.unset("spark.sql.catalog.fakecat")
+
+    # neither catalog nor path is an explicit error, not a silent no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_silver(silver, spark)
+
+
+def test_writer_id_no_collision_for_same_leaf_checkpoints(
+    spark, rapid7_bronze, forti_bronze, tmp_dir
+):
+    """Two streams whose checkpoint paths share a basename
+    (.../a/checkpoint and .../b/checkpoint) writing the same silver
+    table must not clobber each other's batch_id dirs: writer_id is a
+    hash of the FULL checkpoint path."""
+    from event_to_lakehouse_spark.pipeline.contracts import FORTISIEM_MAPPING
+
+    out = f"{tmp_dir}/silver"
+    q1 = start_silver_stream(
+        apply_mapping(
+            read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA, streaming=True),
+            RAPID7_MAPPING,
+        ),
+        out,
+        f"{tmp_dir}/a/checkpoint",
+    )
+    q2 = start_silver_stream(
+        apply_mapping(
+            read_bronze(spark, forti_bronze, FORTI_SCHEMA, streaming=True),
+            FORTISIEM_MAPPING,
+        ),
+        out,
+        f"{tmp_dir}/b/checkpoint",
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    batch_dirs = {
+        p.name for p in Path(out).iterdir() if p.name.startswith("batch_id=")
+    }
+    assert len(batch_dirs) == 2, batch_dirs  # one namespaced dir per query
+    back = spark.read.parquet(out)
+    assert back.count() == 4  # nothing clobbered

@@ -79,3 +79,48 @@ def test_salted_agg_shuffles_on_salt(spark):
     a = audit_plan(out)
     assert "_salt" in a.text
     assert a.shuffle_exchanges == 2  # shard stage + combine stage
+
+
+def _boilerplate_corpus(spark):
+    """300 byte-identical boilerplate docs (one degenerate block/bucket)
+    + 20 planted near-dup pairs of genuinely distinct docs."""
+    boiler = "quarterly compliance report filed on time by the records team " * 4
+    rows = [(i, boiler) for i in range(300)]
+    for i in range(20):
+        base = f"unique document {i} about topic_{i} " + " ".join(
+            f"word{i}_{j}" for j in range(30)
+        )
+        rows.append((1000 + i, base))
+        rows.append((2000 + i, base + " trailing addendum"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_hot_bucket_guard_on_boilerplate(spark):
+    """A boilerplate-heavy corpus must NOT blow up the LSH candidate
+    join: the 300 identical docs share every band bucket, so MAX_BUCKET
+    (200) drops those buckets entirely — zero boilerplate pairs — while
+    planted near-dups in healthy buckets still surface."""
+    from event_to_lakehouse_spark.dedup.minhash import candidate_pairs
+
+    pairs = candidate_pairs(_boilerplate_corpus(spark)).collect()
+    boiler_pairs = [
+        r for r in pairs if r.doc_id_a < 300 and r.doc_id_b < 300
+    ]
+    assert boiler_pairs == []  # guard fired; would be 44850 pairs without
+    found = {(r.doc_id_a, r.doc_id_b) for r in pairs}
+    hits = sum((1000 + i, 2000 + i) in found for i in range(20))
+    assert hits >= 18, f"planted near-dups lost: {hits}/20"
+
+
+def test_jaccard_block_guard_on_boilerplate(spark):
+    """Same corpus through exact n-gram Jaccard: the shared 30-char
+    prefix block exceeds MAX_BLOCK and is dropped before the self-join;
+    planted pairs (distinct prefixes) keep their exact scores."""
+    from event_to_lakehouse_spark.dedup.jaccard import jaccard_pairs
+
+    pairs = jaccard_pairs(_boilerplate_corpus(spark)).collect()
+    assert [r for r in pairs if r.doc_a < 300 and r.doc_b < 300] == []
+    found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    hits = sum((1000 + i, 2000 + i) in found for i in range(20))
+    assert hits == 20
+    assert all(j >= 0.6 for j in found.values())

@@ -37,3 +37,17 @@ def test_dataframes_unaffected_by_view_switch(spark):
     load_tables(spark, SF_B)  # views now point at sf0.01
     # ...but previously returned DataFrames still read their own files
     assert ta["region"].count() == load_tables(spark, SF_A)["region"].count()
+
+
+def test_caller_mutation_does_not_pollute_cache(spark):
+    t1 = load_tables(spark, SF_A)
+    t1["lineitem"] = None  # caller abuse
+    t2 = load_tables(spark, SF_A)
+    assert t2["lineitem"] is not None
+
+
+def test_dropped_view_is_restored(spark):
+    load_tables(spark, SF_A)
+    spark.catalog.dropTempView("region")
+    load_tables(spark, SF_A)  # same sf_dir: fast path must re-validate
+    assert spark.sql("SELECT count(*) c FROM region").first()["c"] == 5
