@@ -84,6 +84,34 @@ def read_csv(
     return read_files(spark, path, "csv", schema, streaming, **opts)
 
 
+# The record schema the kafka data source produces (fixed by Spark's
+# connector contract) — also the shape any broker-free test double must
+# emit to exercise the exact downstream wiring.
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def kafka_source_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The option set ``read_kafka`` hands the kafka source — pure, so
+    the wiring is assertable without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -97,17 +125,14 @@ def read_kafka(
     bronze file path, minus the object-store landing.
 
     Requires the spark-sql-kafka connector on the classpath; in
-    environments without it this raises at query start with Spark's
-    missing-data-source error. The transform below is the tested part.
-    """
-    from pyspark.sql import functions as F
-
+    environments without it this raises Spark's missing-data-source
+    error at ``load()``. Everything downstream of the raw record frame
+    (``parse_kafka_payload``, over ``KAFKA_RECORD_SCHEMA``) is broker-
+    free and tested end-to-end on a streamed record double."""
     reader = spark.readStream if streaming else spark.read
     raw = (
         reader.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
     )
     return parse_kafka_payload(raw, payload_schema)

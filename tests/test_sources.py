@@ -96,3 +96,52 @@ def test_kafka_payload_normalization(spark):
     assert len(ok) == 1 and ok[0].id == 7 and ok[0].kafka_key == "k1"
     bad = out.filter(F.col("_corrupt_record").isNotNull()).collect()
     assert len(bad) == 1 and bad[0].offset == 43
+
+
+def test_kafka_stream_roundtrip_without_broker(spark, tmp_dir):
+    """S8 wiring end-to-end with NO transport gate: kafka-record-shaped
+    parquet (exact connector schema, KAFKA_RECORD_SCHEMA) is streamed
+    through parse_kafka_payload into a memory sink — the same unbounded
+    path read_kafka builds after load(), including key/topic/partition/
+    offset/timestamp passthrough and PERMISSIVE corrupt capture."""
+    import datetime as dt
+
+    from event_to_lakehouse_spark.sources.connectors import (
+        KAFKA_RECORD_SCHEMA,
+        kafka_source_options,
+        parse_kafka_payload,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    records = [
+        (b"k1", b'{"id": 7, "name": "x", "score": 1.25}', "assets", 0, 42, ts, 0),
+        (b"k2", b"{not json at all", "assets", 1, 43, ts, 0),
+    ]
+    src = f"{tmp_dir}/kafka_records"
+    spark.createDataFrame(records, KAFKA_RECORD_SCHEMA).write.parquet(src)
+
+    raw = spark.readStream.schema(KAFKA_RECORD_SCHEMA).parquet(src)
+    parsed = parse_kafka_payload(raw, SCHEMA)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("kafka_rt")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.offset: r for r in spark.sql("SELECT * FROM kafka_rt").collect()}
+
+    good, bad = rows[42], rows[43]
+    assert (good.kafka_key, good.topic, good.partition) == ("k1", "assets", 0)
+    assert (good.id, good.name, good.score) == (7, "x", 1.25)
+    assert good.kafka_ts == ts and good._corrupt_record is None
+    # malformed value: typed columns NULL, raw payload captured
+    assert bad.id is None and bad._corrupt_record is not None
+
+    # read_kafka's source options are exactly the connector contract
+    assert kafka_source_options("broker:9092", "assets") == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "assets",
+        "startingOffsets": "earliest",
+    }
