@@ -80,15 +80,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = QUERIES
 
-    # Warmup, not counted: each query once at the smallest SF compiles
-    # its whole-stage-codegen classes (identical plan shape, so the
-    # timed runs below measure the engine, not janino compilation).
-    warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warmup is best-effort; the timed run reports real errors
+    # Warmup, not counted: one pass at the smallest SF compiles every
+    # whole-stage-codegen class (identical plan shapes), then one pass
+    # at the TARGET SF pays the one-time parquet file-index listing and
+    # JIT profiling — so the timed runs measure steady-state engine
+    # throughput, not cold-start, and run-to-run sd stays meaningful.
+    for warm_dir in ("/root/testdata/sf0.001", sf_dir):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run reports real errors
 
     per_query: dict[str, list[float]] = {name: [] for name in HEADLINE}
     totals: list[float] = []

@@ -349,22 +349,30 @@ def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-distinct counts + exact median/percentiles in one groupBy
-    (Catalyst plans one Expand for the distincts and sort-aggregates for
-    the percentiles — still a single shuffle on the group key)."""
+    """Multi-distinct counts + exact median/percentiles per group.
+
+    Deliberately TWO aggregations joined on the (tiny) group key, not
+    one: mixing countDistinct with percentile in a single agg makes
+    Catalyst Expand the input 3× and haul per-(key,gid) percentile
+    object-buffers through the distinct shuffle — measured 5-9s at
+    sf0.1 vs ~1s for this split shape. Each arm is the canonical plan
+    (Expand+count for distincts, sort-agg for percentiles); the join is
+    a broadcast over group-cardinality rows. At 100 TB swap in
+    approx_count_distinct / approx_percentile sketches (see
+    agg_approx_distinct_users)."""
     t = load_tables(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-            F.countDistinct("l_partkey").alias("distinct_parts"),
-            F.count(F.lit(1)).alias("n_lines"),
-            _r4(F.median("l_extendedprice")).alias("med_price"),
-            _r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
-            _r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
-        )
+    l = t["lineitem"]
+    d = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
     )
+    p = l.groupBy("l_returnflag").agg(
+        _r4(F.median("l_extendedprice")).alias("med_price"),
+        _r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+        _r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
+    )
+    return d.join(F.broadcast(p), "l_returnflag")
 
 
 # ---------------------------------------------------------------------------
