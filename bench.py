@@ -59,6 +59,7 @@ HEADLINE = [
     "text_enrich",
     "text_token_topk",
     "text_decontaminate",
+    "corpus_curation",
     "multimodal_features",
     "multimodal_transform",
     "profile_documents",

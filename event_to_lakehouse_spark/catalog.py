@@ -673,19 +673,22 @@ _REDACT_SQL_RE = REDACT_RE.replace("'", "''")
     """,
 )
 def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every per-document text enrichment in one scan→project: counts
-    and ratios, heuristic quality, BPE-ish token estimate, language
-    guess, content fingerprint, and PII-style redaction (count + hash of
-    the scrubbed text). Pure codegen expressions — 100 TB of this is
-    scan-bound."""
+    """Every per-document text enrichment in one scan: counts and
+    ratios, heuristic quality, BPE-ish token estimate, language guess,
+    content fingerprint, and PII-style redaction (count + hash of the
+    scrubbed text). Staged projection: the raw-ratio columns are
+    computed once and the quality score derives from THEM (not from
+    re-running the regexes), so the expensive regex passes run exactly
+    once per document regardless of codegen subexpression elimination.
+    Pure codegen expressions — 100 TB of this is scan-bound."""
     t = load_tables(spark, sf_dir)
-    return t["documents"].select(
+    base = t["documents"].select(
         "doc_id",
+        "text",
         token_count("text").alias("n_tokens"),
         char_count("text").alias("n_chars_text"),
-        _r4(punct_ratio("text")).alias("punct_ratio"),
-        _r4(stopword_ratio("text")).alias("stopword_ratio"),
-        quality_score("text").alias("quality"),
+        punct_ratio("text").alias("_punct"),
+        stopword_ratio("text").alias("_stop"),
         bpe_token_count("text").alias("bpe_tokens"),
         lang_guess("text").alias("guessed_lang"),
         fingerprint("text").alias("fp"),
@@ -695,6 +698,29 @@ def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.regexp_replace("text", REDACT_RE, REDACT_TOKEN), 256).alias(
             "redacted_sha"
         ),
+    )
+    # quality_score's formula over the already-computed ratio columns —
+    # identical arithmetic to functions.text.quality_score / the oracle.
+    ln = F.col("n_chars_text").cast("double")
+    quality = F.round(
+        F.when((ln >= 50) & (ln <= 20000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.least(F.col("_stop") * 2.0, F.lit(0.3))
+        - F.least(F.col("_punct"), F.lit(0.2))
+        + F.lit(0.2),
+        4,
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_text",
+        _r4(F.col("_punct")).alias("punct_ratio"),
+        _r4(F.col("_stop")).alias("stopword_ratio"),
+        quality.alias("quality"),
+        "bpe_tokens",
+        "guessed_lang",
+        "fp",
+        "n_redacted",
+        "redacted_sha",
     )
 
 
@@ -815,6 +841,87 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
     )
     return resized.unionByName(frames)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the LLM-training-data pipeline composed —
+# enrich → quality/length filter → exact-dedup survivors → deterministic
+# sample → mix stats. Registry entry (driver catalog is at its 50-entry
+# cap); oracle-checked by the full-registry pytest + parity --full.
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_QUALITY = 0.55
+CURATE_MIN_TOKENS = 10
+
+
+@query(
+    "corpus_curation",
+    f"""
+    WITH enriched AS (
+        SELECT doc_id, source, lang, n_chars,
+               {_QUALITY_SQL} AS q,
+               CAST({_TOKENS_SQL} AS INTEGER) AS toks,
+               {FINGERPRINT_SQL} AS fp
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM enriched
+        WHERE q >= {CURATE_MIN_QUALITY} AND toks >= {CURATE_MIN_TOKENS}
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+    deduped AS (SELECT f.* FROM filtered f JOIN keep k USING (doc_id)),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+              <= '{SAMPLE_MAX_BUCKET}'
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(q), 4) AS sum_quality
+    FROM sampled GROUP BY source, lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in one plan: per-doc
+    enrichment (quality score, token count, fingerprint — one scan),
+    quality/length filtering, exact-dedup survivor selection
+    (fingerprint groupBy + join-back), deterministic salted-hash
+    sampling, and final data-mix stats per (source, lang).
+
+    Plan shape at 100 TB: scan → project (all codegen) → filter → one
+    32-byte-key shuffle for the dedup groupBy → broadcast join-back →
+    partition-local sample filter → small final agg. Exactly the
+    composition a user of the individual operators would write, so the
+    whole chain — not just each stage — is value-checked."""
+    t = load_tables(spark, sf_dir)
+    enriched = t["documents"].select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        quality_score("text").alias("q"),
+        token_count("text").alias("toks"),
+        fingerprint("text").alias("fp"),
+    )
+    filtered = enriched.filter(
+        (F.col("q") >= CURATE_MIN_QUALITY) & (F.col("toks") >= CURATE_MIN_TOKENS)
+    )
+    keep = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = filtered.join(keep, "doc_id", "left_semi")
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256),
+        1,
+        2,
+    )
+    sampled = deduped.filter(bucket <= SAMPLE_MAX_BUCKET)
+    return sampled.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        # sum, not avg: q values are 4-decimal-rounded, so their sums
+        # stay on the 1e-4 grid while averages land exactly on rounding
+        # half-boundaries (observed 0.8261 vs 0.8262 engine splits)
+        _r4(F.sum("q")).alias("sum_quality"),
+    )
 
 
 # ---------------------------------------------------------------------------
