@@ -120,3 +120,64 @@ def test_q2_scalar_subquery_broadcasts(spark, qs):
     a = audit_plan(qs["q2_min_cost_per_part"](spark, SF_DIR))
     assert a.broadcast_hash_joins >= 3
     assert a.sort_merge_joins == 0
+
+
+def test_window_analytics_single_exchange(spark, qs):
+    """Eleven analytic functions, ONE shuffle: every window spec shares
+    the o_custkey partitioning, so Catalyst must reuse a single
+    exchange (regression guard for the §2.5 combo)."""
+    a = audit_plan(qs["window_analytics"](spark, SF_DIR))
+    assert a.shuffle_exchanges == 1
+
+
+def test_join_semi_anti_all_broadcast(spark, qs):
+    """Semi + anti over the same key: both existence joins broadcast
+    the filtered side — zero shuffles end to end."""
+    a = audit_plan(qs["join_semi_anti"](spark, SF_DIR))
+    assert a.broadcast_hash_joins == 2
+    assert a.shuffle_exchanges == 0
+
+
+def test_dedup_exact_one_shuffle(spark, qs):
+    """Fingerprint dedup: one 32-byte-key shuffle for the group, then a
+    broadcast join-back — never a second exchange of document rows."""
+    a = audit_plan(qs["dedup_exact"](spark, SF_DIR))
+    assert a.shuffle_exchanges == 1
+    assert a.broadcast_hash_joins >= 1
+
+
+def test_agg_distinct_stats_no_expand_percentile_mix(spark, qs):
+    """The distinct counts and the exact percentiles must stay in
+    SEPARATE aggregations (split shape): mixing them Expands the input
+    3x and drags percentile object-buffers through the distinct
+    shuffle (measured 5-9s vs ~1s at sf0.1). One Expand (distincts),
+    percentile aggregate NOT downstream of it."""
+    a = audit_plan(qs["agg_distinct_stats"](spark, SF_DIR))
+    assert a.text.count("Expand") <= 2  # tree + detail render once each
+    # percentile runs in its own arm: an ObjectHashAggregate whose
+    # input comes straight from the scan, never from Expand output
+    import re
+
+    expand_ids = re.findall(r"\((\d+)\) Expand", a.text)
+    pct_sections = re.findall(
+        r"\(\d+\) ObjectHashAggregate[\s\S]*?partial_percentile", a.text
+    )
+    assert pct_sections, "percentile arm missing"
+    for sec in pct_sections:
+        for eid in expand_ids:
+            assert f"Expand (#{eid})" not in sec
+
+
+def test_multimodal_transform_no_shuffle(spark, qs):
+    """Both mapInPandas transforms are partition-local; the tagged
+    union must not introduce any exchange."""
+    a = audit_plan(qs["multimodal_transform"](spark, SF_DIR))
+    assert a.shuffle_exchanges == 0
+
+
+def test_corpus_curation_single_dedup_shuffle(spark, qs):
+    """The end-to-end curation chain: enrich/filter/sample are
+    partition-local; the only exchanges belong to the dedup groupBy
+    and the small final mix aggregation."""
+    a = audit_plan(qs["corpus_curation"](spark, SF_DIR))
+    assert a.shuffle_exchanges <= 3
