@@ -70,23 +70,47 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.selectExpr("doc_id", f"{terms[0]} AS simhash")
 
 
+MAX_BAND = 200  # drop degenerate band buckets (same guard as minhash)
+
+
 def near_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 8
 ) -> DataFrame:
-    """Banded candidate generation + Hamming verification."""
+    """Banded candidate generation + Hamming verification.
+
+    The band table is persisted: both sides of the candidate self-join
+    reference it, and without materialization Catalyst re-executes the
+    whole explode+64-aggregate fingerprint pipeline per side (the
+    minhash.candidate_pairs lesson). Hot-band guard: a band value
+    shared by ~everyone (boilerplate / byte-identical corpora) is
+    non-discriminative and would pair quadratically — those buckets are
+    dropped (``MAX_BAND``); byte-identical duplicates belong to the
+    cheaper exact-dedup pass anyway. The window's (band_idx, band_val)
+    partitioning is exactly the self-join key, so the count reuses the
+    join's shuffle."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
     fps = fingerprints(docs, text_col).select("doc_id", "simhash")
     mask = (1 << BAND_BITS) - 1
-    bands = fps.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * BAND_BITS).bitwiseAND(F.lit(mask))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+    w = Window.partitionBy("band_idx", "band_val")
+    bands = (
+        fps.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright("simhash", b * BAND_BITS).bitwiseAND(F.lit(mask))
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+        .withColumn("band_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("band_n") <= MAX_BAND)
+        .drop("band_n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (

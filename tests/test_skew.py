@@ -124,3 +124,20 @@ def test_jaccard_block_guard_on_boilerplate(spark):
     hits = sum((1000 + i, 2000 + i) in found for i in range(20))
     assert hits == 20
     assert all(j >= 0.6 for j in found.values())
+
+
+def test_simhash_band_guard_on_boilerplate(spark):
+    """SimHash banded pairing on the same corpus: 300 byte-identical
+    docs share every 16-bit band, so MAX_BAND drops those buckets
+    (exact dups are the cheap exact-dedup pass's job); planted textual
+    near-dups still pair within Hamming distance."""
+    from event_to_lakehouse_spark.dedup.simhash import near_pairs
+
+    pairs = near_pairs(_boilerplate_corpus(spark)).collect()
+    assert [r for r in pairs if r.doc_id_a < 300 and r.doc_id_b < 300] == []
+    found = {(r.doc_id_a, r.doc_id_b) for r in pairs}
+    hits = sum((1000 + i, 2000 + i) in found for i in range(20))
+    # simhash banding is coarser than minhash (a ≤8-bit difference can
+    # still straddle all 4 bands), so recall here is honestly lower —
+    # the guard must not make it WORSE than the algorithm's own ~85%
+    assert hits >= 15, f"planted near-dups lost: {hits}/20"
