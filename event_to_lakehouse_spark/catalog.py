@@ -844,6 +844,90 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap fill: dense hourly grid per series with zero-filled
+# missing buckets — the "resample" operation every event dashboard
+# needs; sequence+explode keeps it fully relational (registry entry).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_fill",
+    """
+    WITH e AS (
+        SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+               value
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, count(*) AS n, round(sum(value), 4) AS sv
+        FROM e GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM e GROUP BY 1),
+    grid AS (
+        SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS h FROM b
+    )
+    SELECT g.event_type, g.h AS window_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           coalesce(sv, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample per event_type: hours with no events appear
+    as explicit zero rows between each series' first and last bucket.
+
+    Shape: one hourly aggregation, a per-series bounds aggregation
+    (both share the scan), then ``sequence``+``explode`` builds the
+    grid RELATIONALLY — grid size is (span-hours × series), independent
+    of event count, and the fill join is an equi left join on
+    (series, hour). No driver-side date loops; at 100 TB the grid side
+    is tiny and broadcasts."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_type",
+        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 3600)).alias("h"),
+        "value",
+    )
+    hourly = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv")
+    )
+    grid = (
+        e.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("h"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: t-digest sketch is engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the 100 TB percentile
+    path — fixed-size sketch per partition merged at the driver side of
+    the agg, vs the exact percentile's per-group full sort. No DuckDB
+    oracle (sketch internals differ); the estimate is pinned within 1%
+    of exact in tests/test_oracle_parity.py."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+            ).alias("price_percentiles"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation: the LLM-training-data pipeline composed —
 # enrich → quality/length filter → exact-dedup survivors → deterministic
 # sample → mix stats. Registry entry (driver catalog is at its 50-entry

@@ -91,3 +91,32 @@ def test_hll_estimate_within_5pct(spark):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_approx_percentile_within_1pct(spark):
+    """agg_approx_percentile is rows-only (t-digest sketch); pin each
+    estimate within 1% of the exact percentile so regressions can't
+    silently ship (same contract as the HLL pin above)."""
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.tables import load_tables
+
+    approx = {
+        r["l_returnflag"]: r["price_percentiles"]
+        for r in QUERIES["agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["ps"]
+        for r in load_tables(spark, SF_DIR)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("ps")
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        for e, x in zip(est, exact[flag]):
+            assert abs(e - x) <= 0.01 * abs(x), f"{flag}: {e} vs exact {x}"
