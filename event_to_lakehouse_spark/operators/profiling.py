@@ -72,3 +72,32 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan profile of the documents table."""
     t = load_tables(spark, sf_dir)
     return profile(t["documents"], _PROFILE_COLS)
+
+
+def _events_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM events
+    """
+
+
+# event_id/user_id (bigint), event_type (varchar), value (double with
+# real NULLs — exercises the null-spike detection path). ts is excluded:
+# timestamp→string rendering differs between engines.
+_EVENTS_PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+@query(
+    "profile_events",
+    " UNION ALL ".join(_events_col_sql(c) for c in _EVENTS_PROFILE_COLS),
+)
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan profile of the events fact table (registry entry —
+    proves ``profile`` generalizes beyond documents, including a
+    nullable double column for null-spike gating)."""
+    t = load_tables(spark, sf_dir)
+    return profile(t["events"], _EVENTS_PROFILE_COLS)

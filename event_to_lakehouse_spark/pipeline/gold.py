@@ -39,6 +39,7 @@ __all__ = [
     "asset_posture",
     "riskiest_assets",
     "refresh_gold",
+    "start_gold_refresh_stream",
 ]
 
 
@@ -132,3 +133,38 @@ def refresh_gold(
     out["asset_posture"] = publish(asset_posture(cur), "asset_posture")
     out["riskiest_assets"] = publish(riskiest_assets(cur, top_n=top_n), "riskiest_assets")
     return out
+
+
+def start_gold_refresh_stream(
+    spark: SparkSession,
+    silver_path: str,
+    gold_root: str,
+    checkpoint: str,
+    top_n: int = 10,
+    trigger: dict | None = None,
+):
+    """Continuously-refreshed gold: watch the silver table as a file
+    stream and rebuild the marts whenever new silver files land.
+
+    The micro-batch content is only the CHANGE SIGNAL — marts are
+    latest-wins over ALL of silver, so each refresh re-reads the full
+    table via ``refresh_gold`` (stage-then-rename publish, so readers
+    never see a partial mart). This is the standard
+    incremental-trigger / full-rebuild pattern for small marts; a mart
+    too large to rebuild would instead stream with update-mode
+    aggregations. ``availableNow`` default drains pending files and
+    stops — the scheduled-refresh mode the module docstring describes."""
+    trigger = trigger or {"availableNow": True}
+    silver_schema = spark.read.parquet(silver_path).schema
+    signal = spark.readStream.schema(silver_schema).parquet(silver_path)
+
+    def _refresh(batch_df, batch_id: int) -> None:
+        refresh_gold(spark, silver_path, gold_root, top_n=top_n)
+
+    return (
+        signal.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .foreachBatch(_refresh)
+        .start()
+    )

@@ -82,6 +82,33 @@ def drop_corrupt(df: DataFrame) -> DataFrame:
     return df.filter(F.col(CORRUPT_COL).isNull())
 
 
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, corrupt) split of a PERMISSIVE-read frame. The reference
+    silently discards corrupt rows (:87-89); a production pipeline
+    keeps them replayable — pair with ``write_quarantine``."""
+    return drop_corrupt(df), df.filter(F.col(CORRUPT_COL).isNotNull())
+
+
+def write_quarantine(
+    corrupt: DataFrame, path: str, source_system: str = "unknown"
+) -> None:
+    """Quarantine sink for rejected rows: the raw corrupt payload plus
+    audit columns (source, quarantine timestamp), appended as parquet
+    partitioned by source_system so replays prune per source. Fixes the
+    reference's silent-drop gap — a malformed batch can be inspected
+    and re-ingested after the producer is fixed."""
+    (
+        corrupt.select(
+            F.col(CORRUPT_COL).alias("raw_payload"),
+            F.lit(source_system).alias("source_system"),
+            F.current_timestamp().alias("quarantined_ts"),
+        )
+        .write.mode("append")
+        .partitionBy("source_system")
+        .parquet(path)
+    )
+
+
 def _uid_expr(mapping: SourceMapping) -> Column:
     """Surrogate key built from the SOURCE expressions of its target
     components (so no target aliases need to exist yet, and source

@@ -94,3 +94,45 @@ def test_refresh_gold_idempotent(spark, rapid7_bronze, forti_bronze, tmp_dir):
     counts2 = {n: spark.read.parquet(p).count() for n, p in second.items()}
     assert counts1 == counts2
     assert counts1["current_assets"] == 4
+
+
+def test_streaming_gold_refresh(spark, rapid7_bronze, forti_bronze, tmp_dir):
+    """New silver files trigger a full mart rebuild; marts appear with
+    the same contents refresh_gold produces in batch."""
+    from event_to_lakehouse_spark.pipeline.gold import start_gold_refresh_stream
+
+    silver_path = f"{tmp_dir}/silver"
+    write_silver_batch(_silver(spark, rapid7_bronze, forti_bronze), silver_path)
+    gold_root = f"{tmp_dir}/gold_stream"
+    q = start_gold_refresh_stream(
+        spark, silver_path, gold_root, checkpoint=f"{tmp_dir}/gold_ckpt"
+    )
+    q.awaitTermination(120)
+    cur = spark.read.parquet(f"{gold_root}/current_assets")
+    posture = spark.read.parquet(f"{gold_root}/asset_posture")
+    assert cur.count() > 0
+    assert posture.count() > 0
+    # latest-wins invariant holds through the streaming path too
+    assert cur.select("asset_uid").distinct().count() == cur.count()
+
+
+def test_quarantine_sink(spark, rapid7_bronze, tmp_dir):
+    """split_corrupt + write_quarantine: the corrupt row the reference
+    silently drops is preserved with its raw payload for replay."""
+    from event_to_lakehouse_spark.pipeline.normalize import (
+        read_bronze,
+        split_corrupt,
+        write_quarantine,
+    )
+    from tests.test_pipeline_golden import RAPID7_SCHEMA
+
+    bronze = read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA)
+    clean, corrupt = split_corrupt(bronze)
+    assert clean.count() == 2 and corrupt.count() == 1
+    qpath = f"{tmp_dir}/quarantine"
+    write_quarantine(corrupt, qpath, source_system="rapid7")
+    back = spark.read.parquet(qpath)
+    assert back.count() == 1
+    row = back.first()
+    assert row.source_system == "rapid7"
+    assert row.raw_payload and row.quarantined_ts is not None
