@@ -45,6 +45,11 @@ def _cmd_normalize(args) -> int:
         with open(schema_file) as f:
             schema = T.StructType.fromJson(json.load(f))
         bronze = read_bronze(spark, path, schema, streaming=args.stream)
+        if args.quarantine and not args.stream:
+            from .pipeline.normalize import split_corrupt, write_quarantine
+
+            bronze, corrupt = split_corrupt(bronze)
+            write_quarantine(corrupt, args.quarantine, source_system=name)
         outs.append(apply_mapping(bronze, mappings[name]))
     silver = silver_union(*outs) if len(outs) > 1 else outs[0]
     if args.stream:
@@ -56,9 +61,15 @@ def _cmd_normalize(args) -> int:
 
 
 def _cmd_refresh_gold(args) -> int:
-    from .pipeline.gold import refresh_gold
+    from .pipeline.gold import refresh_gold, start_gold_refresh_stream
 
     spark = get_spark("silver-to-gold")
+    if args.stream:
+        q = start_gold_refresh_stream(
+            spark, args.silver, args.gold_root, args.checkpoint, top_n=args.top_n
+        )
+        q.awaitTermination()
+        return 0
     marts = refresh_gold(spark, args.silver, args.gold_root, top_n=args.top_n)
     for name, path in marts.items():
         print(f"[OK] {name}: {path}")
@@ -94,12 +105,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--stream", action="store_true")
     s.add_argument("--checkpoint")
+    s.add_argument(
+        "--quarantine",
+        help="batch mode: write corrupt rows here (replayable) instead of dropping",
+    )
     s.set_defaults(fn=_cmd_normalize)
 
     s = sub.add_parser("refresh-gold", help="silver -> gold marts")
     s.add_argument("--silver", required=True)
     s.add_argument("--gold-root", required=True)
     s.add_argument("--top-n", type=int, default=10)
+    s.add_argument("--stream", action="store_true",
+                   help="watch silver and rebuild marts per micro-batch")
+    s.add_argument("--checkpoint")
     s.set_defaults(fn=_cmd_refresh_gold)
 
     s = sub.add_parser("compact", help="bin-pack small parquet files")

@@ -77,3 +77,24 @@ def test_refresh_gold_cli(spark, tmp_dir, capsys):
     out = capsys.readouterr().out
     assert "[OK] asset_posture" in out
     assert spark.read.parquet(f"{tmp_dir}/gold/current_assets").count() == 2
+
+
+def test_normalize_cli_quarantine(spark, tmp_dir):
+    from tests.test_pipeline_golden import RAPID7_SCHEMA
+
+    bronze = write_bronze(f"{tmp_dir}/bronze/rapid7", RAPID7_RECORDS)
+    schema_file = Path(tmp_dir) / "rapid7_schema.json"
+    schema_file.write_text(json.dumps(json.loads(RAPID7_SCHEMA.json())))
+    rc = main(
+        [
+            "normalize",
+            "--source", f"rapid7={bronze}={schema_file}",
+            "--out", f"{tmp_dir}/silver",
+            "--quarantine", f"{tmp_dir}/quarantine",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{tmp_dir}/silver").count() == 2
+    q = spark.read.parquet(f"{tmp_dir}/quarantine")
+    assert q.count() == 1  # the corrupt record, preserved for replay
+    assert q.first().source_system == "rapid7"
