@@ -80,21 +80,32 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     return full.unionByName(short)
 
 
-def signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
     """(doc_id, sig: array<long>[k]) minhash signatures — one
-    explode+window+agg pipeline, every hash in whole-stage codegen."""
+    explode+window+agg pipeline, every hash in whole-stage codegen.
+    ``n_hashes`` is corpus-tunable: k=16 suits the small test corpora;
+    production near-dup recall targets typically run k=128 with
+    proportionally more bands (see ``candidate_pairs``)."""
     exploded = shingle_rows(docs, text_col)
     # SQL-string aggregates: one JVM-side parse instead of ~100 py4j
     # round-trips of Column building (same lesson as simhash.py).
     mins = exploded.groupBy("doc_id").agg(
-        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh_{i}") for i in range(N_HASHES)]
+        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh_{i}") for i in range(n_hashes)]
     )
     return mins.selectExpr(
-        "doc_id", f"array({', '.join(f'mh_{i}' for i in range(N_HASHES))}) AS sig"
+        "doc_id", f"array({', '.join(f'mh_{i}' for i in range(n_hashes))}) AS sig"
     )
 
 
-def _bands(sigs: DataFrame) -> DataFrame:
+def _bands(
+    sigs: DataFrame,
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    rows_per_band = n_hashes // bands
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -102,11 +113,11 @@ def _bands(sigs: DataFrame) -> DataFrame:
                 *[
                     F.xxhash64(
                         *[
-                            F.element_at("sig", b * ROWS_PER_BAND + r + 1)
-                            for r in range(ROWS_PER_BAND)
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
                         ]
                     )
-                    for b in range(BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_hash"),
@@ -119,13 +130,25 @@ def _bands(sigs: DataFrame) -> DataFrame:
     w = Window.partitionBy("band_idx", "band_hash")
     return (
         banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("bucket_n") <= MAX_BUCKET)
+        .filter(F.col("bucket_n") <= max_bucket)
         .select("doc_id", "band_idx", "band_hash")
     )
 
 
-def candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
     """LSH-banded candidate pairs with minhash-estimated Jaccard.
+
+    Tunables (corpus-dependent): the LSH S-curve threshold is
+    ~(1/bands)^(bands/n_hashes); k=16/b=4 targets the test corpora,
+    a production web-scale dedup would run e.g. k=128/b=32 for a
+    ~0.7-Jaccard knee with high recall. ``n_hashes`` must be divisible
+    by ``bands``.
 
     ``sigs`` is referenced three times downstream (banding + both
     sides of the signature join-back) and ``bands`` twice (candidate
@@ -136,9 +159,12 @@ def candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     collapses the plan to the 4 real shuffles."""
     from pyspark import StorageLevel
 
-    sigs = signatures(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _bands(sigs).persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = bands.alias("a"), bands.alias("b")
+    assert n_hashes % bands == 0, "n_hashes must be divisible by bands"
+    sigs = signatures(docs, text_col, n_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = _bands(sigs, n_hashes, bands, max_bucket).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
             b,
@@ -161,7 +187,7 @@ def candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 lambda v: v == 1,
             )
         ).cast("double")
-        / F.lit(float(N_HASHES))
+        / F.lit(float(n_hashes))
     )
     return (
         pairs.join(sa, "doc_id_a")

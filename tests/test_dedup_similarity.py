@@ -159,3 +159,24 @@ def test_lsh_topk_multiprobe_finds_planted_neighbor(spark):
         for q in range(5)
     )
     assert hits >= 4, f"only {hits}/5 planted neighbors ranked first"
+
+
+def test_minhash_tunable_parameters(spark):
+    """candidate_pairs with production-grade k=32/b=8: planted
+    near-dups must still surface and jaccard estimates stay in [0,1] on
+    the k-long signature — pins that the parameters are genuinely
+    corpus-tunable, not baked-in constants."""
+    rows = []
+    for i in range(10):
+        base = f"document {i} " + " ".join(f"tok{i}_{j}" for j in range(25))
+        rows.append((i, base))
+        rows.append((100 + i, base + " extra tail token"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = candidate_pairs(docs, n_hashes=32, bands=8).collect()
+    found = {(r.doc_id_a, r.doc_id_b): r.jaccard_est for r in pairs}
+    hits = sum((i, 100 + i) in found for i in range(10))
+    assert hits >= 9
+    assert all(0.0 <= j <= 1.0 for j in found.values())
+    # the k=32 signature is actually built (not the default 16)
+    sig = signatures(docs, n_hashes=32).first().sig
+    assert len(sig) == 32
