@@ -3,6 +3,8 @@ mechanics the reference declares but does not implement)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import types as T
 
 from event_to_lakehouse_spark.registry.evolution import (
@@ -95,3 +97,54 @@ def test_conform_then_union_across_versions(spark):
     merged = conform(old, new_schema).unionByName(new)
     assert merged.count() == 2
     assert {r.added_col for r in merged.collect()} == {None, "x"}
+
+
+def test_conform_in_stream_mid_evolution(spark, tmp_dir):
+    """Operational schema evolution: bronze files written under TWO
+    schema versions (v2 adds a nullable field) flow through ONE
+    streaming query whose foreachBatch conforms every micro-batch to
+    the v2 contract — old-version rows surface with typed NULLs, no
+    reprocessing or job restart."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.registry.evolution import (
+        classify,
+        conform,
+        diff_schemas,
+    )
+
+    v1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    v2 = T.StructType(
+        list(v1.fields) + [T.StructField("region", T.StringType())]
+    )
+    assert classify(diff_schemas(v1, v2)) == "safe"
+
+    src = Path(tmp_dir) / "bronze"
+    src.mkdir()
+    (src / "old.json").write_text(_json.dumps({"id": 1, "name": "a"}) + "\n")
+    (src / "new.json").write_text(
+        _json.dumps({"id": 2, "name": "b", "region": "emea"}) + "\n"
+    )
+
+    # stream reads with the WIDEST schema (v2); conform guarantees the
+    # contract shape for every batch regardless of producer version
+    raw = spark.readStream.schema(v2).json(str(src))
+    out = f"{tmp_dir}/conformed"
+
+    def _write(batch_df, batch_id):
+        conform(batch_df, v2).write.mode("append").parquet(out)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .foreachBatch(_write)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = {r.id: (r.name, r.region) for r in spark.read.parquet(out).collect()}
+    assert back == {1: ("a", None), 2: ("b", "emea")}

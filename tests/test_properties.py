@@ -74,3 +74,45 @@ def test_plan_output_files_bounds(total, target):
     assert n * target >= total
     if n > 1:
         assert (n - 1) * target < total
+
+
+def test_lsh_bucket_invariant_under_partitioning(spark):
+    """The LSH bucket is a pure function of the vector: repartitioning
+    (different physical placement, different task order) must never
+    change any assignment — the property that makes bucket-blocked
+    dedup reproducible across cluster sizes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.similarity.ann import lsh_bucket
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    one = {r.vec_id: r.b for r in df.withColumn("b", lsh_bucket()).collect()}
+    other = {
+        r.vec_id: r.b
+        for r in df.repartition(13).withColumn("b", lsh_bucket()).collect()
+    }
+    assert one == other
+    assert all(0 <= b < 64 for b in one.values())  # n_bits=6 range
+
+
+def test_deterministic_sample_invariant_under_partitioning(spark):
+    """Salted-hash sampling membership is a pure function of
+    (salt, doc_id): any repartitioning yields the same sample."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.textops import SAMPLE_MAX_BUCKET, SAMPLE_SALT
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256), 1, 2
+    )
+    a = {r.doc_id for r in df.filter(bucket <= SAMPLE_MAX_BUCKET).collect()}
+    b = {
+        r.doc_id
+        for r in df.repartition(17).filter(bucket <= SAMPLE_MAX_BUCKET).collect()
+    }
+    assert a == b
+    assert 0.15 < len(a) / 5000 < 0.25  # ~20% as designed
