@@ -419,3 +419,48 @@ def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
     )
+
+
+def decontaminate_pairs(
+    docs,
+    eval_pred,
+    ngram: int = DECON_NGRAM,
+    min_shared: int = DECON_MIN_SHARED,
+    hashed: bool = True,
+):
+    """Composable decontamination: flag training docs sharing >=
+    ``min_shared`` distinct word n-grams with the eval split selected by
+    ``eval_pred`` (a boolean Column over the doc frame).
+
+    ``hashed=True`` is the 100 TB path the registered query's docstring
+    promises: n-grams are xxhash64'd to longs BEFORE the explode, so
+    the broadcast eval side carries 8-byte keys instead of strings
+    (~10× smaller for 5-gram text) and the equi-join compares longs.
+    Collisions are a ~2^-64 false-flag risk — acceptable for a
+    contamination screen; set ``hashed=False`` for the exact string
+    form the DuckDB oracle mirrors."""
+    w = F.split(F.lower(F.col("text")), " ")
+    toks = docs.select("doc_id", eval_pred.alias("_is_eval"), w.alias("w")).filter(
+        F.size("w") >= ngram
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (ngram - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + j) for j in range(ngram)]
+        ),
+    )
+    grams = toks.select(
+        "doc_id", "_is_eval", F.explode(F.array_distinct(gram)).alias("g")
+    )
+    if hashed:
+        grams = grams.select("doc_id", "_is_eval", F.xxhash64("g").alias("g"))
+    ev = grams.filter(F.col("_is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    tr = grams.filter(~F.col("_is_eval")).select("doc_id", "g")
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )

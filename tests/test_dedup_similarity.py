@@ -180,3 +180,31 @@ def test_minhash_tunable_parameters(spark):
     # the k=32 signature is actually built (not the default 16)
     sig = signatures(docs, n_hashes=32).first().sig
     assert len(sig) == 32
+
+
+def test_decontaminate_hashed_matches_exact(spark):
+    """The hashed (xxhash64 long-key) decontamination path must flag
+    exactly the same (train, eval) pairs as the exact string-key form
+    the oracle checks — hashing only shrinks the broadcast."""
+    from event_to_lakehouse_spark.textops import decontaminate_pairs
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"training doc one {leak} with extra words here"),
+        (2, "training doc two entirely different content stream okay"),
+        (20, f"eval benchmark question {leak} answer choices follow"),
+        (40, "eval other item nothing shared with training corpus"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pred = F.col("doc_id") >= 20
+    exact = {
+        (r.doc_id, r.eval_doc_id, r.shared_ngrams)
+        for r in decontaminate_pairs(docs, pred, hashed=False).collect()
+    }
+    hashed = {
+        (r.doc_id, r.eval_doc_id, r.shared_ngrams)
+        for r in decontaminate_pairs(docs, pred, hashed=True).collect()
+    }
+    assert exact == hashed
+    assert any(d == 1 and e == 20 for d, e, _ in hashed)  # the leak is caught
+    assert not any(d == 2 for d, _, _ in hashed)
