@@ -168,3 +168,23 @@ def run_to_completion(query) -> None:
     helper; production uses awaitAnyTermination like the reference
     :299)."""
     query.awaitTermination()
+
+
+def dedup_documents_stream(docs: DataFrame, watermark_col: str, watermark: str = "1 hour") -> DataFrame:
+    """Streaming content dedup for a document feed: fingerprint each
+    arriving doc (sha2 over normalized text — the exact-dedup key) and
+    drop repeats within the watermark horizon.
+
+    This is the ingest-time half of corpus dedup: late re-crawls and
+    producer retries die here with bounded state (one 32-byte key per
+    unique doc inside the watermark), while the batch pass
+    (``dedup.exact``) handles cross-horizon duplicates. Same
+    fingerprint function both places, so the two passes agree on
+    identity."""
+    from ..functions.text import fingerprint
+
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .withWatermark(watermark_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

@@ -142,3 +142,46 @@ def test_idempotent_foreach_batch_replay(spark, tmp_dir):
     writer(df, 7)  # replay
     back = spark.read.parquet(f"{tmp_dir}/out")
     assert back.count() == 2
+
+
+def test_dedup_documents_stream(spark, tmp_dir):
+    """Re-crawled docs (same content, different doc_id/arrival) are
+    dropped in-stream by content fingerprint; distinct docs survive."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.streaming.jobs import dedup_documents_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("arrival", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = Path(tmp_dir) / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "arrival": "2024-01-01T00:00:00", "text": "alpha beta gamma"},
+        {"doc_id": 2, "arrival": "2024-01-01T00:05:00", "text": "Alpha  beta GAMMA"},
+        {"doc_id": 3, "arrival": "2024-01-01T00:10:00", "text": "entirely different"},
+    ]
+    (src / "batch.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    deduped = dedup_documents_stream(stream, "arrival")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("doc_dedup")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM doc_dedup").collect()
+    ids = sorted(r.doc_id for r in out)
+    # doc 2 is a normalization-identical re-crawl of doc 1 → dropped
+    assert len(ids) == 2 and 3 in ids and (1 in ids or 2 in ids)
