@@ -313,3 +313,30 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("value", 2).over(w).alias("second_val"),
         )
     )
+
+
+@query(
+    "events_json_path",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+           CAST(len(json_keys(props)) AS INTEGER)            AS n_keys,
+           list_contains(json_keys(props), 'k')              AS has_k
+    FROM events
+    """,
+)
+def events_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.8 JSON/map surface in one projection:
+    ``get_json_object`` path extraction (the expression twin of
+    ``from_json`` for ad-hoc single-path reads), ``map_keys`` over the
+    schema-free map parse, and ``array_contains`` membership.
+    (``schema_of_json`` — the inference utility — backs the registry's
+    sampled schema inference instead of a per-row expression.)"""
+    t = load_tables(spark, sf_dir)
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return t["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "k").alias("has_k"),
+    )
