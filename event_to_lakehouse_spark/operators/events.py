@@ -340,3 +340,27 @@ def events_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.array_contains(F.map_keys(m), "k").alias("has_k"),
     )
+
+
+@query(
+    "events_file_lineage",
+    # the testdata table is exactly one parquet file, so the expected
+    # lineage rollup is static — the oracle pins the Spark side's
+    # input_file_name() + basename extraction + per-file count
+    """
+    SELECT 'events.parquet' AS file_name, count(*) AS n_rows FROM events
+    """,
+)
+def events_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance audit (SURVEY §2.1 S7): every row tagged with its
+    source file via ``input_file_name()``, rolled up per file — the
+    primitive behind per-file quarantine/replay and bad-file isolation.
+    Basename-normalized so the oracle (DuckDB ``filename=true``) agrees
+    across URI schemes."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .select(F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
