@@ -464,3 +464,129 @@ def decontaminate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
     )
+
+
+# --- Chunking + packing (training-sequence preparation) --------------------
+
+CHUNK_TOKENS = 64  # tokens per chunk window
+CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
+PACK_SHARDS = 16  # packing parallelism (per-shard ordering, see below)
+PACK_MAX_TOKENS = 256  # target tokens per packed training sequence
+
+
+@query(
+    "text_chunks",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+        SELECT doc_id, w,
+               unnest(range(0, greatest(
+                 CAST(ceil((len(w) - {CHUNK_OVERLAP})
+                      / CAST({CHUNK_TOKENS - CHUNK_OVERLAP} AS DOUBLE)) AS BIGINT),
+                 1))) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(w[chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                     chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}])
+                AS INTEGER) AS chunk_tokens,
+           sha256(array_to_string(
+               w[chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                 chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' '))
+               AS chunk_sha
+    FROM c
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for training-sequence prep:
+    each doc explodes into ``CHUNK_TOKENS``-token windows overlapping by
+    ``CHUNK_OVERLAP`` (context continuity across chunk boundaries).
+
+    Fully relational 1:N fan-out — tokenization once per doc, then
+    ``explode(sequence(...))`` + ``slice`` per window, all codegen; no
+    Python, no shuffle (chunking is partition-local at any scale). The
+    chunk content hash makes the oracle byte-exact."""
+    t = load_tables(spark, sf_dir)
+    step = CHUNK_TOKENS - CHUNK_OVERLAP
+    toks = t["documents"].filter(F.trim("text") != "").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("w")
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.size("w") - F.lit(CHUNK_OVERLAP)) / F.lit(float(step))).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    window = F.slice("w", (F.col("chunk_idx") * step + 1).cast("int"), CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(window).alias("chunk_tokens"),
+        F.sha2(F.array_join(window, " "), 256).alias("chunk_sha"),
+    )
+
+
+@query(
+    "text_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+               CAST({_TOKENS_SQL} AS BIGINT) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, toks,
+               sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - toks AS start_tok
+        FROM t
+    )
+    SELECT shard, CAST(start_tok // {PACK_MAX_TOKENS} AS BIGINT) AS seq_bin,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: documents are assigned to
+    ~``PACK_MAX_TOKENS``-token training bins by cumulative token offset
+    (a doc belongs to the bin where its tokens START — contiguous
+    best-effort packing with bounded overflow, the relational form of
+    greedy packing).
+
+    Scale shape: packing is per-shard (``doc_id % PACK_SHARDS``), so the
+    running-sum window partitions by shard instead of one global
+    ordering — at 100 TB raise PACK_SHARDS to executor parallelism and
+    each shard packs independently and deterministically."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    toks = t["documents"].select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count("text").cast("long").alias("toks"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toks.withColumn("start_tok", F.sum("toks").over(w) - F.col("toks"))
+    return (
+        packed.groupBy(
+            "shard",
+            (F.col("start_tok") / PACK_MAX_TOKENS)
+            .cast("long")
+            .alias("seq_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )
