@@ -1,0 +1,103 @@
+"""Snapshot-table semantics: atomic append/overwrite, time travel,
+exactly-once batch tokens, stats-based file skipping, vacuum."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+
+def _batch(spark, lo, n):
+    return spark.range(lo, lo + n).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_and_time_travel(spark, tmp_dir):
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    s1 = t.append(_batch(spark, 0, 100))
+    s2 = t.append(_batch(spark, 100, 50))
+    assert (s1.version, s2.version) == (1, 2)
+    assert t.read().count() == 150  # latest sees both commits
+    assert t.read(version=1).count() == 100  # time travel
+    assert t.history() == [1, 2]
+
+
+def test_batch_token_exactly_once(spark, tmp_dir):
+    """The foreachBatch replay dedup the reference's blind-append
+    writer lacks: same token twice = one commit."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 10), batch_token="batch-0")
+    replay = t.append(_batch(spark, 0, 10), batch_token="batch-0")
+    assert replay.version == 1  # no-op, same snapshot
+    assert t.read().count() == 10
+    t.append(_batch(spark, 10, 10), batch_token="batch-1")
+    assert t.read().count() == 20
+
+
+def test_stats_file_skipping(spark, tmp_dir):
+    """Disjoint-range commits: a range read must open only the
+    overlapping commit's files (manifest zone-map pruning), and still
+    return exact rows."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 100).coalesce(1))
+    t.append(_batch(spark, 1000, 100).coalesce(1))
+    all_files = len(t.snapshot().files)
+    pruned = t.read(between=(1000, 1099))
+    assert len(pruned.inputFiles()) < all_files  # files actually skipped
+    assert pruned.count() == 100
+    assert t.read(between=(5000, 6000)).count() == 0  # nothing overlaps
+
+
+def test_overwrite_is_logical_truncate(spark, tmp_dir):
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 100))
+    t.overwrite(_batch(spark, 0, 5))
+    assert t.read().count() == 5
+    assert t.read(version=1).count() == 100  # old snapshot still readable
+
+
+def test_vacuum_drops_unreferenced_files(spark, tmp_dir):
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 100).coalesce(1))
+    t.overwrite(_batch(spark, 0, 5).coalesce(1))
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1  # v1's files are gone
+    assert t.read().count() == 5  # latest untouched
+    assert t.history() == [2]
+
+
+def test_silver_stream_into_snapshot_table(spark, rapid7_bronze, tmp_dir):
+    """The reference's actual sink shape end-to-end: a streaming silver
+    query whose foreachBatch appends each micro-batch to the snapshot
+    table with a batch-id token — checkpointed, replay-safe, atomic."""
+    from event_to_lakehouse_spark.pipeline.contracts import RAPID7_MAPPING
+    from event_to_lakehouse_spark.pipeline.normalize import (
+        apply_mapping,
+        read_bronze,
+    )
+    from tests.test_pipeline_golden import RAPID7_SCHEMA
+
+    t = SnapshotTable(spark, f"{tmp_dir}/silver_tbl")
+    silver = apply_mapping(
+        read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA, streaming=True),
+        RAPID7_MAPPING,
+    )
+
+    def _write(batch_df, batch_id):
+        t.append(batch_df, batch_token=f"rapid7-{batch_id}")
+
+    q = (
+        silver.writeStream.outputMode("append")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .foreachBatch(_write)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.read().count() == 2  # corrupt row filtered upstream
+    # replaying the same batch is a no-op
+    v = t.snapshot().version
+    t.append(t.read(), batch_token="rapid7-0")
+    assert t.snapshot().version == v
