@@ -203,6 +203,57 @@ class SnapshotTable:
             df = df.filter(F.col(self.stats_col).between(between[0], between[1]))
         return df
 
+    def merge(
+        self,
+        updates: DataFrame,
+        key: str,
+        order_col: str,
+        tiebreak: str | None = None,
+    ) -> Snapshot:
+        """Copy-on-write MERGE (latest row per ``key`` wins — the
+        Iceberg/Delta ``MERGE INTO`` shape on the manifest layer):
+
+        1. prune: if ``key`` is the stats column, only files whose
+           [min, max] overlaps the update keys are candidates — the
+           file-level pruning a real MERGE gets from manifests;
+        2. rewrite: candidates ∪ updates → latest-per-key survivors,
+           written as new files;
+        3. commit: new manifest = untouched files + rewritten files.
+
+        Untouched files are carried by reference (zero bytes moved);
+        the previous snapshot remains readable (time travel)."""
+        from ..pipeline.upsert import latest_per_key
+
+        snap = self.snapshot()
+        if snap is None:
+            return self.append(updates)
+        touched, untouched = snap.files, []
+        if self.stats_col == key:
+            bounds = updates.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            lo, hi = bounds["lo"], bounds["hi"]
+            ser = lo if isinstance(lo, (int, float, str, bool)) else str(lo)
+            ser_hi = hi if isinstance(hi, (int, float, str, bool)) else str(hi)
+            touched = [
+                f
+                for f in snap.files
+                if f["min"] is None or not (f["max"] < ser or f["min"] > ser_hi)
+            ]
+            untouched = [f for f in snap.files if f not in touched]
+        if touched:
+            base = self.spark.read.parquet(*[f["path"] for f in touched])
+            merged = latest_per_key(
+                base.unionByName(updates), key, order_col, tiebreak
+            )
+        else:
+            merged = updates
+        commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
+        merged.write.mode("overwrite").parquet(str(commit_dir))
+        return self._commit(
+            untouched + self._file_entries(commit_dir), list(snap.batch_tokens)
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> int:

@@ -101,3 +101,29 @@ def test_silver_stream_into_snapshot_table(spark, rapid7_bronze, tmp_dir):
     v = t.snapshot().version
     t.append(t.read(), batch_token="rapid7-0")
     assert t.snapshot().version == v
+
+
+def test_merge_copy_on_write(spark, tmp_dir):
+    """MERGE: updated keys win latest-per-key; files whose key range
+    cannot contain an updated key are carried by reference (their paths
+    survive into the new manifest untouched)."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 100).withColumn("ver", F.lit(1)).coalesce(1))
+    t.append(_batch(spark, 1000, 100).withColumn("ver", F.lit(1)).coalesce(1))
+    before = {f["path"] for f in t.snapshot().files}
+
+    updates = (
+        spark.range(0, 10)
+        .select(F.col("id"), (F.col("id") * 7).alias("v"), F.lit(2).alias("ver"))
+    )
+    t.merge(updates, key="id", order_col="ver")
+
+    after = {f["path"] for f in t.snapshot().files}
+    # the 1000-range file was out of the update key range: same path
+    assert any(p in after for p in before)
+    out = t.read()
+    assert out.count() == 200  # no dup keys
+    assert out.filter("id < 10").agg(F.max("ver")).first()[0] == 2  # updated
+    assert out.filter("id >= 10 AND id < 100").agg(F.max("ver")).first()[0] == 1
+    # previous version still shows the old rows (time travel)
+    assert t.read(version=2).filter("id < 10").agg(F.max("ver")).first()[0] == 1
