@@ -198,19 +198,31 @@ def write_silver(
     path: str | None = None,
     table: str | None = None,
     mode: str = "append",
+    snapshot_root: str | None = None,
+    batch_token: str | None = None,
 ) -> str:
-    """S5 table-append sink with the writer-v2 branch: when ``table``
-    names a configured V2 catalog, append via
-    ``df.writeTo(table).append()`` — the reference's actual sink
-    (``bronze_assets_to_silver_assets.py:275-277``:
-    ``writeTo("iceberg.silver.assets").append()``) with snapshot
-    isolation and hidden partitioning; otherwise fall back to the
-    partitioned-parquet writer. Returns the branch taken
-    (``"writer_v2"`` | ``"parquet"``) so callers/tests can assert
-    selection."""
+    """S5 table-append sink, three branches in preference order:
+
+    1. ``table`` names a configured V2 catalog →
+       ``df.writeTo(table).append()`` — the reference's actual sink
+       (``bronze_assets_to_silver_assets.py:275-277``:
+       ``writeTo("iceberg.silver.assets").append()``).
+    2. ``snapshot_root`` given → ``storage.snapshots.SnapshotTable``
+       append: the same semantics (atomic commit, snapshot isolation,
+       time travel, ``batch_token`` replay dedup) without table-format
+       jars.
+    3. otherwise partitioned-parquet append.
+
+    Returns the branch taken (``"writer_v2"`` | ``"snapshot"`` |
+    ``"parquet"``) so callers/tests can assert selection."""
     if v2_catalog_available(spark, table):
         df.writeTo(table).append()
         return "writer_v2"
+    if snapshot_root is not None:
+        from ..storage.snapshots import SnapshotTable
+
+        SnapshotTable(spark, snapshot_root).append(df, batch_token=batch_token)
+        return "snapshot"
     if path is None:
         raise ValueError("no V2 catalog configured and no parquet path given")
     write_silver_batch(df, path, mode)

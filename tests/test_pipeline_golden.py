@@ -296,3 +296,22 @@ def test_writer_id_no_collision_for_same_leaf_checkpoints(
     assert len(batch_dirs) == 2, batch_dirs  # one namespaced dir per query
     back = spark.read.parquet(out)
     assert back.count() == 4  # nothing clobbered
+
+
+def test_write_silver_snapshot_branch(spark, rapid7_bronze, tmp_dir):
+    """Branch 2 of the S5 sink: no V2 catalog, snapshot_root given →
+    atomic snapshot append with batch-token replay dedup."""
+    from event_to_lakehouse_spark.pipeline.normalize import write_silver
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    silver = apply_mapping(
+        read_bronze(spark, rapid7_bronze, RAPID7_SCHEMA), RAPID7_MAPPING
+    )
+    root = f"{tmp_dir}/silver_snap"
+    got = write_silver(silver, spark, snapshot_root=root, batch_token="b0")
+    assert got == "snapshot"
+    t = SnapshotTable(spark, root)
+    assert t.read().count() == 2
+    # replay: same token is a no-op
+    write_silver(silver, spark, snapshot_root=root, batch_token="b0")
+    assert t.read().count() == 2 and t.snapshot().version == 1
