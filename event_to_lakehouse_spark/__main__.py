@@ -87,6 +87,23 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_snapshot(args) -> int:
+    from .storage.snapshots import SnapshotTable
+
+    spark = get_spark("snapshot-table")
+    t = SnapshotTable(spark, args.root, stats_col=args.stats_col)
+    if args.action == "history":
+        for v in t.history():
+            s = t.snapshot(v)
+            rows = sum(f["rows"] for f in s.files)
+            print(f"v{v}: {len(s.files)} files, {rows} rows")
+    elif args.action == "vacuum":
+        print(f"removed {t.vacuum(keep_versions=args.keep)} files")
+    elif args.action == "count":
+        print(t.read(version=args.version).count())
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="event_to_lakehouse_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -125,6 +142,14 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     s.add_argument("--sort-by", default="")
     s.set_defaults(fn=_cmd_compact)
+
+    s = sub.add_parser("snapshot", help="snapshot-table maintenance")
+    s.add_argument("action", choices=["history", "vacuum", "count"])
+    s.add_argument("--root", required=True)
+    s.add_argument("--stats-col")
+    s.add_argument("--keep", type=int, default=1)
+    s.add_argument("--version", type=int)
+    s.set_defaults(fn=_cmd_snapshot)
 
     args = p.parse_args(argv)
     return args.fn(args)

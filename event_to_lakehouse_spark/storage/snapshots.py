@@ -254,6 +254,37 @@ class SnapshotTable:
             untouched + self._file_entries(commit_dir), list(snap.batch_tokens)
         )
 
+    def delete_where(self, predicate) -> Snapshot:
+        """Copy-on-write row-level DELETE: files whose stats range
+        cannot contain a matching row are carried by reference; the
+        rest are rewritten without the matching rows. ``predicate`` is
+        a boolean Column; when a ``(lo, hi)`` tuple over the stats
+        column is passed instead, manifest pruning applies first."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        touched, untouched = snap.files, []
+        cond = predicate
+        if isinstance(predicate, tuple) and self.stats_col:
+            lo, hi = predicate
+            touched = [
+                f
+                for f in snap.files
+                if f["min"] is None or not (f["max"] < lo or f["min"] > hi)
+            ]
+            untouched = [f for f in snap.files if f not in touched]
+            cond = F.col(self.stats_col).between(lo, hi)
+        if not touched:
+            return snap
+        kept = self.spark.read.parquet(*[f["path"] for f in touched]).filter(
+            ~cond
+        )
+        commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
+        kept.write.mode("overwrite").parquet(str(commit_dir))
+        return self._commit(
+            untouched + self._file_entries(commit_dir), list(snap.batch_tokens)
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def vacuum(self, keep_versions: int = 1) -> int:

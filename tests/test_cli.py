@@ -98,3 +98,21 @@ def test_normalize_cli_quarantine(spark, tmp_dir):
     q = spark.read.parquet(f"{tmp_dir}/quarantine")
     assert q.count() == 1  # the corrupt record, preserved for replay
     assert q.first().source_system == "rapid7"
+
+
+def test_snapshot_cli(spark, tmp_dir, capsys):
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = f"{tmp_dir}/tbl"
+    t = SnapshotTable(spark, root)
+    t.append(spark.range(10).select(F.col("id")))
+    t.append(spark.range(10, 30).select(F.col("id")))
+
+    assert main(["snapshot", "history", "--root", root]) == 0
+    out = capsys.readouterr().out
+    assert "v1:" in out and "v2:" in out
+
+    assert main(["snapshot", "count", "--root", root]) == 0
+    assert capsys.readouterr().out.strip() == "30"

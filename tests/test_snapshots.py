@@ -127,3 +127,23 @@ def test_merge_copy_on_write(spark, tmp_dir):
     assert out.filter("id >= 10 AND id < 100").agg(F.max("ver")).first()[0] == 1
     # previous version still shows the old rows (time travel)
     assert t.read(version=2).filter("id < 10").agg(F.max("ver")).first()[0] == 1
+
+
+def test_delete_where_copy_on_write(spark, tmp_dir):
+    """Row-level DELETE: range form prunes files by manifest stats
+    (non-overlapping files carried by reference), matching rows gone,
+    old snapshot still shows them."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 100).coalesce(1))
+    t.append(_batch(spark, 1000, 100).coalesce(1))
+    before = {f["path"] for f in t.snapshot().files}
+
+    t.delete_where((0, 49))  # range form → manifest pruning
+    after = {f["path"] for f in t.snapshot().files}
+    assert any(p in after for p in before)  # 1000-range file untouched
+    assert t.read().count() == 150
+    assert t.read().filter("id < 50").count() == 0
+    assert t.read(version=2).count() == 200  # time travel intact
+
+    t.delete_where(F.col("v") == 2000)  # Column form, no pruning
+    assert t.read().count() == 149
