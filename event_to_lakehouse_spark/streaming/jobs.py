@@ -188,3 +188,13 @@ def dedup_documents_stream(docs: DataFrame, watermark_col: str, watermark: str =
         .withWatermark(watermark_col, watermark)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static dimension enrichment — the most common production
+    join shape: an unbounded fact stream joined to a bounded dimension.
+    Structured Streaming re-resolves the STATIC side every micro-batch,
+    so a dimension backed by a table path picks up slowly-changing
+    updates without restarting the query; ``F.broadcast`` keeps the
+    fact stream shuffle-free at any rate."""
+    return events.join(F.broadcast(dim), on, how)

@@ -7,6 +7,8 @@ import json
 import uuid
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from event_to_lakehouse_spark.streaming.jobs import (
     dedup_within_watermark,
     purchase_attribution,
@@ -185,3 +187,48 @@ def test_dedup_documents_stream(spark, tmp_dir):
     ids = sorted(r.doc_id for r in out)
     # doc 2 is a normalization-identical re-crawl of doc 1 → dropped
     assert len(ids) == 2 and 3 in ids and (1 in ids or 2 in ids)
+
+
+def test_stream_static_enrichment(spark, tmp_dir):
+    """Unbounded events joined to a static customer dimension: every
+    streamed row carries its dimension attributes; the stream side
+    never shuffles (broadcast static side)."""
+    from pathlib import Path
+
+    from event_to_lakehouse_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        enrich_stream,
+        read_event_stream,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    src = Path(tmp_dir) / "events"
+    src.mkdir()
+    import json as _json
+
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 7,
+         "event_type": "purchase", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 999999,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    dim = load_tables(spark, "/root/testdata/sf0.001")["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_event_stream(spark, str(src), EVENTS_SCHEMA)
+    enriched = enrich_stream(stream, dim, "user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_events")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r.event_id: r.c_mktsegment for r in
+           spark.sql("SELECT event_id, c_mktsegment FROM enriched_events").collect()}
+    assert out[1] is not None      # known customer enriched
+    assert out[2] is None          # unknown user -> left join NULL
