@@ -59,7 +59,9 @@ HEADLINE = [
     "text_enrich",
     "text_token_topk",
     "text_decontaminate",
+    "text_chunks",
     "corpus_curation",
+    "events_gap_fill",
     "multimodal_features",
     "multimodal_transform",
     "profile_documents",
