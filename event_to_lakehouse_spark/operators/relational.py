@@ -589,3 +589,35 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(t["orders"].select(F.col("o_custkey").alias("custkey")))
         .distinct()
     )
+
+
+@query(
+    "agg_collect_sets",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS event_types,
+           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type))[1:2], ',')
+               AS first_two
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_set + sort_array + slice), rendered
+    to a joined string so the value check is engine-portable. At scale
+    collect_set is bounded by per-group distinct cardinality — safe for
+    enum-like columns, never for unbounded ones."""
+    t = load_tables(spark, sf_dir)
+    e, c = t["events"], t["customer"]
+    types = F.sort_array(F.collect_set("event_type"))
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(types, ",").alias("event_types"),
+            F.size(types).alias("n_types"),
+            F.array_join(F.slice(types, 1, 2), ",").alias("first_two"),
+        )
+    )
