@@ -621,3 +621,40 @@ def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(types, 1, 2), ",").alias("first_two"),
         )
     )
+
+
+@query(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)                AS abs_dev,
+           round(pow(l_quantity, 2), 4)                    AS qty_sq,
+           round(ln(l_extendedprice + 1), 4)               AS log_price,
+           round(sqrt(l_quantity), 4)                      AS sqrt_qty,
+           round(greatest(l_discount, l_tax), 4)           AS max_rate,
+           round(least(l_discount, l_tax), 4)              AS min_rate,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT)   AS price_k,
+           round(l_extendedprice % 100, 4)                 AS price_mod
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math-function surface (abs/pow/ln/sqrt/greatest/least/
+    floor/mod) in one projection — all codegen expressions; the small
+    key filter keeps the oracle comparison cheap without changing the
+    plan shape (scan→filter→project)."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _r4(F.abs(F.col("l_discount") - 0.05)).alias("abs_dev"),
+        _r4(F.pow("l_quantity", F.lit(2))).alias("qty_sq"),
+        _r4(F.log(F.col("l_extendedprice") + 1)).alias("log_price"),
+        _r4(F.sqrt("l_quantity")).alias("sqrt_qty"),
+        _r4(F.greatest("l_discount", "l_tax")).alias("max_rate"),
+        _r4(F.least("l_discount", "l_tax")).alias("min_rate"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        _r4(F.col("l_extendedprice") % 100).alias("price_mod"),
+    )
