@@ -91,22 +91,32 @@ class SnapshotTable:
             int(p.stem[1:]) for p in (self.root / "meta").glob("v*.json")
         )
 
-    def _commit(self, files: list[dict], batch_tokens: list[str]) -> Snapshot:
-        v = self._latest_version() + 1
+    def _commit(
+        self,
+        files: list[dict],
+        batch_tokens: list[str],
+        parent_version: int | None = None,
+    ) -> Snapshot:
+        # The new version is anchored on the PARENT the files were
+        # derived from — not on the live pointer — so a writer holding
+        # a stale parent collides (FileExistsError) instead of silently
+        # committing a lineage that drops a racer's files (lost update).
+        base = self._latest_version() if parent_version is None else parent_version
+        v = base + 1
         manifest = self.root / "meta" / f"v{v}.json"
         payload = json.dumps(
             {"files": files, "batch_tokens": batch_tokens, "stats_col": self.stats_col}
         )
-        # exclusive create = optimistic concurrency: a concurrent writer
-        # racing to the same version loses with FileExistsError and must
+        # exclusive create = optimistic concurrency: the loser must
         # re-resolve latest and retry (its data dir is orphaned until
         # vacuum()).
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             f.write(payload)
-        tmp = self.root / "meta" / f"_latest.tmp.{uuid.uuid4().hex[:8]}"
-        tmp.write_text(str(v))
-        tmp.rename(self.root / "meta" / "_latest")  # atomic pointer swap
+        if v > self._latest_version():  # never move the pointer backwards
+            tmp = self.root / "meta" / f"_latest.tmp.{uuid.uuid4().hex[:8]}"
+            tmp.write_text(str(v))
+            tmp.rename(self.root / "meta" / "_latest")  # atomic pointer swap
         return self.snapshot(v)  # type: ignore[return-value]
 
     # -- writes -------------------------------------------------------------
@@ -152,20 +162,37 @@ class SnapshotTable:
             )
         return out
 
-    def append(self, df: DataFrame, batch_token: str | None = None) -> Snapshot:
+    def append(
+        self, df: DataFrame, batch_token: str | None = None, max_retries: int = 5
+    ) -> Snapshot:
         """Commit ``df`` as a new snapshot = parent files + new files.
         ``batch_token`` makes replays idempotent: a token already in the
-        chain is a no-op returning the current snapshot."""
-        parent = self.snapshot()
-        tokens = list(parent.batch_tokens) if parent else []
-        if batch_token is not None and batch_token in tokens:
-            return parent  # replayed micro-batch: exactly-once, no-op
-        commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
-        df.write.mode("overwrite").parquet(str(commit_dir))
-        files = (parent.files if parent else []) + self._file_entries(commit_dir)
-        if batch_token is not None:
-            tokens.append(batch_token)
-        return self._commit(files, tokens)
+        chain is a no-op returning the current snapshot.
+
+        Concurrency: appends are commutative (new files + whatever the
+        latest parent holds), so losing the optimistic manifest race is
+        handled by re-resolving the parent and retrying the (cheap)
+        manifest write — the data files written once are reused."""
+        new_entries: list[dict] | None = None
+        for _ in range(max_retries):
+            parent = self.snapshot()
+            tokens = list(parent.batch_tokens) if parent else []
+            if batch_token is not None and batch_token in tokens:
+                return parent  # replayed micro-batch: exactly-once, no-op
+            if new_entries is None:
+                commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
+                df.write.mode("overwrite").parquet(str(commit_dir))
+                new_entries = self._file_entries(commit_dir)
+            files = (parent.files if parent else []) + new_entries
+            if batch_token is not None:
+                tokens.append(batch_token)
+            try:
+                return self._commit(files, tokens, parent.version if parent else 0)
+            except FileExistsError:
+                continue  # another writer took this version; re-resolve
+        raise RuntimeError(
+            f"append lost the commit race {max_retries} times at {self.root}"
+        )
 
     def overwrite(self, df: DataFrame) -> Snapshot:
         """Commit a snapshot containing ONLY ``df`` (logical truncate +
@@ -251,7 +278,9 @@ class SnapshotTable:
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         merged.write.mode("overwrite").parquet(str(commit_dir))
         return self._commit(
-            untouched + self._file_entries(commit_dir), list(snap.batch_tokens)
+            untouched + self._file_entries(commit_dir),
+            list(snap.batch_tokens),
+            snap.version,
         )
 
     def delete_where(self, predicate) -> Snapshot:
@@ -282,7 +311,9 @@ class SnapshotTable:
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         kept.write.mode("overwrite").parquet(str(commit_dir))
         return self._commit(
-            untouched + self._file_entries(commit_dir), list(snap.batch_tokens)
+            untouched + self._file_entries(commit_dir),
+            list(snap.batch_tokens),
+            snap.version,
         )
 
     # -- maintenance --------------------------------------------------------

@@ -147,3 +147,38 @@ def test_delete_where_copy_on_write(spark, tmp_dir):
 
     t.delete_where(F.col("v") == 2000)  # Column form, no pruning
     assert t.read().count() == 149
+
+
+def test_append_retries_past_commit_race(spark, tmp_dir):
+    """A competing writer grabbing the next manifest version must not
+    fail or corrupt an append: the loser re-resolves the parent and
+    commits the next version, and BOTH commits' rows are present.
+
+    The interleaving is forced: the append resolves a STALE parent
+    (pre-race v1) on its first attempt, collides with the racer's v2
+    manifest, and must recover via the retry loop."""
+    from pathlib import Path
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 10))
+    stale_v1 = t.snapshot()
+
+    racer = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    racer_dir = Path(tmp_dir) / "tbl" / "data" / "racerdir"
+    _batch(spark, 500, 5).write.mode("overwrite").parquet(str(racer_dir))
+    racer._commit(stale_v1.files + racer._file_entries(racer_dir), [])  # v2
+
+    orig = t.snapshot
+    state = {"stale_served": False}
+
+    def stale_once(version=None):
+        if version is None and not state["stale_served"]:
+            state["stale_served"] = True
+            return stale_v1  # append's first attempt sees pre-race state
+        return orig(version)
+
+    t.snapshot = stale_once  # type: ignore[method-assign]
+    s = t.append(_batch(spark, 10, 10))  # collides at v2, retries to v3
+    assert state["stale_served"]
+    assert s.version == 3
+    assert t.read().count() == 25  # 10 + 5 (racer) + 10
