@@ -100,13 +100,17 @@ def refresh_gold(
     is materialized first and the derived marts read it back, instead
     of re-deriving the latest-wins subtree three times.
 
-    Publish is stage-then-rename: each mart writes to a staging dir and
-    is swapped in with two renames, so a mid-refresh failure leaves the
-    previous mart in place and readers never observe a half-written
-    directory. (Rename is atomic on posix local/HDFS paths; on object
-    stores swap this for a table format with snapshot commits —
-    parquet ``mode=overwrite`` alone is delete-then-write and exposes
-    an empty window.) Returns mart name → path."""
+    Publish is write-then-repoint: each mart writes to a fresh
+    versioned directory and the stable mart path is a SYMLINK swapped
+    with one atomic ``os.replace`` — readers resolving the mart path
+    always land on a complete directory (old or new, never missing or
+    partial), and a mid-refresh failure leaves the previous mart
+    published. (Atomic on posix local filesystems; on HDFS use the
+    rename-based variant, on object stores a table format with
+    snapshot commits — see ``storage.snapshots`` — since parquet
+    ``mode=overwrite`` alone is delete-then-write with an empty
+    window.) Returns mart name → path."""
+    import os
     import shutil
     import uuid
     from pathlib import Path
@@ -117,14 +121,17 @@ def refresh_gold(
     def publish(df, name: str) -> str:
         final = root / name
         tag = uuid.uuid4().hex[:8]
-        stage = root / f"_stage_{name}_{tag}"
-        df.write.mode("overwrite").parquet(str(stage))
-        old = root / f"_old_{name}_{tag}"
-        if final.exists():
-            final.rename(old)
-        stage.rename(final)
-        if old.exists():
-            shutil.rmtree(old)
+        versioned = root / f"_{name}_{tag}"
+        df.write.mode("overwrite").parquet(str(versioned))
+        old_target = os.readlink(final) if final.is_symlink() else None
+        if final.exists() and not final.is_symlink():
+            # one-time migration from a plain-directory mart
+            final.rename(root / f"_migrated_{name}_{tag}")
+        link_tmp = root / f"_link_{name}_{tag}"
+        os.symlink(versioned.name, link_tmp)  # relative target
+        os.replace(link_tmp, final)  # atomic repoint
+        if old_target is not None:
+            shutil.rmtree(root / old_target, ignore_errors=True)
         return str(final)
 
     silver = spark.read.parquet(silver_path)

@@ -136,3 +136,24 @@ def test_quarantine_sink(spark, rapid7_bronze, tmp_dir):
     row = back.first()
     assert row.source_system == "rapid7"
     assert row.raw_payload and row.quarantined_ts is not None
+
+
+def test_refresh_publish_is_atomic_repoint(spark, rapid7_bronze, forti_bronze, tmp_dir):
+    """The published mart path is a symlink swapped atomically: after a
+    second refresh the path still resolves (no missing-directory
+    window) and stale versioned dirs are cleaned up."""
+    import os
+    from pathlib import Path
+
+    silver_path = f"{tmp_dir}/silver"
+    write_silver_batch(_silver(spark, rapid7_bronze, forti_bronze), silver_path)
+    gold_root = f"{tmp_dir}/gold_sym"
+    first = refresh_gold(spark, silver_path, gold_root)
+    p = Path(first["current_assets"])
+    assert p.is_symlink()
+    target1 = os.readlink(p)
+    refresh_gold(spark, silver_path, gold_root)
+    target2 = os.readlink(p)
+    assert target1 != target2  # repointed to a fresh versioned dir
+    assert not (Path(gold_root) / target1).exists()  # old version swept
+    assert spark.read.parquet(str(p)).count() == 4  # reads resolve fine
