@@ -10,10 +10,13 @@ rewrite_data_files / Delta OPTIMIZE.
 Mechanics: size the output partition count from the INPUT BYTES (not
 row count — the one signal that tracks actual file sizes), optionally
 range-cluster by sort columns so parquet min/max stats become
-selective (data skipping), write to a sibling staging dir, then
-atomically swap. Readers mid-swap see old or new, never a mix; the
-swap is two renames on posix (on object stores, do this behind a table
-format's atomic commit instead).
+selective (data skipping), write to a sibling staging dir, then swap.
+The swap is two renames, so readers never observe a MIX of old and new
+files, but there is a sub-millisecond window where the path is absent
+— schedule compaction in a maintenance window, or manage the table
+with ``storage.snapshots.SnapshotTable`` (its manifest commit swaps a
+pointer, so rewrites are fully atomic for readers). A failure mid-swap
+leaves ``<path>__precompact`` for manual recovery.
 """
 
 from __future__ import annotations
@@ -72,3 +75,30 @@ def compact(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return data_file_count(path)
+
+
+def compact_snapshot(
+    table,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a ``snapshots.SnapshotTable`` — the fully atomic flavor:
+    the bin-packed rewrite lands as a new snapshot (manifest pointer
+    swap), so readers see the old or new file set with NO window where
+    the table is absent; the pre-compaction snapshot stays readable
+    until ``vacuum``. Returns the output file count."""
+    snap = table.snapshot()
+    if snap is None:
+        return 0
+    input_bytes = sum(
+        os.path.getsize(f["path"]) for f in snap.files if os.path.exists(f["path"])
+    )
+    n_out = plan_output_files(input_bytes, target_file_bytes)
+    df = table.read()
+    if sort_cols:
+        shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        shaped = df.repartition(n_out)
+    return len(table.overwrite(shaped).files)

@@ -182,3 +182,19 @@ def test_append_retries_past_commit_race(spark, tmp_dir):
     assert state["stale_served"]
     assert s.version == 3
     assert t.read().count() == 25  # 10 + 5 (racer) + 10
+
+
+def test_compact_snapshot_atomic(spark, tmp_dir):
+    """Compaction of a snapshot table is just another commit: many
+    small-file commits collapse to few files, same rows, and the
+    pre-compaction snapshot remains readable (no reader window)."""
+    from event_to_lakehouse_spark.storage.compaction import compact_snapshot
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    for i in range(5):
+        t.append(_batch(spark, i * 100, 100).repartition(4))
+    assert len(t.snapshot().files) == 20
+    n = compact_snapshot(t)
+    assert n < 20
+    assert t.read().count() == 500
+    assert t.read(version=5).count() == 500  # pre-compaction still readable
