@@ -92,7 +92,16 @@ def _cmd_snapshot(args) -> int:
 
     spark = get_spark("snapshot-table")
     t = SnapshotTable(spark, args.root, stats_col=args.stats_col)
-    if args.action == "history":
+    if args.action == "compact":
+        from .storage.compaction import compact_snapshot
+
+        n = compact_snapshot(
+            t,
+            target_file_bytes=args.target_bytes,
+            sort_cols=args.sort_by.split(",") if args.sort_by else None,
+        )
+        print(f"compacted snapshot table -> {n} files")
+    elif args.action == "history":
         for v in t.history():
             s = t.snapshot(v)
             rows = sum(f["rows"] for f in s.files)
@@ -144,11 +153,13 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=_cmd_compact)
 
     s = sub.add_parser("snapshot", help="snapshot-table maintenance")
-    s.add_argument("action", choices=["history", "vacuum", "count"])
+    s.add_argument("action", choices=["history", "vacuum", "count", "compact"])
     s.add_argument("--root", required=True)
     s.add_argument("--stats-col")
     s.add_argument("--keep", type=int, default=1)
     s.add_argument("--version", type=int)
+    s.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    s.add_argument("--sort-by", default="")
     s.set_defaults(fn=_cmd_snapshot)
 
     args = p.parse_args(argv)
