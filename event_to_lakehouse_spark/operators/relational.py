@@ -658,3 +658,28 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
         _r4(F.col("l_extendedprice") % 100).alias("price_mod"),
     )
+
+
+@query("agg_hll_sketch_merge")  # rows-only: HLL sketch bytes are engine-specific
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counts: build an HLL sketch per
+    (event_type, day) partial, then MERGE the partials per event_type
+    and estimate — the incremental pattern that lets a 100 TB pipeline
+    maintain daily sketch tables and answer any-date-range distinct
+    queries by union instead of rescanning raw events.
+    (approx_count_distinct gives one estimate; sketch_agg + union_agg
+    gives composable state.) Estimate pinned against exact distinct in
+    tests/test_oracle_parity.py."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_users"),
+            F.count(F.lit(1)).alias("n_daily_partials"),
+        )
+    )

@@ -120,3 +120,27 @@ def test_approx_percentile_within_1pct(spark):
     for flag, est in approx.items():
         for e, x in zip(est, exact[flag]):
             assert abs(e - x) <= 0.01 * abs(x), f"{flag}: {e} vs exact {x}"
+
+
+def test_hll_sketch_merge_matches_exact(spark):
+    """Merged daily HLL sketches must estimate within 5% of the exact
+    all-time distinct per event_type — pins that sketch partials
+    compose correctly (the incremental-maintenance contract)."""
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.tables import load_tables
+
+    merged = {
+        r["event_type"]: r["merged_users"]
+        for r in QUERIES["agg_hll_sketch_merge"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_tables(spark, SF_DIR)["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for etype, est in merged.items():
+        assert abs(est - exact[etype]) <= 0.05 * max(exact[etype], 1)
