@@ -364,3 +364,40 @@ def events_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "events_variant_path",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: ``parse_json``
+    once into a binary-encoded variant, then typed ``try_variant_get``
+    path extraction — the open-format answer to schema-on-read that
+    avoids per-path string re-parsing (the variant parse happens once
+    per row however many paths are read). Missing paths yield NULL, not
+    errors. Oracle mirrors the VALUES via DuckDB's JSON path functions."""
+    t = load_tables(spark, sf_dir)
+    v = F.parse_json("props")
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )
