@@ -145,3 +145,37 @@ def test_kafka_stream_roundtrip_without_broker(spark, tmp_dir):
         "subscribe": "assets",
         "startingOffsets": "earliest",
     }
+
+
+def test_custom_python_datasource_eventgen(spark):
+    """Spark 4 pure-Python DataSource: registered source reads via
+    spark.read.format('eventgen'); generation is partitioned and
+    deterministic (same options => byte-identical rows)."""
+    from event_to_lakehouse_spark.sources.eventgen import register
+
+    register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("rows", "1000")
+        .option("numPartitions", "4")
+        .option("seed", "42")
+        .load()
+    )
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 4
+    assert set(df.columns) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    }
+    # determinism: a second read with the same options is identical
+    again = (
+        spark.read.format("eventgen")
+        .option("rows", "1000")
+        .option("numPartitions", "4")
+        .option("seed", "42")
+        .load()
+    )
+    a = sorted(df.collect())
+    b = sorted(again.collect())
+    assert a == b
+    # nulls exist in value (the ~5% gap used by null-handling tests)
+    assert df.filter("value IS NULL").count() > 0
