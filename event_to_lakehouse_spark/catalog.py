@@ -78,6 +78,7 @@ from .pipeline.upsert import latest_per_key
 from .tables import load_tables
 from .textops import (
     _PUNCT_SQL,
+    _QUALITY_SQL,
     _STOP_SQL,
     _TOKENS_SQL,
     REDACT_RE,
@@ -620,12 +621,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # redaction in ONE per-document projection (the realistic pipeline shape —
 # every per-doc enrichment in a single scan).
 # ---------------------------------------------------------------------------
-
-_QUALITY_SQL = (
-    "round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.5 ELSE 0.0 END)"
-    f" + least({_STOP_SQL} * 2.0, 0.3)"
-    f" - least({_PUNCT_SQL}, 0.2) + 0.2, 4)"
-)
 
 _LANG_SQL = """
     CASE

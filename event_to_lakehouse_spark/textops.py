@@ -590,3 +590,70 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks").cast("long").alias("total_tokens"),
         )
     )
+
+
+# Weighted sampling: keep probability proportional to the quality score
+# (p = q * WEIGHTED_BASE_RATE), decided by the same salted content-hash
+# bucket as the other samplers — deterministic, engine-portable.
+WEIGHTED_BASE_RATE = 0.5  # a quality-1.0 doc keeps with p=0.5
+
+_QUALITY_SQL = (
+    "round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.5 ELSE 0.0 END)"
+    f" + least({_STOP_SQL} * 2.0, 0.3)"
+    f" - least({_PUNCT_SQL}, 0.2) + 0.2, 4)"
+)
+
+
+@query(
+    "text_sample_weighted",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source, n_chars,
+               {_QUALITY_SQL} AS q,
+               substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS bucket
+        FROM documents
+    )
+    SELECT source, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+           round(sum(q), 4) AS sum_quality
+    FROM s
+    WHERE bucket < printf('%02x',
+          CAST(floor(greatest(least(q, 1.0), 0.0) * {WEIGHTED_BASE_RATE} * 256)
+               AS INTEGER))
+    GROUP BY source
+    """,
+)
+def text_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: each document keeps with probability
+    proportional to its quality score (p = q × base_rate) — the
+    up-weight-good-data step of LLM data mixing — decided by comparing
+    the salted hash bucket against a per-doc hex threshold, so
+    membership stays a pure function of (salt, doc_id, q):
+    reproducible across engines, retries, and partitionings."""
+    from .functions.text import quality_score
+
+    t = load_tables(spark, sf_dir)
+    q = quality_score("text")
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256), 1, 2
+    )
+    threshold = F.format_string(
+        "%02x",
+        F.floor(
+            F.greatest(F.least(q, F.lit(1.0)), F.lit(0.0))
+            * WEIGHTED_BASE_RATE
+            * 256
+        ).cast("int"),
+    )
+    return (
+        t["documents"]
+        .withColumn("_q", q)
+        .filter(bucket < threshold)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            _r4(F.sum("_q")).alias("sum_quality"),
+        )
+    )
