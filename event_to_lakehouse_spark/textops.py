@@ -427,6 +427,7 @@ def decontaminate_pairs(
     ngram: int = DECON_NGRAM,
     min_shared: int = DECON_MIN_SHARED,
     hashed: bool = True,
+    broadcast_eval: bool = True,
 ):
     """Composable decontamination: flag training docs sharing >=
     ``min_shared`` distinct word n-grams with the eval split selected by
@@ -438,7 +439,12 @@ def decontaminate_pairs(
     (~10× smaller for 5-gram text) and the equi-join compares longs.
     Collisions are a ~2^-64 false-flag risk — acceptable for a
     contamination screen; set ``hashed=False`` for the exact string
-    form the DuckDB oracle mirrors."""
+    form the DuckDB oracle mirrors.
+
+    ``broadcast_eval=True`` fits the common case (benchmark-sized eval
+    corpora); for a LARGE eval split pass ``False`` so Catalyst plans a
+    shuffled hash/sort-merge join on the gram key instead of forcing a
+    broadcast that would not fit executor memory."""
     w = F.split(F.lower(F.col("text")), " ")
     toks = docs.select("doc_id", eval_pred.alias("_is_eval"), w.alias("w")).filter(
         F.size("w") >= ngram
@@ -458,8 +464,9 @@ def decontaminate_pairs(
         F.col("doc_id").alias("eval_doc_id"), "g"
     )
     tr = grams.filter(~F.col("_is_eval")).select("doc_id", "g")
+    ev_side = F.broadcast(ev) if broadcast_eval else ev
     return (
-        tr.join(F.broadcast(ev), "g")
+        tr.join(ev_side, "g")
         .groupBy("doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
