@@ -339,28 +339,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink the broadcast.
     """
     t = load_tables(spark, sf_dir)
-    w = F.split(F.lower(F.col("text")), " ")
-    toks = t["documents"].select("doc_id", w.alias("w")).filter(
-        F.size("w") >= DECON_NGRAM
-    )
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size("w") - (DECON_NGRAM - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at("w", i + j) for j in range(DECON_NGRAM)]
-        ),
-    )
-    grams = toks.select(
-        "doc_id", F.explode(F.array_distinct(gram)).alias("g")
-    )
-    ev = grams.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
-        F.col("doc_id").alias("eval_doc_id"), "g"
-    )
-    tr = grams.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
-    return (
-        tr.join(F.broadcast(ev), "g")
-        .groupBy("doc_id", "eval_doc_id")
-        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
-        .filter(F.col("shared_ngrams") >= DECON_MIN_SHARED)
+    # the composable form, exact-string flavor (oracle-mirrorable);
+    # production uses hashed=True (xxhash64 keys) and, for large eval
+    # splits, broadcast_eval=False — see decontaminate_pairs.
+    return decontaminate_pairs(
+        t["documents"], F.col("doc_id") % DECON_EVAL_MOD == 0, hashed=False
     )
 
 
