@@ -181,3 +181,29 @@ def test_corpus_curation_single_dedup_shuffle(spark, qs):
     and the small final mix aggregation."""
     a = audit_plan(qs["corpus_curation"](spark, SF_DIR))
     assert a.shuffle_exchanges <= 3
+
+
+def test_plan_policy_no_unexpected_nested_loops(spark, qs):
+    """Fleet-wide plan policy over the ENTIRE driver catalog: nested-
+    loop joins appear ONLY where they are the intended algorithm
+    (broadcast-NL of a scalar/centroid/query set or an explicit
+    dim×dim cross join), and a CartesianProduct appears nowhere. Any
+    new catalog entry that accidentally plans an unbounded pair-up
+    fails here before it ships."""
+    from event_to_lakehouse_spark.catalog import driver_queries
+
+    BNLJ_ALLOWED = {
+        "q22_untapped_segments",    # scalar-subquery broadcast-NL (1-row side)
+        "ann_bruteforce_topk",      # corpus × broadcast query set (the algorithm)
+        "ann_ivf_topk",             # corpus × broadcast centroid set (assignment)
+        "join_cross_region_pairs",  # explicit dim×dim cross join
+    }
+    offenders, cartesian = [], []
+    for name, fn in driver_queries().items():
+        a = audit_plan(fn(spark, SF_DIR))
+        if a.nested_loop_joins and name not in BNLJ_ALLOWED:
+            offenders.append(name)
+        if "CartesianProduct" in a.text:
+            cartesian.append(name)
+    assert offenders == [], f"unexpected nested-loop joins: {offenders}"
+    assert cartesian == [], f"cartesian products: {cartesian}"
