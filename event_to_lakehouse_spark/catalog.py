@@ -305,13 +305,17 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
     SELECT c_mktsegment, event_type, round(sum(value), 4) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment, event_type
+    HAVING sum(value) IS NOT NULL
     """,
 )
 def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (explicit value list — stable schema, no discovery pass)
     then unpivot back to long form: both reshape operators in one plan.
-    Null cells (absent combinations) are filtered so the round trip is
-    exactly the long-form aggregate the oracle computes directly."""
+    Null cells are filtered on BOTH sides (Spark: post-unpivot filter;
+    oracle: HAVING sum IS NOT NULL) so the contract is data-independent
+    — a group whose ``value`` column is entirely NULL (sum → NULL) is
+    excluded identically whether it arises from an absent combination
+    or from real NULL-valued rows."""
     t = load_tables(spark, sf_dir)
     e, c = t["events"], t["customer"]
     wide = (

@@ -130,8 +130,16 @@ def refresh_gold(
         link_tmp = root / f"_link_{name}_{tag}"
         os.symlink(versioned.name, link_tmp)  # relative target
         os.replace(link_tmp, final)  # atomic repoint
-        if old_target is not None:
-            shutil.rmtree(root / old_target, ignore_errors=True)
+        # Deferred retention: a reader that resolved the symlink just
+        # before the swap (or a Spark job mid-scan during streaming
+        # refresh) may still be reading the OLD version, so it is never
+        # deleted synchronously. Keep {current, previous}; sweep only
+        # versions unreferenced since before the last refresh — a full
+        # refresh cycle of grace.
+        keep = {versioned.name, old_target} - {None}
+        for stale in root.glob(f"_{name}_*"):
+            if stale.is_dir() and stale.name not in keep:
+                shutil.rmtree(stale, ignore_errors=True)
         return str(final)
 
     silver = spark.read.parquet(silver_path)

@@ -31,6 +31,7 @@ a loser must retry its commit (its data files are orphaned, swept by
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -42,6 +43,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["SnapshotTable", "Snapshot"]
+
+
+def _stat_safe(v):
+    """Serialize a stats value EXACTLY as the manifest stores it.
+
+    Manifest min/max keep their native JSON type (ints/floats compare
+    numerically, strings lexicographically); non-JSON temporals become
+    ``isoformat()`` strings. Every comparison against stored stats
+    (read-pruning, merge, delete_where) must pass its bounds through
+    this same function — ``str(datetime)`` yields ``'... 06:00'`` while
+    ``isoformat()`` yields ``'...T06:00'``, and ``' ' < 'T'`` silently
+    breaks overlap tests for same-date boundaries."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
 
 @dataclass
@@ -113,11 +129,29 @@ class SnapshotTable:
         fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             f.write(payload)
-        if v > self._latest_version():  # never move the pointer backwards
-            tmp = self.root / "meta" / f"_latest.tmp.{uuid.uuid4().hex[:8]}"
-            tmp.write_text(str(v))
-            tmp.rename(self.root / "meta" / "_latest")  # atomic pointer swap
+        self._advance_pointer(v)
         return self.snapshot(v)  # type: ignore[return-value]
+
+    def _advance_pointer(self, v: int) -> None:
+        """Move ``_latest`` forward to ``v`` unless it already points at
+        something newer. Check-then-rename alone races: concurrent
+        commits of v2 and v3 can both pass the check and the v2 writer
+        can rename LAST, regressing the pointer while v3.json exists —
+        after which every append resolves parent v2, collides with the
+        existing v3 manifest, and the table wedges. An advisory flock
+        around the check+swap makes the pair atomic among cooperating
+        writers (posix/NFSv4; on object stores resolve latest by
+        listing the manifest chain instead)."""
+        lock = self.root / "meta" / "_latest.lock"
+        lock_fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            if v > self._latest_version():  # never move the pointer backwards
+                tmp = self.root / "meta" / f"_latest.tmp.{uuid.uuid4().hex[:8]}"
+                tmp.write_text(str(v))
+                tmp.rename(self.root / "meta" / "_latest")  # atomic swap
+        finally:
+            os.close(lock_fd)  # releases the flock
 
     # -- writes -------------------------------------------------------------
 
@@ -141,14 +175,6 @@ class SnapshotTable:
             for r in df.groupBy("_file").agg(*aggs).collect()
         }
 
-        def _json_safe(v):
-            # stats keep their NATIVE type (ints/floats compare
-            # numerically at read; strings lexicographically); only
-            # non-JSON types (timestamps/dates) become ISO strings.
-            if v is None or isinstance(v, (int, float, str, bool)):
-                return v
-            return v.isoformat() if hasattr(v, "isoformat") else str(v)
-
         out = []
         for p in paths:
             r = stats.get(p)
@@ -156,8 +182,8 @@ class SnapshotTable:
                 {
                     "path": p,
                     "rows": int(r["rows"]) if r else 0,
-                    "min": (_json_safe(r["mn"]) if (r and self.stats_col) else None),
-                    "max": (_json_safe(r["mx"]) if (r and self.stats_col) else None),
+                    "min": (_stat_safe(r["mn"]) if (r and self.stats_col) else None),
+                    "max": (_stat_safe(r["mx"]) if (r and self.stats_col) else None),
                 }
             )
         return out
@@ -194,12 +220,21 @@ class SnapshotTable:
             f"append lost the commit race {max_retries} times at {self.root}"
         )
 
-    def overwrite(self, df: DataFrame) -> Snapshot:
+    def overwrite(self, df: DataFrame, keep_tokens: bool = True) -> Snapshot:
         """Commit a snapshot containing ONLY ``df`` (logical truncate +
-        load). Old files stay on disk for time travel until vacuum."""
+        load). Old files stay on disk for time travel until vacuum.
+
+        ``keep_tokens=True`` (default) carries the parent's exactly-once
+        batch-token chain forward — a content rewrite (compaction) does
+        not un-apply the micro-batches whose rows it now holds, so a
+        ``foreachBatch`` replay straddling a compaction must still be a
+        no-op. Pass ``keep_tokens=False`` only for a true truncate+load
+        that starts a new ingestion lineage."""
+        parent = self.snapshot()
+        tokens = list(parent.batch_tokens) if (parent and keep_tokens) else []
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         df.write.mode("overwrite").parquet(str(commit_dir))
-        return self._commit(self._file_entries(commit_dir), [])
+        return self._commit(self._file_entries(commit_dir), tokens)
 
     # -- reads --------------------------------------------------------------
 
@@ -217,7 +252,10 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         files = snap.files
         if between is not None and self.stats_col:
-            lo, hi = between  # must be comparable to the stored stats type
+            # bounds pass through the SAME serializer as the manifest
+            # stats so temporal types compare correctly (isoformat,
+            # not str()).
+            lo, hi = _stat_safe(between[0]), _stat_safe(between[1])
             files = [
                 f
                 for f in files
@@ -259,9 +297,9 @@ class SnapshotTable:
             bounds = updates.agg(
                 F.min(key).alias("lo"), F.max(key).alias("hi")
             ).first()
-            lo, hi = bounds["lo"], bounds["hi"]
-            ser = lo if isinstance(lo, (int, float, str, bool)) else str(lo)
-            ser_hi = hi if isinstance(hi, (int, float, str, bool)) else str(hi)
+            # serialize with the manifest's own writer so temporal
+            # bounds match stored isoformat stats bit-for-bit
+            ser, ser_hi = _stat_safe(bounds["lo"]), _stat_safe(bounds["hi"])
             touched = [
                 f
                 for f in snap.files
@@ -296,10 +334,11 @@ class SnapshotTable:
         cond = predicate
         if isinstance(predicate, tuple) and self.stats_col:
             lo, hi = predicate
+            slo, shi = _stat_safe(lo), _stat_safe(hi)
             touched = [
                 f
                 for f in snap.files
-                if f["min"] is None or not (f["max"] < lo or f["min"] > hi)
+                if f["min"] is None or not (f["max"] < slo or f["min"] > shi)
             ]
             untouched = [f for f in snap.files if f not in touched]
             cond = F.col(self.stats_col).between(lo, hi)

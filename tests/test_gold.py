@@ -141,7 +141,10 @@ def test_quarantine_sink(spark, rapid7_bronze, tmp_dir):
 def test_refresh_publish_is_atomic_repoint(spark, rapid7_bronze, forti_bronze, tmp_dir):
     """The published mart path is a symlink swapped atomically: after a
     second refresh the path still resolves (no missing-directory
-    window) and stale versioned dirs are cleaned up."""
+    window). Retention is DEFERRED — the just-unpublished version
+    survives one refresh cycle (a reader that resolved the symlink just
+    before the swap can finish its scan), and is swept on the refresh
+    after that."""
     import os
     from pathlib import Path
 
@@ -155,5 +158,12 @@ def test_refresh_publish_is_atomic_repoint(spark, rapid7_bronze, forti_bronze, t
     refresh_gold(spark, silver_path, gold_root)
     target2 = os.readlink(p)
     assert target1 != target2  # repointed to a fresh versioned dir
-    assert not (Path(gold_root) / target1).exists()  # old version swept
+    # grace window: previous version still readable right after the swap
+    assert (Path(gold_root) / target1).exists()
+    refresh_gold(spark, silver_path, gold_root)
+    target3 = os.readlink(p)
+    # now unreferenced since before the last refresh → swept
+    assert not (Path(gold_root) / target1).exists()
+    assert (Path(gold_root) / target2).exists()  # previous kept
+    assert (Path(gold_root) / target3).exists()
     assert spark.read.parquet(str(p)).count() == 4  # reads resolve fine

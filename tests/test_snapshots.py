@@ -198,3 +198,111 @@ def test_compact_snapshot_atomic(spark, tmp_dir):
     assert n < 20
     assert t.read().count() == 500
     assert t.read(version=5).count() == 500  # pre-compaction still readable
+
+
+def test_temporal_stats_prune_same_date_boundaries(spark, tmp_dir):
+    """Regression: manifest stats for timestamp columns are isoformat
+    strings ('...T06:00:00') while str(datetime) yields '... 06:00:00';
+    ' ' < 'T' made overlap tests misclassify an overlapping file as
+    untouched for same-date bounds — merge would commit duplicate keys
+    and delete_where would leave rows behind. All three read paths
+    (read/merge/delete_where) must serialize bounds with the manifest's
+    own writer."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 5, h), float(h)) for h in range(0, 12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double").coalesce(1)
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl_ts", stats_col="ts")
+    t.append(df)
+    t.append(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 3, 1, h), 0.0) for h in range(3)],
+            "ts timestamp, v double",
+        ).coalesce(1)
+    )
+
+    # read-pruning with datetime bounds: same-date range must hit file 1
+    lo, hi = dt.datetime(2024, 1, 5, 3), dt.datetime(2024, 1, 5, 8)
+    assert t.read(between=(lo, hi)).count() == 6
+
+    # merge on a same-date key range: the overlapping file MUST be
+    # rewritten (no duplicate keys), the March file carried by reference
+    upd = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 5, 6), 99.0)], "ts timestamp, v double"
+    ).withColumn("ver", F.lit(2))
+    base_before = {f["path"] for f in t.snapshot().files}
+    t.merge(upd.select("ts", "v"), key="ts", order_col="v")
+    assert t.read().count() == 15  # 12 + 3, NO duplicated 06:00 row
+    assert (
+        t.read().filter("ts = timestamp'2024-01-05 06:00:00'").first()["v"]
+        == 99.0
+    )
+    after = {f["path"] for f in t.snapshot().files}
+    assert any(p in after for p in base_before)  # March file untouched
+
+    # delete_where with a same-date datetime range must actually delete
+    t.delete_where((dt.datetime(2024, 1, 5, 0), dt.datetime(2024, 1, 5, 2)))
+    assert t.read().count() == 12
+    assert t.read().filter("ts < timestamp'2024-01-05 03:00:00'").count() == 0
+
+
+def test_compaction_preserves_batch_tokens(spark, tmp_dir):
+    """Regression: overwrite() used to commit batch_tokens=[], so a
+    foreachBatch replay straddling a compaction double-appended the
+    replayed micro-batch. The token chain must survive compaction."""
+    from event_to_lakehouse_spark.storage.compaction import compact_snapshot
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl_tok", stats_col="id")
+    t.append(_batch(spark, 0, 50).repartition(4), batch_token="b0")
+    t.append(_batch(spark, 50, 50).repartition(4), batch_token="b1")
+    compact_snapshot(t)
+    assert set(t.snapshot().batch_tokens) == {"b0", "b1"}
+    v = t.snapshot().version
+    t.append(_batch(spark, 0, 50), batch_token="b0")  # crash replay
+    assert t.snapshot().version == v  # no-op: exactly-once held
+    assert t.read().count() == 100
+    # a TRUE truncate+load may start a fresh lineage explicitly
+    t.overwrite(_batch(spark, 0, 5), keep_tokens=False)
+    assert t.snapshot().batch_tokens == []
+
+
+def test_concurrent_appends_no_lost_update(spark, tmp_dir):
+    """Two writers appending concurrently from separate threads: the
+    optimistic manifest race serializes them (losers retry), no commit
+    is lost, the pointer never regresses below the max manifest, and
+    vacuum sweeps any orphaned loser data dirs."""
+    import threading
+
+    root = f"{tmp_dir}/tbl_race"
+    n_writers, appends_each = 4, 3
+    errs = []
+
+    def writer(w):
+        try:
+            t = SnapshotTable(spark, root)
+            for i in range(appends_each):
+                t.append(
+                    _batch(spark, (w * appends_each + i) * 100, 100).coalesce(1),
+                    batch_token=f"w{w}-{i}",
+                )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    t = SnapshotTable(spark, root)
+    total = n_writers * appends_each
+    assert t.snapshot().version == total  # every commit landed
+    assert t._latest_version() == max(t.history())  # pointer never regressed
+    assert t.read().count() == total * 100  # no lost update
+    assert set(t.snapshot().batch_tokens) == {
+        f"w{w}-{i}" for w in range(n_writers) for i in range(appends_each)
+    }
+    t.vacuum(keep_versions=1)
+    assert t.read().count() == total * 100
