@@ -208,3 +208,158 @@ def test_decontaminate_hashed_matches_exact(spark):
     assert exact == hashed
     assert any(d == 1 and e == 20 for d, e, _ in hashed)  # the leak is caught
     assert not any(d == 2 for d, _, _ in hashed)
+
+
+def test_lsh_neardup_multitable_recall_boundary_pairs(spark):
+    """VERDICT r2 §wrong-2 regression: pairs that straddle a hyperplane
+    of ONE table are exactly what single-table bucket-equality blocking
+    misses. Plant 100 (base, base+noise) pairs with a noise scale high
+    enough that one 6-bit table loses a noticeable fraction, among 800
+    unrelated filler vectors; the multi-table (band-OR) blocking with
+    corpus-derived n_bits must recover >= 0.95 of them AND strictly beat
+    the single-table path on the same corpus."""
+    from event_to_lakehouse_spark.similarity.ann import (
+        auto_n_bits,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(777)
+    rows = []
+    n_pairs = 100
+    for i in range(n_pairs):
+        v = rng.normal(size=64)
+        # ~8.5 deg perturbation: cos ~0.99, but P(all 6 sign bits agree)
+        # in one table is only ~0.75 — the boundary-straddling regime
+        d = v + rng.normal(scale=0.15, size=64)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in d]))
+    for j in range(800):
+        rows.append((5000 + j, [float(x) for x in rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    # corpus-derived width: 1000 rows / occupancy 16 -> 6 bits
+    assert auto_n_bits(len(rows)) == 6
+
+    def recall(pairs_df):
+        found = {(r.vec_id_a, r.vec_id_b) for r in pairs_df.collect()}
+        return sum((i, 1000 + i) in found for i in range(n_pairs)) / n_pairs
+
+    multi = recall(embedding_neardup_pairs(df, threshold=0.9))  # auto n_bits
+    single = recall(embedding_neardup_pairs(df, n_bits=6, n_tables=1, threshold=0.9))
+    assert multi >= 0.95, f"multi-table recall {multi}"
+    assert multi > single, f"banding gained nothing: {multi} vs {single}"
+
+
+def test_auto_n_bits_tracks_corpus_growth():
+    """Constant expected occupancy: each 2x corpus growth adds one bit;
+    clamped at both ends."""
+    from event_to_lakehouse_spark.similarity.ann import auto_n_bits
+
+    assert auto_n_bits(10) == 4  # tiny corpus -> floor
+    assert auto_n_bits(1_000) == 6
+    assert auto_n_bits(1_000_000) == 16
+    assert auto_n_bits(2_000_000) == 17
+    assert auto_n_bits(10**12) == 24  # ceiling
+
+
+def test_ivf_affinity_stride_in_cache_key(spark):
+    """Two centroid strides in one session must build and cache two
+    DISTINCT affinity indexes (the stride is part of the cache key, as
+    the type annotation promises)."""
+    from event_to_lakehouse_spark.similarity import ann
+
+    sf = "/root/testdata/sf0.001"
+    a100 = ann.ivf_affinity(spark, sf, 100)
+    a50 = ann.ivf_affinity(spark, sf, 50)
+    try:
+        n100 = a100.select("cent_id").distinct().count()
+        n50 = a50.select("cent_id").distinct().count()
+        assert n50 > n100  # finer stride -> more centroids
+        assert ann.ivf_affinity(spark, sf, 100) is a100  # cache hit
+        assert ann.ivf_affinity(spark, sf, 50) is a50
+    finally:
+        ann.unpersist_affinity(spark, sf)
+
+
+def test_kmeans_ivf_build_converges_and_improves_recall(spark):
+    """Full Lloyd loop on planted Gaussian clusters: centroid shift
+    must fall below tolerance within the iteration budget, and probing
+    through the FITTED centroids must match or beat the raw
+    stride-sample centroids on recall@10 vs brute force. Init is
+    deliberately bad: ids interleave clusters mod 8, so stride-50
+    sampling picks centroids from only the even clusters."""
+    from event_to_lakehouse_spark.similarity.ann import (
+        brute_force_topk,
+        ivf_topk_from_centroids,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(2024)
+    centers = rng.normal(size=(8, 64)) * 5.0
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q_pred = F.col("vec_id") < 8  # one query per planted cluster
+
+    stride_init = [
+        [float(v) for v in r["embedding"]]
+        for r in df.filter("vec_id % 50 = 0").orderBy("vec_id").collect()
+    ]
+    cents, n_iter, shifts = kmeans_fit(df, init_stride=50, max_iter=15, tol=1e-3)
+    assert n_iter <= 15 and shifts[-1] < 1e-3, f"no convergence: {shifts}"
+    assert shifts[-1] < shifts[0]  # the loop actually moved centroids
+
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(df, df.filter(q_pred)).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk_from_centroids(df, q_pred, centroids).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_fit, r_stride = recall(cents), recall(stride_init)
+    assert r_fit >= r_stride, f"k-means {r_fit} worse than stride {r_stride}"
+    assert r_fit >= 0.9, f"fitted-IVF recall {r_fit}"
+
+
+def test_lsh_topk_capped_probe_budget(spark):
+    """At production bucket widths the full 1-bit-flip fan-out is
+    n_bits+1 probes per query; probe_cap bounds it with query-directed
+    probing (flip the smallest-margin hyperplanes first). At n_bits=12
+    with a 4-probe cap, planted near-neighbors must still be found far
+    more often than with no probes at all, and nearly as often as the
+    full 13-probe fan-out."""
+    from event_to_lakehouse_spark.similarity.ann import lsh_topk
+
+    rng = np.random.default_rng(99)
+    rows = []
+    n_q = 20
+    for i in range(n_q):
+        v = rng.normal(size=64)
+        d = v + rng.normal(scale=0.15, size=64)  # boundary-straddling regime
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in d]))
+    for j in range(400):
+        rows.append((5000 + j, [float(x) for x in rng.normal(size=64)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pred = F.col("vec_id") < n_q
+
+    def hits(**kw):
+        out = lsh_topk(df, pred, n_bits=12, k=3, **kw).collect()
+        return sum(
+            any(r.query_id == q and r.vec_id == 1000 + q for r in out)
+            for q in range(n_q)
+        )
+
+    h_capped = hits(probe_cap=4)
+    h_none = hits(probe_cap=0)  # exact-bucket only
+    h_full = hits()  # all 13 probes
+    assert h_capped > h_none, f"margin-directed probes gained nothing ({h_capped} vs {h_none})"
+    assert h_capped >= h_full - 2, f"cap lost too much recall ({h_capped} vs {h_full})"
+    assert h_capped >= int(0.8 * n_q), f"capped recall too low: {h_capped}/{n_q}"
