@@ -7,18 +7,26 @@ Decode / feature-extraction runs as Arrow-batched pandas over
 the JVM, because byte-level decode genuinely cannot be expressed with
 built-in functions.
 
-The image/audio codecs are not in this container, so ``decode_image``
-etc. are STUBS (clearly marked, raise ``NotImplementedError``); the
-Spark-side plumbing that the judge grades — schema, batch iteration,
-partition parallelism, deterministic fake feature extraction — is real
-and oracle-checked: ``multimodal_features`` computes byte-length and
-sha256 of each payload inside ``mapInPandas`` and must hash-match the
-DuckDB oracle computing the same over the source text.
+Codecs: third-party media libraries are absent from this container, so
+the REAL decoders are pure-stdlib — uncompressed 24-bit BMP via
+``struct``-style byte slicing (``decode_image``/``encode_bmp``/
+``resize_image``) and 16-bit PCM WAV via the ``wave`` module
+(``decode_audio``/``encode_wav``). Real pixels and samples flow
+through the same Arrow-batched ``mapInPandas`` harness the synthetic
+feature path uses (``extract_media_features``, ``resize_images``).
+Only video remains a stub (no container parser in the stdlib). The
+deterministic-fake paths (``extract_features``/``resize_assets``/
+``sample_frames``) stay as-is: they are what the DuckDB oracle can
+recompute over the text-backed asset table, so the registered queries
+keep hash-parity.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,19 +57,118 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: image decode requires PIL/OpenCV, absent in this
-    container. The mapInPandas harness around it is real."""
-    raise NotImplementedError("image codecs not available in this environment")
+def decode_image(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER) with no
+    third-party codec — pure byte slicing. Returns
+    ``{"width", "height", "mode": "RGB", "pixels": bytes}`` with pixels
+    row-major top-down in RGB order (BMP stores BGR, bottom-up unless
+    the height field is negative; rows are padded to 4 bytes)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    h, top_down = abs(h_raw), h_raw < 0
+    row_size = (3 * w + 3) & ~3
+    out = bytearray(3 * w * h)
+    for i in range(h):
+        y = i if top_down else h - 1 - i
+        row = payload[data_off + i * row_size : data_off + i * row_size + 3 * w]
+        for x in range(w):
+            b, g, r = row[3 * x : 3 * x + 3]
+            idx = 3 * (y * w + x)
+            out[idx], out[idx + 1], out[idx + 2] = r, g, b
+    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(out)}
 
 
-def decode_audio(payload: bytes) -> "object":
-    """STUB: audio decode requires soundfile/ffmpeg, absent here."""
-    raise NotImplementedError("audio codecs not available in this environment")
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB bytes as an uncompressed 24-bit
+    BMP (the inverse of ``decode_image`` — also how test fixtures are
+    built)."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("pixel buffer does not match width*height")
+    row_size = (3 * width + 3) & ~3
+    img_size = row_size * height
+    header = (
+        b"BM"
+        + (54 + img_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            i = 3 * (y * width + x)
+            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - 3 * width)
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def resize_image(img: dict, width: int, height: int) -> dict:
+    """Nearest-neighbor resize of a decoded RGB image — deterministic,
+    dependency-free (a real pipeline would swap in PIL/OpenCV here
+    with the identical dict contract)."""
+    src, sw, sh = img["pixels"], img["width"], img["height"]
+    out = bytearray(3 * width * height)
+    for y in range(height):
+        sy = min(sh - 1, (y * sh) // height)
+        for x in range(width):
+            sx = min(sw - 1, (x * sw) // width)
+            si, di = 3 * (sy * sw + sx), 3 * (y * width + x)
+            out[di : di + 3] = src[si : si + 3]
+    return {"width": width, "height": height, "mode": "RGB", "pixels": bytes(out)}
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Decode 16-bit PCM WAV via the stdlib ``wave`` module. Returns
+    channel count, sample rate, frame count, duration, and the raw
+    samples as a tuple of ints (interleaved when multi-channel)."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        rate = wf.getframerate()
+        nframes = wf.getnframes()
+        raw = wf.readframes(nframes)
+    if sw != 2:
+        raise ValueError("only 16-bit PCM WAV is supported")
+    samples = struct.unpack("<%dh" % (len(raw) // 2), raw)
+    return {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_frames": nframes,
+        "dur_ms": int(nframes * 1000 / rate) if rate else 0,
+        "samples": samples,
+    }
+
+
+def encode_wav(
+    samples: "list[int]", sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Encode 16-bit PCM samples as WAV (fixture builder + the
+    re-encode half of an audio transform)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    return buf.getvalue()
 
 
 def frame_sample(payload: bytes, every_ms: int = 1000) -> "object":
-    """STUB: video frame sampling requires ffmpeg, absent here."""
+    """STUB: video frame sampling needs a container/codec parser
+    (ffmpeg) that no stdlib module provides; the 1:N mapInPandas
+    plumbing it would plug into is real (``sample_frames``)."""
     raise NotImplementedError("video codecs not available in this environment")
 
 
@@ -271,3 +378,102 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
     )
+
+
+# --- Real-codec Spark plumbing ---------------------------------------------
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("dur_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_media_features(assets: DataFrame) -> DataFrame:
+    """Mime-dispatched REAL decode inside the Arrow-batched harness:
+    BMP payloads yield true pixel dimensions + mean intensity, WAV
+    payloads true duration + RMS amplitude; other mimes fall back to
+    byte features with NULL media columns. Partition-local (no
+    shuffle); a corrupt payload yields a NULL-featured row instead of
+    failing the batch — the quarantine philosophy of the ingest
+    pipeline applied to media."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                mime = meta["mime"]
+                rec = {
+                    "asset_id": asset_id,
+                    "mime": mime,
+                    "n_bytes": len(payload),
+                    "width": None,
+                    "height": None,
+                    "px_mean": None,
+                    "dur_ms": None,
+                    "rms": None,
+                }
+                try:
+                    if mime == "image/bmp":
+                        img = decode_image(bytes(payload))
+                        px = img["pixels"]
+                        rec["width"], rec["height"] = img["width"], img["height"]
+                        rec["px_mean"] = sum(px) / len(px) if px else 0.0
+                    elif mime == "audio/wav":
+                        aud = decode_audio(bytes(payload))
+                        s = aud["samples"]
+                        rec["dur_ms"] = aud["dur_ms"]
+                        rec["rms"] = (
+                            (sum(v * v for v in s) / len(s)) ** 0.5 if s else 0.0
+                        )
+                except (ValueError, EOFError, wave.Error):
+                    pass  # corrupt media -> NULL features, row survives
+                recs.append(rec)
+            yield pd.DataFrame.from_records(recs, columns=MEDIA_FEATURE_SCHEMA.names)
+
+    return assets.mapInPandas(_features, MEDIA_FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize through the same 1:1 binary-in/binary-out
+    shape as ``resize_assets``: decode BMP → nearest-neighbor resize →
+    re-encode BMP, meta struct rewritten to the new dimensions.
+    Non-image rows pass through untouched (meta unchanged), so the
+    operator composes with mixed-modality asset tables."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if meta["mime"] == "image/bmp":
+                    img = resize_image(decode_image(bytes(payload)), width, height)
+                    payloads.append(encode_bmp(width, height, img["pixels"]))
+                    metas.append(
+                        {
+                            "mime": meta["mime"],
+                            "width": width,
+                            "height": height,
+                            "dur_ms": meta["dur_ms"],
+                        }
+                    )
+                else:
+                    payloads.append(bytes(payload))
+                    metas.append(dict(meta))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return assets.mapInPandas(_resize, RESIZE_SCHEMA)

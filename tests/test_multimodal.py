@@ -67,10 +67,125 @@ def test_frame_fanout(assets):
     assert by_asset[1][0].frame_sha == hashlib.sha256(b"a" * FRAME_STRIDE).hexdigest()
 
 
-def test_decode_stubs_are_gated():
-    for stub in (decode_image, decode_audio, frame_sample):
-        with pytest.raises(NotImplementedError):
-            stub(b"payload")
+def test_video_stub_is_gated():
+    """Only video remains environment-gated (no container parser in the
+    stdlib); image/audio decode are real now."""
+    with pytest.raises(NotImplementedError):
+        frame_sample(b"payload")
+    # non-media bytes into the REAL decoders fail loudly, not silently
+    with pytest.raises(ValueError):
+        decode_image(b"payload")
+    with pytest.raises(Exception):
+        decode_audio(b"payload")
+
+
+def _checker_bmp():
+    """4x2 RGB checker: known pixel values at known positions."""
+    from event_to_lakehouse_spark.multimodal.binary import encode_bmp
+
+    px = bytes(
+        [
+            255, 0, 0,    0, 255, 0,    0, 0, 255,    255, 255, 255,  # row 0
+            10, 20, 30,   40, 50, 60,   70, 80, 90,   100, 110, 120,  # row 1
+        ]
+    )
+    return encode_bmp(4, 2, px), px
+
+
+def test_bmp_codec_roundtrip_golden():
+    """Real BMP decode: encode → decode returns the exact pixel grid
+    (exercises BGR order, bottom-up row storage, and 4-byte row
+    padding: width 4 → row stride 12, already aligned; use 3-wide to
+    force padding too)."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        encode_bmp,
+        resize_image,
+    )
+
+    payload, px = _checker_bmp()
+    img = decode_image(payload)
+    assert (img["width"], img["height"]) == (4, 2)
+    assert img["pixels"] == px
+
+    # padded-row case: 3 wide -> 9 pixel bytes, stride 12
+    px3 = bytes(range(3 * 3 * 2))
+    assert decode_image(encode_bmp(3, 2, px3))["pixels"] == px3
+
+    # nearest-neighbor downscale picks the expected source pixels
+    small = resize_image(img, 2, 1)
+    assert small["pixels"] == bytes([255, 0, 0, 0, 0, 255])  # cols 0 and 2 of row 0
+
+
+def test_wav_codec_roundtrip_golden():
+    from event_to_lakehouse_spark.multimodal.binary import encode_wav
+
+    samples = [0, 1000, -1000, 32767, -32768, 0, 500, -500]
+    payload = encode_wav(samples, sample_rate=8000)
+    aud = decode_audio(payload)
+    assert aud["samples"] == tuple(samples)
+    assert aud["n_channels"] == 1 and aud["sample_rate"] == 8000
+    assert aud["n_frames"] == 8 and aud["dur_ms"] == 1  # 8 frames @ 8 kHz
+
+
+def test_real_media_features_through_mapinpandas(spark):
+    """Mixed-modality asset table through the REAL decode path: BMP
+    rows get true dimensions + pixel mean, WAV rows true duration +
+    RMS, text rows byte features with NULL media columns, and a corrupt
+    BMP survives as a NULL-featured row."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        encode_wav,
+        extract_media_features,
+    )
+    from event_to_lakehouse_spark.plans import audit_plan
+
+    bmp, px = _checker_bmp()
+    wav = encode_wav([0, 16000, -16000, 0] * 1000, sample_rate=16000)  # 250 ms
+
+    def meta(mime, w=None, h=None, d=None):
+        return {"mime": mime, "width": w, "height": h, "dur_ms": d}
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(bmp), meta("image/bmp")),
+            (2, bytearray(wav), meta("audio/wav")),
+            (3, bytearray(b"plain text"), meta("text/plain")),
+            (4, bytearray(b"BM garbage not a real bmp header........................"), meta("image/bmp")),
+        ],
+        "asset_id long, payload binary, meta struct<mime:string,width:int,height:int,dur_ms:bigint>",
+    )
+    feats = extract_media_features(assets)
+    assert audit_plan(feats).exchanges == 0  # partition-local decode
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert (rows[1].width, rows[1].height) == (4, 2)
+    assert abs(rows[1].px_mean - sum(px) / len(px)) < 1e-9
+    assert rows[2].dur_ms == 250
+    expected_rms = (sum(v * v for v in [0, 16000, -16000, 0] * 1000) / 4000) ** 0.5
+    assert abs(rows[2].rms - expected_rms) < 1e-6
+    assert rows[3].width is None and rows[3].dur_ms is None
+    assert rows[3].n_bytes == 10
+    assert rows[4].width is None  # corrupt media quarantined to NULLs
+
+
+def test_real_resize_images_through_mapinpandas(spark):
+    """Real decode → resize → re-encode round trip inside mapInPandas:
+    output payloads are valid BMPs at the target size; non-image rows
+    pass through byte-identical."""
+    from event_to_lakehouse_spark.multimodal.binary import resize_images
+
+    bmp, _ = _checker_bmp()
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(bmp), {"mime": "image/bmp", "width": 4, "height": 2, "dur_ms": None}),
+            (2, bytearray(b"notimage"), {"mime": "text/plain", "width": None, "height": None, "dur_ms": None}),
+        ],
+        "asset_id long, payload binary, meta struct<mime:string,width:int,height:int,dur_ms:bigint>",
+    )
+    out = {r.asset_id: r for r in resize_images(assets, 2, 1).collect()}
+    resized = decode_image(bytes(out[1].payload))
+    assert (resized["width"], resized["height"]) == (2, 1)
+    assert resized["pixels"] == bytes([255, 0, 0, 0, 0, 255])
+    assert (out[1].meta.width, out[1].meta.height) == (2, 1)
+    assert bytes(out[2].payload) == b"notimage"  # pass-through
 
 
 def test_no_shuffle_in_multimodal_pipeline(assets):
