@@ -148,3 +148,75 @@ def test_conform_in_stream_mid_evolution(spark, tmp_dir):
     q.awaitTermination(120)
     back = {r.id: (r.name, r.region) for r in spark.read.parquet(out).collect()}
     assert back == {1: ("a", None), 2: ("b", "emea")}
+
+
+def test_registry_drift_to_conformed_silver_end_to_end(spark, tmp_dir):
+    """The reference's promised human-in-the-loop evolution loop, wired
+    end to end: bronze files land under schema v1 → the registry infers
+    and versions it → a producer starts emitting an extra field → the
+    registry detects drift (new version, changed flag) → diff/classify
+    label the change SAFE (nullable add) → the v1-era batch is
+    CONFORMED to v2 → both eras union into one mapped silver write with
+    the contract shape intact."""
+    import json as _json
+    import os as _os
+
+    from tests.conftest import RAPID7_RECORDS, write_bronze
+
+    from event_to_lakehouse_spark.pipeline.contracts import (
+        RAPID7_MAPPING,
+        SILVER_ASSETS_CONTRACT,
+    )
+    from event_to_lakehouse_spark.pipeline.normalize import (
+        apply_mapping,
+        read_bronze,
+        write_silver_batch,
+    )
+    from event_to_lakehouse_spark.registry.schema_registry import SchemaRegistry
+
+    topic_dir = f"{tmp_dir}/bronze/rapid7.assets.raw"
+    write_bronze(topic_dir, RAPID7_RECORDS, corrupt=False)
+    reg = SchemaRegistry(spark, f"{tmp_dir}/registry")
+    s1 = reg.run_topic("rapid7.assets.raw", topic_dir, sampling_ratio=None)
+    assert s1.schema_changed and s1.schema_version == 1
+
+    # era 2: same producer adds a (nullable) rack-location field
+    era2 = [dict(r, rackLocation=f"r{r['id']}") for r in RAPID7_RECORDS]
+    for i, rec in enumerate(era2):
+        p = f"{topic_dir}/era2_{i:04d}.json"
+        with open(p, "w") as f:
+            f.write(_json.dumps(rec, indent=2))
+        _os.utime(p, (s1.last_processed_mtime + 60, s1.last_processed_mtime + 60))
+
+    s2 = reg.run_topic("rapid7.assets.raw", topic_dir, sampling_ratio=None)
+    assert s2.schema_changed and s2.schema_version == 2
+
+    v1 = T.StructType.fromJson(
+        _json.loads(open(f"{tmp_dir}/registry/rapid7.assets.raw/schema/v1.json").read())
+    )
+    v2 = T.StructType.fromJson(
+        _json.loads(reg.latest_schema("rapid7.assets.raw"))
+    )
+    diff = diff_schemas(v1, v2)
+    assert [p for p, _t in diff.added] == ["rackLocation"]
+    assert classify(diff) == "safe"  # auto-appliable, no human gate
+
+    # v1-era rows read under their own era's schema, conformed to the
+    # v2 contract shape (corrupt-capture column included), one union
+    from event_to_lakehouse_spark.pipeline.normalize import with_corrupt_column
+
+    era1_df = read_bronze(spark, f"{topic_dir}/rec_*.json", v1)
+    era2_df = read_bronze(spark, f"{topic_dir}/era2_*.json", v2)
+    bronze_all = conform(era1_df, with_corrupt_column(v2)).unionByName(era2_df)
+    assert bronze_all.schema == era2_df.schema
+    silver = apply_mapping(bronze_all, RAPID7_MAPPING)
+    out = f"{tmp_dir}/silver"
+    write_silver_batch(silver, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2 * len(RAPID7_RECORDS)
+    assert {f.name for f in back.schema.fields} == {c for c, _t in SILVER_ASSETS_CONTRACT}
+    # era-1 rows carry NULL for the drifted field pre-mapping; both eras
+    # map to identical uids for the same asset (evolution never forks
+    # identity)
+    uids = back.groupBy("asset_uid").count().collect()
+    assert all(r["count"] == 2 for r in uids)
