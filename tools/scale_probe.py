@@ -1,0 +1,129 @@
+"""10x scale probe: measure runtime growth of the headline queries on a
+synthetic 10x corpus (SCALING.md's method, now reusable).
+
+Builds the 10x corpus by self-unioning the sf0.1 fact tables K=10 times
+with per-copy key offsets (orderkeys, event/doc/vec ids and user ids
+shifted so join keys, sessionization keys, and dedup keys stay
+realistic; dimension tables unchanged), writes it to scratch once, then
+times each probe query warm (noop sink, steady state) at sf0.1 vs 10x.
+
+Usage: python tools/scale_probe.py [--copies 10] [--runs 2]
+Prints one markdown table row per query plus a final JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+SCRATCH = "/tmp/scale_probe"
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+# fact table -> columns to offset per copy (offset = copy * stride)
+FACTS = {
+    "orders": {"o_orderkey": 10_000_000},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "window_analytics",
+    "agg_multidim",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_enrich",
+    "corpus_curation",
+    "ann_lsh_bucketed_topk",
+    "dedup_embedding_neardup",
+    "events_windowed_agg",
+    "gold_asset_posture",
+]
+
+
+def build_corpus(spark, copies: int) -> str:
+    out = Path(SCRATCH) / f"x{copies}"
+    if (out / "_DONE").exists():
+        return str(out)
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    for t in DIMS:
+        shutil.copy(f"{BASE}/{t}.parquet", out / f"{t}.parquet")
+    for t, offsets in FACTS.items():
+        base = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for i in range(copies):
+            df = base
+            for col, stride in offsets.items():
+                df = df.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(df)
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        # single parquet file per table to mirror the testdata layout
+        un.coalesce(max(1, copies // 2)).write.mode("overwrite").parquet(
+            str(out / f"{t}.parquet")
+        )
+    (out / "_DONE").touch()
+    return str(out)
+
+
+def time_query(qs, name, spark, sf_dir, runs) -> float:
+    # warm once (file-index listing + codegen), then time `runs` passes
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts.append(time.time() - t0)
+    return statistics.mean(ts)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--queries", nargs="*", default=PROBE_QUERIES)
+    args = ap.parse_args()
+
+    from event_to_lakehouse_spark.session import get_spark
+    from event_to_lakehouse_spark.catalog import QUERIES
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build_corpus(spark, args.copies)
+
+    rows = {}
+    print("| query | sf0.1 s | %dx s | ratio |" % args.copies)
+    print("|---|---|---|---|")
+    for name in args.queries:
+        t1 = time_query(QUERIES, name, spark, BASE, args.runs)
+        t10 = time_query(QUERIES, name, spark, big, args.runs)
+        rows[name] = {
+            "base_s": round(t1, 2),
+            "big_s": round(t10, 2),
+            "ratio": round(t10 / t1, 1) if t1 > 0 else None,
+        }
+        r = rows[name]
+        print(f"| {name} | {r['base_s']} | {r['big_s']} | {r['ratio']} |")
+    print(json.dumps({"copies": args.copies, "runs": args.runs, "queries": rows}))
+
+
+if __name__ == "__main__":
+    main()
