@@ -39,6 +39,7 @@ __all__ = [
     "asset_posture",
     "riskiest_assets",
     "refresh_gold",
+    "refresh_current_assets_incremental",
     "start_gold_refresh_stream",
 ]
 
@@ -148,6 +149,58 @@ def refresh_gold(
     out["asset_posture"] = publish(asset_posture(cur), "asset_posture")
     out["riskiest_assets"] = publish(riskiest_assets(cur, top_n=top_n), "riskiest_assets")
     return out
+
+
+def refresh_current_assets_incremental(silver_table, gold_table):
+    """Incrementally maintain the ``current_assets`` mart between two
+    snapshot-versioned tables: fold ONLY silver's rows appended since
+    the last refresh into the mart — the 100 TB answer to
+    ``refresh_gold``'s full silver re-scan (fine for small marts,
+    ruinous when silver is the lakehouse).
+
+    Mechanics: the mart is itself a ``SnapshotTable`` whose batch-token
+    chain carries a watermark token ``silver:v{N}`` per refresh.
+
+    1. resolve the highest silver version already folded in (max over
+       watermark tokens — replays and crash-restarts are no-ops);
+    2. ``silver_table.changes(last, cur)`` = the appended delta
+       (manifest diff, no data read for the resolution);
+    3. pre-collapse the delta to latest-per-key, then COW ``merge``
+       into the mart (latest ``ingest_ts`` wins across old state and
+       delta — associative, so folding increments equals the full
+       rebuild) with the new watermark token in the same atomic commit
+       — state update + progress marker can't diverge;
+    4. a rewrite commit in silver's range (COW merge/delete/compaction
+       re-emits rows ``changes`` can't classify) falls back to one
+       full rebuild via ``overwrite``, same watermark semantics.
+
+    Returns the mart's new snapshot."""
+    cur_v = silver_table._latest_version()
+    gold_snap = gold_table.snapshot()
+    done = [
+        int(tok.rsplit(":v", 1)[1])
+        for tok in (gold_snap.batch_tokens if gold_snap else [])
+        if tok.startswith("silver:v")
+    ]
+    last = max(done, default=0)
+    if cur_v <= last:
+        return gold_snap  # nothing new (or a replay) — no-op
+    token = f"silver:v{cur_v}"
+    try:
+        delta = silver_table.changes(last, cur_v)
+        full = False
+    except ValueError:  # rewrite commit in range → rebuild once
+        delta, full = silver_table.read(cur_v), True
+    mart_delta = current_assets(delta)
+    if full or gold_snap is None:
+        return gold_table.overwrite(mart_delta, batch_token=token)
+    return gold_table.merge(
+        mart_delta,
+        key="asset_uid",
+        order_col="ingest_ts",
+        tiebreak="source_system",
+        batch_token=token,
+    )
 
 
 def start_gold_refresh_stream(

@@ -85,10 +85,20 @@ class SnapshotTable:
     # -- manifest chain -----------------------------------------------------
 
     def _latest_version(self) -> int:
-        ptr = self.root / "meta" / "_latest"
-        if not ptr.exists():
-            return 0
-        return int(ptr.read_text().strip())
+        """The exclusive manifest create in ``_commit`` IS the commit,
+        so latest = max existing manifest — NOT the ``_latest`` pointer,
+        which the winner advances a beat later. Resolving via the
+        pointer let a racing writer spin on a stale parent and collide
+        with the same already-created manifest until its retries ran
+        out; the manifest listing has no such window (its creation
+        happened-before the loser's EEXIST). The pointer stays
+        maintained as a cheap O(1) hint for external readers; on an
+        object store this listing is one LIST of the meta/ prefix —
+        the same resolution Iceberg does against its catalog."""
+        versions = [
+            int(p.stem[1:]) for p in (self.root / "meta").glob("v*.json")
+        ]
+        return max(versions, default=0)
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
         v = self._latest_version() if version is None else version
@@ -220,7 +230,12 @@ class SnapshotTable:
             f"append lost the commit race {max_retries} times at {self.root}"
         )
 
-    def overwrite(self, df: DataFrame, keep_tokens: bool = True) -> Snapshot:
+    def overwrite(
+        self,
+        df: DataFrame,
+        keep_tokens: bool = True,
+        batch_token: str | None = None,
+    ) -> Snapshot:
         """Commit a snapshot containing ONLY ``df`` (logical truncate +
         load). Old files stay on disk for time travel until vacuum.
 
@@ -229,9 +244,15 @@ class SnapshotTable:
         not un-apply the micro-batches whose rows it now holds, so a
         ``foreachBatch`` replay straddling a compaction must still be a
         no-op. Pass ``keep_tokens=False`` only for a true truncate+load
-        that starts a new ingestion lineage."""
+        that starts a new ingestion lineage. ``batch_token`` joins the
+        carried chain (replay of an already-applied token is a no-op,
+        as in ``append``)."""
         parent = self.snapshot()
         tokens = list(parent.batch_tokens) if (parent and keep_tokens) else []
+        if batch_token is not None:
+            if parent and batch_token in parent.batch_tokens:
+                return parent
+            tokens.append(batch_token)
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         df.write.mode("overwrite").parquet(str(commit_dir))
         return self._commit(self._file_entries(commit_dir), tokens)
@@ -268,12 +289,64 @@ class SnapshotTable:
             df = df.filter(F.col(self.stats_col).between(between[0], between[1]))
         return df
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_rewrites: bool = False,
+    ) -> DataFrame:
+        """Incremental scan: rows ADDED strictly after ``from_version``
+        up to ``to_version`` (default: latest) — the Iceberg
+        ``incremental append scan`` shape, the primitive that lets a
+        downstream job process only the delta instead of re-reading a
+        100 TB table.
+
+        Walks the manifest chain version by version and unions the
+        files each commit added (present in child, absent in parent —
+        manifest-only work, no data files opened for the diff). A
+        commit that also REMOVED parent files is a rewrite (COW
+        merge/delete/compaction): its "added" files re-emit rows that
+        are updates or survivors, not pure inserts, so by default it
+        raises ValueError — the caller must either full-refresh across
+        it or opt in with ``include_rewrites=True`` (accepting
+        re-emitted rows, e.g. for an idempotent latest-wins consumer).
+        Compaction commits (rewrites that change no row content) are
+        indistinguishable at the manifest layer and are treated the
+        same way."""
+        latest = self._latest_version()
+        if latest == 0:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        to_v = latest if to_version is None else to_version
+        if not 0 <= from_version <= to_v <= latest:
+            raise ValueError(
+                f"bad version range [{from_version}, {to_v}] (latest {latest})"
+            )
+        added: list[str] = []
+        prev = self.snapshot(from_version) if from_version > 0 else None
+        prev_paths = set(prev.paths) if prev else set()
+        for v in range(from_version + 1, to_v + 1):
+            snap = self.snapshot(v)
+            cur_paths = set(snap.paths)
+            if (prev_paths - cur_paths) and not include_rewrites:
+                raise ValueError(
+                    f"v{v} is a rewrite commit (COW merge/delete/compaction); "
+                    "incremental append scan cannot express it — full-refresh "
+                    "across it or pass include_rewrites=True"
+                )
+            added.extend(p for p in snap.paths if p not in prev_paths)
+            prev_paths = cur_paths
+        if not added:
+            ref = self.snapshot(to_v) or self.snapshot()
+            return self.spark.read.parquet(ref.paths[0]).limit(0)
+        return self.spark.read.parquet(*added)
+
     def merge(
         self,
         updates: DataFrame,
         key: str,
         order_col: str,
         tiebreak: str | None = None,
+        batch_token: str | None = None,
     ) -> Snapshot:
         """Copy-on-write MERGE (latest row per ``key`` wins — the
         Iceberg/Delta ``MERGE INTO`` shape on the manifest layer):
@@ -286,12 +359,17 @@ class SnapshotTable:
         3. commit: new manifest = untouched files + rewritten files.
 
         Untouched files are carried by reference (zero bytes moved);
-        the previous snapshot remains readable (time travel)."""
+        the previous snapshot remains readable (time travel).
+        ``batch_token`` makes the merge replay-idempotent exactly like
+        ``append``: an already-applied token returns the current
+        snapshot untouched."""
         from ..pipeline.upsert import latest_per_key
 
         snap = self.snapshot()
         if snap is None:
-            return self.append(updates)
+            return self.append(updates, batch_token=batch_token)
+        if batch_token is not None and batch_token in snap.batch_tokens:
+            return snap
         touched, untouched = snap.files, []
         if self.stats_col == key:
             bounds = updates.agg(
@@ -315,9 +393,12 @@ class SnapshotTable:
             merged = updates
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         merged.write.mode("overwrite").parquet(str(commit_dir))
+        tokens = list(snap.batch_tokens)
+        if batch_token is not None:
+            tokens.append(batch_token)
         return self._commit(
             untouched + self._file_entries(commit_dir),
-            list(snap.batch_tokens),
+            tokens,
             snap.version,
         )
 

@@ -167,3 +167,58 @@ def test_refresh_publish_is_atomic_repoint(spark, rapid7_bronze, forti_bronze, t
     assert (Path(gold_root) / target2).exists()  # previous kept
     assert (Path(gold_root) / target3).exists()
     assert spark.read.parquet(str(p)).count() == 4  # reads resolve fine
+
+
+def test_incremental_gold_matches_full_rebuild(
+    spark, rapid7_bronze, forti_bronze, tmp_dir
+):
+    """refresh_current_assets_incremental folds only silver's appended
+    delta into the mart, yet after every refresh the mart equals a
+    full current_assets() rebuild — and watermark tokens make replays
+    no-ops and survive the rewrite-fallback path."""
+    from event_to_lakehouse_spark.pipeline.gold import (
+        refresh_current_assets_incremental,
+    )
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    silver = _silver(spark, rapid7_bronze, forti_bronze).cache()
+    st = SnapshotTable(spark, f"{tmp_dir}/silver_snap")
+    gt = SnapshotTable(spark, f"{tmp_dir}/gold_mart", stats_col="asset_uid")
+
+    def assert_mart_matches():
+        expected = current_assets(st.read())
+        got = gt.read().select(*expected.columns)
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
+    # refresh 1: first silver commit → mart bootstraps
+    st.append(silver)
+    s1 = refresh_current_assets_incremental(st, gt)
+    assert_mart_matches()
+
+    # refresh 2: append a re-ingest of one asset with a NEWER ingest_ts
+    # — the incremental merge must overturn the mart's old row
+    dup = (
+        silver.limit(1)
+        .withColumn("ingest_ts", F.col("ingest_ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("asset_name", F.lit("RENAMED-INC"))
+    )
+    st.append(dup)
+    s2 = refresh_current_assets_incremental(st, gt)
+    assert s2.version > s1.version
+    assert_mart_matches()
+    uid = dup.select("asset_uid").first()[0]
+    assert (
+        gt.read().filter(F.col("asset_uid") == uid).select("asset_name").first()[0]
+        == "RENAMED-INC"
+    )
+
+    # replay / no-new-data: refresh is a no-op (same mart version)
+    assert refresh_current_assets_incremental(st, gt).version == s2.version
+
+    # a COW rewrite in silver (delete one asset) → incremental scan
+    # can't express it → fallback full rebuild, still exact
+    st.delete_where(F.col("asset_uid") == uid)
+    refresh_current_assets_incremental(st, gt)
+    assert_mart_matches()
+    assert gt.read().filter(F.col("asset_uid") == uid).count() == 0

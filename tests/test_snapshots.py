@@ -306,3 +306,57 @@ def test_concurrent_appends_no_lost_update(spark, tmp_dir):
     }
     t.vacuum(keep_versions=1)
     assert t.read().count() == total * 100
+
+
+def test_changes_incremental_append_scan(spark, tmp_dir):
+    """changes(from, to) = exactly the rows appended in (from, to] —
+    the manifest-diff incremental scan a downstream job uses to
+    process only the delta."""
+    import pytest
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 100))
+    t.append(_batch(spark, 100, 50))
+    t.append(_batch(spark, 200, 25))
+    ids = {r["id"] for r in t.changes(1).collect()}
+    assert ids == set(range(100, 150)) | set(range(200, 225))
+    assert t.changes(0, 1).count() == 100
+    assert t.changes(2, 3).count() == 25
+    caught_up = t.changes(3)
+    assert caught_up.count() == 0  # no delta
+    assert caught_up.columns == t.read().columns
+    with pytest.raises(ValueError):
+        t.changes(1, 9)  # beyond latest
+
+
+def test_changes_rejects_rewrite_commits(spark, tmp_dir):
+    """A COW merge re-emits updated rows inside rewritten files — an
+    append-only incremental scan cannot classify them, so the range
+    must raise unless the caller opts into re-emission."""
+    import pytest
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 100))
+    updates = spark.range(0, 5).select(
+        F.col("id"), (F.col("id") * 100 + 1).alias("v")
+    )
+    t.merge(updates, key="id", order_col="v")
+    with pytest.raises(ValueError, match="rewrite"):
+        t.changes(1)
+    assert t.changes(0, 1).count() == 100  # pre-rewrite range still clean
+    # opting in returns the rewritten files' rows (updates re-emitted)
+    assert t.changes(1, include_rewrites=True).count() >= 5
+
+
+def test_merge_and_overwrite_batch_tokens(spark, tmp_dir):
+    """Exactly-once tokens extend to COW merge and overwrite: an
+    already-applied token is a no-op for either commit kind."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 10))
+    upd = spark.range(0, 3).select(F.col("id"), F.lit(999).alias("v"))
+    s1 = t.merge(upd, key="id", order_col="v", batch_token="m-1")
+    replay = t.merge(upd, key="id", order_col="v", batch_token="m-1")
+    assert replay.version == s1.version  # no-op
+    s2 = t.overwrite(_batch(spark, 0, 4), batch_token="o-1")
+    assert t.overwrite(_batch(spark, 0, 4), batch_token="o-1").version == s2.version
+    assert t.read().count() == 4
