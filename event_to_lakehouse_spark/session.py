@@ -27,6 +27,13 @@ _RUNTIME_CONFS = {
     # parquet reader rejects; read as long and convert in load_tables
     # (ns div 1000 → timestamp_micros, matching DuckDB's ns→µs cast).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — how the driver
+    # now writes events.ts — would otherwise be inferred as
+    # TIMESTAMP_NTZ, which Spark 4 refuses to cast to epoch numerics.
+    # Read it as the session-tz TimestampType instead: with the UTC pin
+    # above, the wall-clock value IS the UTC instant, which is exactly
+    # how DuckDB's epoch() treats a naive timestamp — oracle parity.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -40,6 +40,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # Defensive twin of session.py's inferTimestampNTZ=false: if
+            # a handed-in session locked NTZ inference before we could
+            # configure it, normalize to session-tz TimestampType (UTC
+            # pin ⇒ same instant DuckDB's epoch() sees).
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
