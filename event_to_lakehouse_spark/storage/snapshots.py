@@ -75,10 +75,41 @@ class Snapshot:
 class SnapshotTable:
     """A parquet directory with Iceberg-style snapshot semantics."""
 
-    def __init__(self, spark: SparkSession, root: str, stats_col: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats_col: str | None = None,
+        stats_cols: list[str] | None = None,
+        bloom_col: str | None = None,
+        bloom_bits: int = 8192,
+        bloom_k: int = 4,
+    ):
+        """``stats_col`` keeps the original single-column zone-map API
+        (merge/delete/`between` pruning key). ``stats_cols`` widens the
+        manifest to min/max for SEVERAL columns — the Iceberg manifest
+        shape — so ``read(where={...})`` can prune on a multi-column
+        box; pair it with ``layout.cluster_by_zorder`` to make those
+        boxes actually selective (without clustering, secondary-column
+        ranges span every file and prune nothing). ``bloom_col`` adds a
+        per-file Bloom filter (``bloom_bits`` bits, ``bloom_k`` probes,
+        xxhash64 salted per probe) to each manifest entry for
+        ``read_point`` lookups: equality on a high-cardinality key
+        skips files min/max can't — at 100 TB a point lookup opens a
+        handful of footers instead of every file whose range happens to
+        straddle the key. Bits are built in the SAME one-pass,
+        column-pruned aggregation as the min/max stats (collect_set of
+        probe positions, bounded by bloom_bits per file — metadata, not
+        data, crosses to the driver)."""
         self.spark = spark
         self.root = Path(root)
-        self.stats_col = stats_col
+        self.stats_cols = list(stats_cols) if stats_cols else (
+            [stats_col] if stats_col else []
+        )
+        self.stats_col = self.stats_cols[0] if self.stats_cols else None
+        self.bloom_col = bloom_col
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
         (self.root / "data").mkdir(parents=True, exist_ok=True)
         (self.root / "meta").mkdir(parents=True, exist_ok=True)
 
@@ -131,7 +162,15 @@ class SnapshotTable:
         v = base + 1
         manifest = self.root / "meta" / f"v{v}.json"
         payload = json.dumps(
-            {"files": files, "batch_tokens": batch_tokens, "stats_col": self.stats_col}
+            {
+                "files": files,
+                "batch_tokens": batch_tokens,
+                "stats_col": self.stats_col,
+                "stats_cols": self.stats_cols,
+                "bloom_col": self.bloom_col,
+                "bloom_bits": self.bloom_bits,
+                "bloom_k": self.bloom_k,
+            }
         )
         # exclusive create = optimistic concurrency: the loser must
         # re-resolve latest and retry (its data dir is orphaned until
@@ -175,11 +214,20 @@ class SnapshotTable:
             "_file", F.input_file_name()
         )
         aggs = [F.count(F.lit(1)).alias("rows")]
-        if self.stats_col:
-            aggs += [
-                F.min(self.stats_col).alias("mn"),
-                F.max(self.stats_col).alias("mx"),
-            ]
+        for j, c in enumerate(self.stats_cols):
+            aggs += [F.min(c).alias(f"mn{j}"), F.max(c).alias(f"mx{j}")]
+        if self.bloom_col:
+            for i in range(self.bloom_k):
+                aggs.append(
+                    F.collect_set(
+                        F.pmod(
+                            F.xxhash64(
+                                F.col(self.bloom_col).cast("string"), F.lit(i)
+                            ),
+                            F.lit(self.bloom_bits),
+                        )
+                    ).alias(f"bl{i}")
+                )
         stats = {
             r["_file"].replace("file://", "").replace("file:", ""): r
             for r in df.groupBy("_file").agg(*aggs).collect()
@@ -188,15 +236,55 @@ class SnapshotTable:
         out = []
         for p in paths:
             r = stats.get(p)
-            out.append(
-                {
-                    "path": p,
-                    "rows": int(r["rows"]) if r else 0,
-                    "min": (_stat_safe(r["mn"]) if (r and self.stats_col) else None),
-                    "max": (_stat_safe(r["mx"]) if (r and self.stats_col) else None),
+            entry = {
+                "path": p,
+                "rows": int(r["rows"]) if r else 0,
+                "min": (_stat_safe(r["mn0"]) if (r and self.stats_cols) else None),
+                "max": (_stat_safe(r["mx0"]) if (r and self.stats_cols) else None),
+            }
+            if r and self.stats_cols:
+                entry["stats"] = {
+                    c: [_stat_safe(r[f"mn{j}"]), _stat_safe(r[f"mx{j}"])]
+                    for j, c in enumerate(self.stats_cols)
                 }
-            )
+            if r and self.bloom_col:
+                bits = 0
+                for i in range(self.bloom_k):
+                    for pos in r[f"bl{i}"]:
+                        bits |= 1 << pos
+                entry["bloom"] = f"{bits:x}"
+            out.append(entry)
         return out
+
+    # -- bloom helpers ------------------------------------------------------
+
+    def _bloom_positions(self, value) -> list[int]:
+        """Probe positions for ``value`` — computed by the SAME Spark
+        expression used at write time (xxhash64 over the stringified
+        key, salted per probe), via a 1-row local-relation job: a
+        driver-side metadata op, no table data touched."""
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(str(value)), F.lit(i)),
+                        F.lit(self.bloom_bits),
+                    ).alias(f"p{i}")
+                    for i in range(self.bloom_k)
+                ]
+            )
+            .first()
+        )
+        return [row[f"p{i}"] for i in range(self.bloom_k)]
+
+    @staticmethod
+    def _bloom_may_contain(entry: dict, positions: list[int]) -> bool:
+        hexbits = entry.get("bloom")
+        if hexbits is None:
+            return True  # no filter recorded -> cannot exclude
+        bits = int(hexbits, 16)
+        return all((bits >> p) & 1 for p in positions)
 
     def append(
         self, df: DataFrame, batch_token: str | None = None, max_retries: int = 5
@@ -263,31 +351,79 @@ class SnapshotTable:
         self,
         version: int | None = None,
         between: tuple | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
         """DataFrame over one snapshot's file set. ``between=(lo, hi)``
-        additionally skips files whose [min, max] of the stats column
-        cannot overlap — manifest-level pruning before any footer is
-        opened. The residual filter still applies row-level."""
+        skips files whose [min, max] of the primary stats column cannot
+        overlap — manifest-level pruning before any footer is opened.
+        ``where={col: (lo, hi), ...}`` generalizes to a box over any
+        subset of ``stats_cols``: a file is kept only when EVERY bound
+        overlaps its per-column range. The residual filters still apply
+        row-level, so pruning is a pure optimization — results are
+        identical with or without it."""
         snap = self.snapshot(version)
         if snap is None or not snap.files:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         files = snap.files
         if between is not None and self.stats_col:
-            # bounds pass through the SAME serializer as the manifest
-            # stats so temporal types compare correctly (isoformat,
-            # not str()).
-            lo, hi = _stat_safe(between[0]), _stat_safe(between[1])
-            files = [
-                f
-                for f in files
-                if f["min"] is None or not (f["max"] < lo or f["min"] > hi)
-            ]
+            where = dict(where or {})
+            where.setdefault(self.stats_col, between)
+        if where:
+            files = self._prune_box(files, where)
             if not files:
-                return self.spark.read.parquet(snap.paths[0]).limit(0)
+                return self.spark.read.parquet(snap.paths[0]).limit(0).filter(
+                    F.lit(False)
+                )
         df = self.spark.read.parquet(*[f["path"] for f in files])
-        if between is not None and self.stats_col:
-            df = df.filter(F.col(self.stats_col).between(between[0], between[1]))
+        if where:
+            for c, (lo, hi) in where.items():
+                df = df.filter(F.col(c).between(lo, hi))
         return df
+
+    def _prune_box(self, files: list[dict], where: dict) -> list[dict]:
+        """Zone-map overlap test per column. Bounds pass through the
+        SAME serializer as the manifest stats so temporal types compare
+        correctly (isoformat, not str()). A column with no recorded
+        stats cannot exclude a file."""
+        kept = []
+        for f in files:
+            ok = True
+            for c, (lo, hi) in where.items():
+                if c == self.stats_col and "stats" not in f:
+                    mn, mx = f.get("min"), f.get("max")  # pre-widening entry
+                else:
+                    mn, mx = f.get("stats", {}).get(c, (None, None))
+                slo, shi = _stat_safe(lo), _stat_safe(hi)
+                if mn is not None and (mx < slo or mn > shi):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        return kept
+
+    def read_point(self, value, version: int | None = None) -> DataFrame:
+        """Point lookup ``bloom_col = value``: manifest Bloom filters
+        exclude every file that provably does not contain the key (no
+        false negatives); the equality filter handles the residual
+        false-positive files row-level. Without the bloom this is a
+        full-table scan whenever the key column isn't the clustering
+        order — the common 100 TB "fetch one document by id" case."""
+        if not self.bloom_col:
+            raise ValueError("read_point requires bloom_col")
+        snap = self.snapshot(version)
+        if snap is None or not snap.files:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        positions = self._bloom_positions(value)
+        files = [
+            f for f in snap.files if self._bloom_may_contain(f, positions)
+        ]
+        if not files:
+            return self.spark.read.parquet(snap.paths[0]).limit(0).filter(
+                F.lit(False)
+            )
+        return self.spark.read.parquet(*[f["path"] for f in files]).filter(
+            F.col(self.bloom_col) == value
+        )
 
     def changes(
         self,

@@ -1,0 +1,213 @@
+"""Z-order clustering + multi-column zone maps + bloom point lookups.
+
+The claim under test is the 100 TB one: after ``cluster_by_zorder``,
+``SnapshotTable`` manifest stats prune files for box predicates on ANY
+clustered column, and bloom filters prune point lookups on a
+high-cardinality key — with results always identical to the unpruned
+scan (pruning is an optimization, never a semantic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.storage.layout import (
+    append_clustered,
+    cluster_by_zorder,
+    column_ranges,
+    zorder_key,
+)
+from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+from event_to_lakehouse_spark.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _morton(vals, bits):
+    out = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            out |= ((v >> i) & 1) << (i * len(vals) + j)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """The codegen Morton key equals a plain-Python bit interleave of
+    the scaled values (4-bit grid for hand-checkable numbers)."""
+    rows = [(0, 0), (15, 15), (15, 0), (0, 15), (7, 8), (3, 12)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    ranges = {"a": (0, 15), "b": (0, 15)}
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key(["a", "b"], ranges, bits=4)
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _morton([a, b], 4), (a, b)
+
+
+def test_zorder_key_clamps_and_nulls(spark):
+    """Out-of-range values (incremental append beyond the historical
+    range) clamp to the curve edge; NULLs land at the origin."""
+    df = spark.createDataFrame(
+        [(100, 5), (-100, 5), (None, 5)], ["a", "b"]
+    )
+    ranges = {"a": (0, 15), "b": (0, 15)}
+    zs = [
+        r["z"]
+        for r in df.withColumn(
+            "z", zorder_key(["a", "b"], ranges, bits=4)
+        ).collect()
+    ]
+    assert zs[0] == _morton([15, 5], 4)
+    assert zs[1] == _morton([0, 5], 4)
+    assert zs[2] == _morton([0, 5], 4)
+
+
+def test_clustered_layout_prunes_secondary_column(spark, tmp_dir):
+    """Events clustered by (user_id, value): a box predicate on the
+    two clustered columns opens strictly fewer files than the same
+    table appended in natural (ts) order — the whole point of Z-order:
+    the NON-leading column's zone maps become selective too. Results
+    match the plain filtered scan exactly either way."""
+    events = load_tables(spark, SF)["events"].select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    n_files = 16
+
+    linear = SnapshotTable(
+        spark, f"{tmp_dir}/linear", stats_cols=["user_id", "value"]
+    )
+    linear.append(events.repartitionByRange(n_files, "ts"))
+
+    zord = SnapshotTable(
+        spark, f"{tmp_dir}/zorder", stats_cols=["user_id", "value"]
+    )
+    append_clustered(zord, events, ["user_id", "value"], n_files)
+
+    # data-driven box: ~20% of each clustered column's range, so the
+    # test holds for any driver-generated distribution
+    rg = column_ranges(events, ["user_id", "value"])
+    u_lo, u_hi = rg["user_id"]
+    v_lo, v_hi = rg["value"]
+    box = {
+        "user_id": (u_lo, u_lo + max(1, (u_hi - u_lo) // 5)),
+        "value": (v_lo, v_lo + (v_hi - v_lo) * 0.2),
+    }
+    expected = (
+        events.filter(
+            F.col("user_id").between(*box["user_id"])
+            & F.col("value").between(*box["value"])
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+
+    kept_linear = linear._prune_box(linear.snapshot().files, box)
+    kept_z = zord._prune_box(zord.snapshot().files, box)
+    assert len(kept_z) < len(kept_linear), (len(kept_z), len(kept_linear))
+    assert len(kept_z) < n_files / 2  # the box is small; most files skip
+
+    for t in (linear, zord):
+        got = t.read(where=box).orderBy("event_id").collect()
+        assert [r["event_id"] for r in got] == [
+            r["event_id"] for r in expected
+        ]
+
+
+def test_zorder_single_shuffle_plan(spark):
+    """Clustering is ONE range exchange + a partition-local sort — no
+    global sort node, no second exchange."""
+    events = load_tables(spark, SF)["events"]
+    plan = (
+        cluster_by_zorder(events, ["user_id", "value"], 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Exchange rangepartitioning(_zkey" in plan
+    # Sort [...], false, 0  => global=false: the partition-local sort
+    assert "], false, 0" in plan
+    assert "], true, 0" not in plan  # no global sort anywhere
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_dir):
+    """Documents keyed by doc_id across 8 files: a present key opens
+    only bloom-positive files and returns exactly the matching rows; an
+    absent key opens nothing (deterministic fixture: the xxhash64
+    probes either hit or they don't — no flake)."""
+    docs = load_tables(spark, SF)["documents"].select("doc_id", "source")
+    t = SnapshotTable(spark, f"{tmp_dir}/docs", bloom_col="doc_id")
+    t.append(docs.repartition(8, "doc_id"))
+
+    some_id = docs.limit(1).first()["doc_id"]
+    got = t.read_point(some_id).collect()
+    assert [r["doc_id"] for r in got] == [some_id]
+    assert len(t.read_point(some_id).inputFiles()) <= 8
+
+    missing = 10_000_000_007
+    assert t.read_point(missing).count() == 0
+    # manifest-level exclusion: no file should have matched
+    pos = t._bloom_positions(missing)
+    matched = [
+        f
+        for f in t.snapshot().files
+        if t._bloom_may_contain(f, pos)
+    ]
+    assert matched == []
+
+
+def test_bloom_and_stats_coexist_and_survive_reload(spark, tmp_dir):
+    """A table with stats_cols AND bloom_col records both per file;
+    a fresh handle on the same root reads the same manifests."""
+    events = load_tables(spark, SF)["events"].select(
+        "event_id", "user_id", "value"
+    )
+    t = SnapshotTable(
+        spark,
+        f"{tmp_dir}/both",
+        stats_cols=["user_id", "value"],
+        bloom_col="event_id",
+    )
+    append_clustered(t, events, ["user_id", "value"], 8)
+    f0 = t.snapshot().files[0]
+    assert set(f0["stats"]) == {"user_id", "value"}
+    assert isinstance(f0["bloom"], str) and int(f0["bloom"], 16) > 0
+
+    t2 = SnapshotTable(
+        spark,
+        f"{tmp_dir}/both",
+        stats_cols=["user_id", "value"],
+        bloom_col="event_id",
+    )
+    eid = events.limit(1).first()["event_id"]
+    assert t2.read_point(eid).count() == 1
+    assert t2.read(where={"value": (0.0, 10.0)}).count() == events.filter(
+        F.col("value").between(0.0, 10.0)
+    ).count()
+
+
+def test_backcompat_single_stats_col_entries(spark, tmp_dir):
+    """Pre-widening manifests (only min/max, no 'stats' dict) still
+    prune through read(between=...) and merge(): simulate by writing
+    with stats_col= (old API spelling) and stripping 'stats'."""
+    import json
+    from pathlib import Path
+
+    events = load_tables(spark, SF)["events"].select("event_id", "user_id")
+    t = SnapshotTable(spark, f"{tmp_dir}/old", stats_col="user_id")
+    t.append(events.repartitionByRange(4, "user_id"))
+    mpath = sorted((Path(tmp_dir) / "old" / "meta").glob("v*.json"))[-1]
+    doc = json.loads(mpath.read_text())
+    for f in doc["files"]:
+        f.pop("stats", None)
+    mpath.write_text(json.dumps(doc))
+
+    t2 = SnapshotTable(spark, f"{tmp_dir}/old", stats_col="user_id")
+    mn = events.agg(F.min("user_id")).first()[0]
+    lo, hi = mn, mn + 2  # narrower than one range-partitioned file
+    expected = events.filter(F.col("user_id").between(lo, hi)).count()
+    assert t2.read(between=(lo, hi)).count() == expected
+    assert len(t2._prune_box(t2.snapshot().files, {"user_id": (lo, hi)})) < 4
