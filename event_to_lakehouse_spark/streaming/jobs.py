@@ -132,6 +132,63 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
+    """``running_user_totals`` on Spark 4's ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` and the shape new
+    stateful operators should take: typed state variables
+    (ValueState/ListState/MapState) with per-state TTL and timers,
+    backed by the RocksDB state store (required by the API; state spills
+    to local disk instead of capping at executor heap — the 100 TB
+    answer to "how big can per-key state get").
+
+    Semantics are identical to the applyInPandasWithState twin: one
+    (count, sum) ValueState per user, updated per Arrow batch, latest
+    totals re-emitted each micro-batch. ``ttl_ms`` bounds state
+    lifetime for corpora where keys churn (state for idle users is
+    evicted by the store, not by hand-rolled timeout code)."""
+    import pandas as pd  # local import: Arrow path only
+    from pyspark.sql.streaming import StatefulProcessor
+
+    ttl = ttl_ms
+
+    class _UserTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n bigint, s double", ttlDurationMs=ttl
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._totals.get() if self._totals.exists() else None
+            n, s = got if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = events.sparkSession
+    # transformWithState requires the RocksDB provider (bundled with
+    # Spark); set before the query starts — a per-query static.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotals(),
+        outputStructType="user_id long, n_events long, sum_value double",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def purchase_attribution(
     events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
