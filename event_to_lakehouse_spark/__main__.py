@@ -81,7 +81,11 @@ def _cmd_compact(args) -> int:
 
     spark = get_spark("compaction")
     n = compact(
-        spark, args.path, args.target_bytes, args.sort_by.split(",") if args.sort_by else None
+        spark,
+        args.path,
+        args.target_bytes,
+        args.sort_by.split(",") if args.sort_by else None,
+        zorder_cols=args.zorder_by.split(",") if args.zorder_by else None,
     )
     print(f"compacted {args.path} -> {n} files")
     return 0
@@ -91,7 +95,12 @@ def _cmd_snapshot(args) -> int:
     from .storage.snapshots import SnapshotTable
 
     spark = get_spark("snapshot-table")
-    t = SnapshotTable(spark, args.root, stats_col=args.stats_col)
+    t = SnapshotTable(
+        spark,
+        args.root,
+        stats_col=args.stats_col,
+        stats_cols=args.stats_cols.split(",") if args.stats_cols else None,
+    )
     if args.action == "compact":
         from .storage.compaction import compact_snapshot
 
@@ -99,6 +108,7 @@ def _cmd_snapshot(args) -> int:
             t,
             target_file_bytes=args.target_bytes,
             sort_cols=args.sort_by.split(",") if args.sort_by else None,
+            zorder_cols=args.zorder_by.split(",") if args.zorder_by else None,
         )
         print(f"compacted snapshot table -> {n} files")
     elif args.action == "history":
@@ -150,16 +160,22 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--path", required=True)
     s.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     s.add_argument("--sort-by", default="")
+    s.add_argument("--zorder-by", default="",
+                   help="Morton-cluster by these columns (OPTIMIZE ZORDER)")
     s.set_defaults(fn=_cmd_compact)
 
     s = sub.add_parser("snapshot", help="snapshot-table maintenance")
     s.add_argument("action", choices=["history", "vacuum", "count", "compact"])
     s.add_argument("--root", required=True)
     s.add_argument("--stats-col")
+    s.add_argument("--stats-cols", default="",
+                   help="comma list: multi-column zone-map stats")
     s.add_argument("--keep", type=int, default=1)
     s.add_argument("--version", type=int)
     s.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
     s.add_argument("--sort-by", default="")
+    s.add_argument("--zorder-by", default="",
+                   help="Morton-cluster by these columns (OPTIMIZE ZORDER)")
     s.set_defaults(fn=_cmd_snapshot)
 
     args = p.parse_args(argv)

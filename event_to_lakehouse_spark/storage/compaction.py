@@ -50,23 +50,43 @@ def plan_output_files(input_bytes: int, target_file_bytes: int) -> int:
     return max(1, math.ceil(input_bytes / target_file_bytes))
 
 
+def _shape(
+    df: DataFrame,
+    n_out: int,
+    sort_cols: list[str] | None,
+    zorder_cols: list[str] | None,
+) -> DataFrame:
+    """Pick the rewrite layout: Z-order multi-column clustering beats a
+    lexicographic sort when predicates hit more than the leading
+    column; plain sort_cols keeps the single-column case simple; no
+    cols = pure bin-packing."""
+    if zorder_cols:
+        from .layout import cluster_by_zorder
+
+        return cluster_by_zorder(df, zorder_cols, n_out)
+    if sort_cols:
+        return df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    return df.repartition(n_out)
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Compact the parquet dir at ``path`` in place; returns the number
     of output files. ``sort_cols`` range-clusters rows across the
-    output files (global order → tight per-file min/max → skipping)."""
+    output files (global order → tight per-file min/max → skipping);
+    ``zorder_cols`` Morton-clusters instead (Delta ``OPTIMIZE ZORDER
+    BY``: min/max stay selective for EVERY listed column, not just the
+    leading one)."""
     n_out = plan_output_files(dir_bytes(path), target_file_bytes)
     df: DataFrame = spark.read.parquet(path)
-    if sort_cols:
-        shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-    else:
-        shaped = df.repartition(n_out)
+    shaped = _shape(df, n_out, sort_cols, zorder_cols)
 
     staging = f"{path}__compacting"
     backup = f"{path}__precompact"
@@ -81,12 +101,17 @@ def compact_snapshot(
     table,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> int:
     """Compact a ``snapshots.SnapshotTable`` — the fully atomic flavor:
     the bin-packed rewrite lands as a new snapshot (manifest pointer
     swap), so readers see the old or new file set with NO window where
     the table is absent; the pre-compaction snapshot stays readable
-    until ``vacuum``. Returns the output file count."""
+    until ``vacuum``. ``zorder_cols`` makes this the full ``OPTIMIZE
+    ZORDER`` shape: bin-pack + Morton-cluster in one rewrite, and the
+    refreshed manifests' multi-column stats (``stats_cols``) prune
+    boxes over every clustered column afterwards. Returns the output
+    file count."""
     snap = table.snapshot()
     if snap is None:
         return 0
@@ -94,11 +119,5 @@ def compact_snapshot(
         os.path.getsize(f["path"]) for f in snap.files if os.path.exists(f["path"])
     )
     n_out = plan_output_files(input_bytes, target_file_bytes)
-    df = table.read()
-    if sort_cols:
-        shaped = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
-    else:
-        shaped = df.repartition(n_out)
+    shaped = _shape(table.read(), n_out, sort_cols, zorder_cols)
     return len(table.overwrite(shaped).files)

@@ -189,6 +189,48 @@ def test_bloom_and_stats_coexist_and_survive_reload(spark, tmp_dir):
     ).count()
 
 
+def test_compact_snapshot_zorder_restores_skipping(spark, tmp_dir):
+    """The OPTIMIZE ZORDER shape: many small unclustered appends, then
+    one atomic compaction with zorder_cols — afterwards the refreshed
+    manifests prune the same box that pre-compaction couldn't, and the
+    table content is unchanged."""
+    from event_to_lakehouse_spark.storage.compaction import compact_snapshot
+
+    events = load_tables(spark, SF)["events"].select(
+        "event_id", "user_id", "value"
+    )
+    t = SnapshotTable(
+        spark, f"{tmp_dir}/opt", stats_cols=["user_id", "value"]
+    )
+    # 4 appends of 4 arrival-ordered files each = 16 small files
+    for i in range(4):
+        t.append(
+            events.filter(F.col("event_id") % 4 == i).repartition(4)
+        )
+    total = events.count()
+    assert sum(f["rows"] for f in t.snapshot().files) == total
+
+    rg = column_ranges(events, ["user_id", "value"])
+    box = {
+        "user_id": (rg["user_id"][0], rg["user_id"][0] + 2),
+        "value": (rg["value"][0], rg["value"][0] + (rg["value"][1] - rg["value"][0]) * 0.2),
+    }
+    kept_before = t._prune_box(t.snapshot().files, box)
+
+    n_files = compact_snapshot(
+        t, target_file_bytes=4 * 1024, zorder_cols=["user_id", "value"]
+    )
+    assert t.read().count() == total  # rewrite moved, lost nothing
+    kept_after = t._prune_box(t.snapshot().files, box)
+    assert len(kept_after) < len(kept_before)
+    assert len(kept_after) < n_files  # strict subset: skipping works
+    expected = events.filter(
+        F.col("user_id").between(*box["user_id"])
+        & F.col("value").between(*box["value"])
+    ).count()
+    assert t.read(where=box).count() == expected
+
+
 def test_backcompat_single_stats_col_entries(spark, tmp_dir):
     """Pre-widening manifests (only min/max, no 'stats' dict) still
     prune through read(between=...) and merge(): simulate by writing
