@@ -1,0 +1,91 @@
+"""SnapshotTable as a streaming source (Spark 4 Python streaming
+DataSource): offsets are manifest versions, so a checkpointed query
+consumes each commit's added rows exactly once and a restart resumes
+from the committed version — the table-as-a-stream (CDC tail)
+capability of Delta/Iceberg on plain parquet manifests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.sources import snapshot_stream
+from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+
+def _drain(spark, root: str, out: str, ckpt: str, **opts) -> None:
+    reader = spark.readStream.format("snapshot_changes").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_consumes_each_commit_exactly_once(spark, tmp_dir):
+    snapshot_stream.register(spark)
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(spark.range(10).withColumnRenamed("id", "v"))
+
+    out, ckpt = f"{tmp_dir}/out", f"{tmp_dir}/ckpt"
+    _drain(spark, f"{tmp_dir}/tbl", out, ckpt)
+    assert spark.read.parquet(out).count() == 10
+
+    # two more commits between triggers -> one delta batch, no re-reads
+    t.append(spark.range(100, 105).withColumnRenamed("id", "v"))
+    t.append(spark.range(200, 203).withColumnRenamed("id", "v"))
+    _drain(spark, f"{tmp_dir}/tbl", out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 18
+    assert got.agg(F.sum("v")).first()[0] == sum(range(10)) + sum(
+        range(100, 105)
+    ) + sum(range(200, 203))
+
+    # idle trigger: no new commits, no new rows
+    _drain(spark, f"{tmp_dir}/tbl", out, ckpt)
+    assert spark.read.parquet(out).count() == 18
+
+
+def test_stream_starting_version_skips_history(spark, tmp_dir):
+    snapshot_stream.register(spark)
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(spark.range(10).withColumnRenamed("id", "v"))  # v1
+    t.append(spark.range(50, 54).withColumnRenamed("id", "v"))  # v2
+
+    out, ckpt = f"{tmp_dir}/out", f"{tmp_dir}/ckpt"
+    _drain(spark, f"{tmp_dir}/tbl", out, ckpt, startingVersion="1")
+    got = spark.read.parquet(out)
+    assert got.count() == 4  # v2 only
+    assert got.agg(F.min("v")).first()[0] == 50
+
+
+def test_stream_fails_on_rewrite_unless_opted_in(spark, tmp_dir):
+    """A COW delete between triggers rewrites parent files; the stream
+    must fail loudly by default (its added files re-emit survivors,
+    not inserts) and emit them only under ignoreRewrites=true —
+    mirroring SnapshotTable.changes()."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    snapshot_stream.register(spark)
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="v")
+    t.append(spark.range(10).withColumnRenamed("id", "v"))
+
+    out, ckpt = f"{tmp_dir}/out", f"{tmp_dir}/ckpt"
+    _drain(spark, f"{tmp_dir}/tbl", out, ckpt)
+    t.delete_where(F.col("v") >= 8)  # rewrite commit
+
+    with pytest.raises(StreamingQueryException, match="rewrite commit"):
+        _drain(spark, f"{tmp_dir}/tbl", out, ckpt)
+
+    # opting in emits the rewrite's surviving rows (latest-wins consumer)
+    out2, ckpt2 = f"{tmp_dir}/out2", f"{tmp_dir}/ckpt2"
+    _drain(
+        spark, f"{tmp_dir}/tbl", out2, ckpt2, ignoreRewrites="true"
+    )
+    assert spark.read.parquet(out2).count() == 10 + 8  # v1 + survivors
