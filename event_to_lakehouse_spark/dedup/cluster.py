@@ -131,3 +131,73 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster ids over the exact-Jaccard near-dup graph."""
     load_tables(spark, sf_dir)
     return cluster_labels(dedup_ngram_jaccard(spark, sf_dir))
+
+
+def _semantic_oracle() -> str:
+    """Transitive closure over the EMBEDDING near-dup pair SQL, then a
+    quality-ranked survivor per component — the full semantic-dedup
+    chain (LSH blocking → cosine pairs → components → survivor pick)
+    verified by ONE recursive-CTE oracle."""
+    # importing ann registers the near-dup entry (no import cycle:
+    # similarity never imports dedup)
+    from ..similarity import ann  # noqa: F401
+
+    pair_sql = ORACLES["dedup_embedding_neardup"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pair_sql}),
+    edges AS (
+      SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+      UNION
+      SELECT vec_id_b, vec_id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (
+      SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+      FROM reach GROUP BY id
+    )
+    SELECT l.doc_id, l.cluster_id,
+           (row_number() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY d.n_chars DESC, l.doc_id ASC) = 1) AS is_survivor
+    FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    """
+
+
+@query("dedup_semantic", _semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: embedding near-dup pairs (banded LSH
+    blocking, exact cosine) → connected components → keep the best
+    document per component (longest text wins, min doc_id tiebreak —
+    the survivor policy a curation pipeline applies before training).
+
+    Scale shape: reuses the near-dup plan (narrow candidate shuffle,
+    persisted block keys) and the bounded Pregel loop; the survivor
+    rank is one window over the LABELED rows only — near-dup clusters
+    are a tiny fraction of the corpus, so the documents join probes
+    with a small build side rather than shuffling the full table."""
+    from pyspark.sql.window import Window
+
+    from ..similarity.ann import dedup_embedding_neardup
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_embedding_neardup(spark, sf_dir)
+    labels = cluster_labels(pairs, a="vec_id_a", b="vec_id_b")
+    docs = t["documents"].select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        F.broadcast(labels)  # labeled rows ≪ corpus: docs never shuffle
+        .join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("rn") == 1).alias("is_survivor"),
+        )
+    )
