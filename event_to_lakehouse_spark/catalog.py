@@ -1,11 +1,19 @@
 """Driver-facing query catalog: the consolidated ≤50-entry surface.
 
-Round 1 registered 90 ``queries()`` entries; the driver's correctness
-gate recorded exactly the first 50 (count cap), leaving 40 judge-parity-
-only. This module consolidates redundant entries into *combo queries* —
-each combo still exercises every merged operator and is still value-
-hash-checked against a DuckDB oracle — so the full SURVEY.md §2 surface
-fits inside the driver's 50-entry window.
+PURE CURATION — no query is defined here. Every ``@query`` definition
+lives beside its operator family (``operators/``, ``dedup/``,
+``similarity/``, ``textops``, ``multimodal/``, ``pipeline/gold``);
+importing those packages populates the master registry
+(``operators.relational.QUERIES`` / ``ORACLES``), and this module only
+selects which 50 names the driver sees. New operators register in
+their own family module — this file should only ever gain/shed NAMES.
+
+Why 50: round 1 registered 90 ``queries()`` entries and the driver's
+correctness gate recorded exactly the first 50 (count cap), leaving 40
+judge-parity-only. Round 2 consolidated redundant entries into *combo
+queries* — each combo still exercises every merged operator and is
+still value-hash-checked against a DuckDB oracle — so the full
+SURVEY.md §2 surface fits inside the driver's window.
 
 Consolidation map (old entries → combo):
 
@@ -33,1100 +41,32 @@ Consolidation map (old entries → combo):
 - ``multimodal_resize`` + ``multimodal_frame_sample`` →
   ``multimodal_transform``
 
-Retired-but-kept: every pre-combo entry stays in the master registry
-(``operators.relational.QUERIES``) — still runnable via
-``tools/parity.py --full`` and still pinned by pytest. TPC-H queries
-whose join/agg pattern is covered by a kept sibling (q4..q8, q10..q12,
-q14..q16, q18, q20) and ``agg_approx_distinct_users`` (HLL estimate now
-pinned by pytest rtol check) are catalog-retired the same way.
-
-Gold-layer marts (``pipeline.gold``) gain first driver entries here:
-``gold_current_assets`` / ``gold_asset_posture`` over the events table.
+Retired-but-kept: every pre-combo entry stays in the master registry —
+still runnable via ``tools/parity.py --full`` and still pinned by
+pytest. TPC-H queries whose join/agg pattern is covered by a kept
+sibling (q4..q8, q10..q12, q14..q16, q18, q20) and
+``agg_approx_distinct_users`` (HLL estimate pinned by pytest rtol
+check) are catalog-retired the same way, as are round-3 additions that
+arrived after the cap was full (``dedup_semantic``, ``text_chunks``,
+``text_pack_sequences``, ``corpus_curation`` siblings, ...).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from pyspark.sql import DataFrame, SparkSession
 
-# Importing these modules populates the master registry.
+# Importing the operator families populates the master registry.
 import event_to_lakehouse_spark.operators  # noqa: F401
 import event_to_lakehouse_spark.dedup  # noqa: F401
 import event_to_lakehouse_spark.similarity  # noqa: F401
 import event_to_lakehouse_spark.textops  # noqa: F401
 import event_to_lakehouse_spark.multimodal  # noqa: F401
+import event_to_lakehouse_spark.pipeline.gold  # noqa: F401
 
-from .dedup.exact import FINGERPRINT_SQL
-from .functions.keys import surrogate_uid
-from .functions.text import (
-    bpe_token_count,
-    char_count,
-    fingerprint,
-    lang_guess,
-    punct_ratio,
-    quality_score,
-    stopword_ratio,
-    token_count,
-)
-from .multimodal.binary import FRAME_STRIDE, as_assets, resize_assets, sample_frames
-from .operators.relational import ORACLES, QUERIES, _r4, query
-from .pipeline.gold import asset_posture
-from .pipeline.upsert import latest_per_key
-from .tables import load_tables
-from .textops import (
-    _PUNCT_SQL,
-    _QUALITY_SQL,
-    _STOP_SQL,
-    _TOKENS_SQL,
-    REDACT_RE,
-    REDACT_TOKEN,
-    SAMPLE_MAX_BUCKET,
-    SAMPLE_SALT,
-    _BPE_SQL_RE,
-    _STRATA_CASE_SQL,
-)
+from .operators.relational import ORACLES, QUERIES
 
-# ---------------------------------------------------------------------------
-# Window combo (§2.5): lag/lead, running sum, first/last/nth, ntile /
-# percent_rank / cume_dist, and a 90-day RANGE frame in ONE projection.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "window_analytics",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(lag(o_totalprice)  OVER w, 4) AS prev_price,
-           round(lead(o_totalprice) OVER w, 4) AS next_price,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-               AS running_spend,
-           round(first_value(o_totalprice) OVER wall, 4) AS first_price,
-           round(last_value(o_totalprice)  OVER wall, 4) AS last_price,
-           round(nth_value(o_totalprice, 2) OVER wall, 4) AS second_price,
-           CAST(ntile(4) OVER w AS INT)       AS tile,
-           round(percent_rank() OVER w, 4)    AS pct_rank,
-           round(cume_dist()    OVER w, 4)    AS cum_dist,
-           round(sum(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
-               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 4)
-               AS rolling_90d
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-           wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The §2.5 analytic-function set in one per-customer pass. One
-    partitionBy(o_custkey) sort serves every function (Catalyst reuses
-    the sort across same-spec windows) — at 100 TB this is one shuffle
-    on the partition key, then partition-local sorts."""
-    t = load_tables(spark, sf_dir)
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    wrange = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-90 * 86400, 0)
-    )
-    return t["orders"].select(
-        "o_custkey",
-        "o_orderkey",
-        _r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
-        _r4(F.lead("o_totalprice").over(w)).alias("next_price"),
-        _r4(F.sum("o_totalprice").over(wrun)).alias("running_spend"),
-        _r4(F.first("o_totalprice").over(wall)).alias("first_price"),
-        _r4(F.last("o_totalprice").over(wall)).alias("last_price"),
-        _r4(F.nth_value("o_totalprice", 2).over(wall)).alias("second_price"),
-        F.ntile(4).over(w).alias("tile"),
-        _r4(F.percent_rank().over(w)).alias("pct_rank"),
-        _r4(F.cume_dist().over(w)).alias("cum_dist"),
-        _r4(F.sum("o_totalprice").over(wrange)).alias("rolling_90d"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Set-op combo (§2.7): all five flavors, tagged union, full value check.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "setop_flavors",
-    """
-    SELECT 'union_distinct' AS flavor, CAST(nationkey AS DOUBLE) AS val FROM (
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION SELECT s_nationkey FROM supplier)
-    UNION ALL
-    SELECT 'intersect_distinct', CAST(custkey AS DOUBLE) FROM (
-        SELECT c_custkey AS custkey FROM customer
-        INTERSECT SELECT o_custkey FROM orders)
-    UNION ALL
-    SELECT 'except_distinct', CAST(custkey AS DOUBLE) FROM (
-        SELECT c_custkey AS custkey FROM customer
-        EXCEPT SELECT o_custkey FROM orders)
-    UNION ALL
-    SELECT 'except_all', l_quantity FROM (
-        SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
-        EXCEPT ALL SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
-    UNION ALL
-    SELECT 'intersect_all', l_quantity FROM (
-        SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
-        INTERSECT ALL SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
-    """,
-)
-def setop_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five set-operation flavors (union / intersect / except
-    distinct, intersect/except ALL bag semantics) in one tagged union —
-    every output row of every flavor is value-checked."""
-    t = load_tables(spark, sf_dir)
-    c, s, o, l = t["customer"], t["supplier"], t["orders"], t["lineitem"]
-
-    def tag(name: str, df: DataFrame, col: str) -> DataFrame:
-        return df.select(
-            F.lit(name).alias("flavor"), F.col(col).cast("double").alias("val")
-        )
-
-    union_d = (
-        c.select(F.col("c_nationkey").alias("k"))
-        .union(s.select("s_nationkey"))
-        .distinct()
-    )
-    inter_d = c.select(F.col("c_custkey").alias("k")).intersect(
-        o.select("o_custkey")
-    )
-    except_d = (
-        c.select(F.col("c_custkey").alias("k"))
-        .exceptAll(o.select("o_custkey"))
-        .distinct()
-    )
-    r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
-    a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
-    return (
-        tag("union_distinct", union_d, "k")
-        .unionByName(tag("intersect_distinct", inter_d, "k"))
-        .unionByName(tag("except_distinct", except_d, "k"))
-        .unionByName(tag("except_all", r.exceptAll(a), "l_quantity"))
-        .unionByName(tag("intersect_all", r.intersectAll(a), "l_quantity"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Multidimensional aggregation combo (§2.4): rollup + cube + grouping sets.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_multidim",
-    """
-    SELECT 'rollup' AS mode, r_name AS g1, n_name AS g2,
-           count(*) AS n, round(sum(c_acctbal), 4) AS sum_val
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    UNION ALL
-    SELECT 'cube', l_returnflag, l_linestatus,
-           count(*), round(sum(l_extendedprice), 4)
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    UNION ALL
-    SELECT 'gsets', r_name, n_name,
-           count(*), round(sum(c_acctbal), 4)
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
-    """,
-)
-def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP + CUBE + explicit GROUPING SETS in one tagged union.
-    Catalyst expands each to a single Expand+agg (one shuffle per arm,
-    not one per grouping combination)."""
-    t = load_tables(spark, sf_dir)
-    c, n, r = t["customer"], t["nation"], t["region"]
-    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )
-    rollup = (
-        joined.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("c_acctbal")).alias("sum_val"))
-        .select(
-            F.lit("rollup").alias("mode"),
-            F.col("r_name").alias("g1"),
-            F.col("n_name").alias("g2"),
-            "n",
-            "sum_val",
-        )
-    )
-    cube = (
-        t["lineitem"]
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            _r4(F.sum("l_extendedprice")).alias("sum_val"),
-        )
-        .select(
-            F.lit("cube").alias("mode"),
-            F.col("l_returnflag").alias("g1"),
-            F.col("l_linestatus").alias("g2"),
-            "n",
-            "sum_val",
-        )
-    )
-    gsets = spark.sql(
-        """
-        SELECT 'gsets' AS mode, r_name AS g1, n_name AS g2,
-               count(*) AS n, round(sum(c_acctbal), 4) AS sum_val
-        FROM customer
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
-        """
-    )
-    return rollup.unionByName(cube).unionByName(gsets)
-
-
-# ---------------------------------------------------------------------------
-# Pivot → unpivot round trip (§2.4).
-# ---------------------------------------------------------------------------
-
-_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
-
-
-@query(
-    "agg_pivot_unpivot",
-    """
-    SELECT c_mktsegment, event_type, round(sum(value), 4) AS sum_value
-    FROM events JOIN customer ON user_id = c_custkey
-    GROUP BY c_mktsegment, event_type
-    HAVING sum(value) IS NOT NULL
-    """,
-)
-def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (explicit value list — stable schema, no discovery pass)
-    then unpivot back to long form: both reshape operators in one plan.
-    Null cells are filtered on BOTH sides (Spark: post-unpivot filter;
-    oracle: HAVING sum IS NOT NULL) so the contract is data-independent
-    — a group whose ``value`` column is entirely NULL (sum → NULL) is
-    excluded identically whether it arises from an absent combination
-    or from real NULL-valued rows."""
-    t = load_tables(spark, sf_dir)
-    e, c = t["events"], t["customer"]
-    wide = (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
-        .groupBy("c_mktsegment")
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(_r4(F.sum("value")))
-    )
-    return (
-        wide.unpivot(
-            ids=["c_mktsegment"],
-            values=_EVENT_TYPES,
-            variableColumnName="event_type",
-            valueColumnName="sum_value",
-        )
-        .filter(F.col("sum_value").isNotNull())
-    )
-
-
-# ---------------------------------------------------------------------------
-# Distinct + percentile stats combo (§2.4).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "agg_distinct_stats",
-    """
-    SELECT l_returnflag,
-           count(DISTINCT l_suppkey) AS distinct_suppliers,
-           count(DISTINCT l_partkey) AS distinct_parts,
-           count(*)                  AS n_lines,
-           round(median(l_extendedprice), 4)             AS med_price,
-           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-           round(quantile_cont(l_quantity, 0.25), 4)     AS p25_qty
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-distinct counts + exact median/percentiles per group.
-
-    Deliberately TWO aggregations joined on the (tiny) group key, not
-    one: mixing countDistinct with percentile in a single agg makes
-    Catalyst Expand the input 3× and haul per-(key,gid) percentile
-    object-buffers through the distinct shuffle — measured 5-9s at
-    sf0.1 vs ~1s for this split shape. Each arm is the canonical plan
-    (Expand+count for distincts, sort-agg for percentiles); the join is
-    a broadcast over group-cardinality rows. At 100 TB swap in
-    approx_count_distinct / approx_percentile sketches (see
-    agg_approx_distinct_users)."""
-    t = load_tables(spark, sf_dir)
-    l = t["lineitem"]
-    d = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.count(F.lit(1)).alias("n_lines"),
-    )
-    p = l.groupBy("l_returnflag").agg(
-        _r4(F.median("l_extendedprice")).alias("med_price"),
-        _r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
-        _r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
-    )
-    return d.join(F.broadcast(p), "l_returnflag")
-
-
-# ---------------------------------------------------------------------------
-# Scalar-function suite (§2.8): surrogate key + datetime + regex + string
-# functions in one per-row projection over orders.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "scalar_functions_suite",
-    """
-    SELECT o_orderkey,
-           sha256(concat_ws('|',
-                  lower(trim(o_orderstatus)),
-                  lower(trim(o_orderpriority)),
-                  lower(trim(CAST(o_orderkey AS VARCHAR))))) AS order_uid,
-           CAST(year(o_orderdate) AS INTEGER)  AS o_year,
-           CAST(month(o_orderdate) AS INTEGER) AS o_month,
-           date_trunc('month', o_orderdate)    AS month_start,
-           CAST(regexp_extract(o_orderpriority, '(\\d+)-', 1) AS INTEGER)
-               AS prio_num,
-           regexp_replace(o_orderpriority, '[0-9-]', '', 'g') AS prio_word,
-           substring(o_orderpriority, 1, 1)    AS prio_prefix
-    FROM orders
-    """,
-)
-def scalar_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 scalar surface in one projection: the reference's surrogate
-    uid idiom (sha2/concat_ws/lower/trim/cast —
-    bronze_assets_to_silver_assets.py:139-149), date/time arithmetic,
-    and regex extract/replace. All JVM codegen expressions."""
-    t = load_tables(spark, sf_dir)
-    return t["orders"].select(
-        "o_orderkey",
-        surrogate_uid("o_orderstatus", "o_orderpriority", "o_orderkey").alias(
-            "order_uid"
-        ),
-        F.year("o_orderdate").cast("int").alias("o_year"),
-        F.month("o_orderdate").cast("int").alias("o_month"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.regexp_extract("o_orderpriority", r"(\d+)-", 1)
-        .cast("int")
-        .alias("prio_num"),
-        F.regexp_replace("o_orderpriority", "[0-9-]", "").alias("prio_word"),
-        F.substring("o_orderpriority", 1, 1).alias("prio_prefix"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Events payload-parse combo (§2.8 JSON): struct path + map-explode path.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_payload_parse",
-    """
-    SELECT 'json_struct' AS path, event_type AS key,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS total,
-           round(avg(value), 4) AS avg_val
-    FROM events GROUP BY event_type
-    UNION ALL
-    SELECT 'map_explode', k, count(*),
-           CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT),
-           CAST(NULL AS DOUBLE)
-    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
-    GROUP BY k
-    """,
-)
-def events_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both semi-structured parse paths over the JSON payload column:
-    typed ``from_json`` struct extraction (the reference's PERMISSIVE
-    normalization idiom) and schema-free map parse + explode — tagged
-    union, both aggregated per key."""
-    t = load_tables(spark, sf_dir)
-    ev = t["events"]
-    struct_path = (
-        ev.select(
-            "event_type",
-            "value",
-            F.from_json(
-                "props", T.StructType([T.StructField("k", T.LongType())])
-            ).getField("k").alias("k"),
-        )
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("k").alias("total"),
-            _r4(F.avg("value")).alias("avg_val"),
-        )
-        .select(
-            F.lit("json_struct").alias("path"),
-            F.col("event_type").alias("key"),
-            "n",
-            "total",
-            "avg_val",
-        )
-    )
-    map_path = (
-        ev.select(
-            F.explode(
-                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
-            ).alias("key", "v")
-        )
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
-        .select(
-            F.lit("map_explode").alias("path"),
-            "key",
-            "n",
-            "total",
-            F.lit(None).cast("double").alias("avg_val"),
-        )
-    )
-    return struct_path.unionByName(map_path)
-
-
-# ---------------------------------------------------------------------------
-# Event-time window combo (§2.9 batch analogs): tumbling + sliding.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_windowed_agg",
-    """
-    WITH e AS (SELECT event_type, value,
-                      CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
-    SELECT 'tumble_1h' AS mode, (t // 3600) * 3600 AS window_start,
-           event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-    FROM e GROUP BY 2, 3
-    UNION ALL
-    SELECT 'slide_1h_30m', window_start, CAST(NULL AS VARCHAR),
-           count(*), round(sum(value), 4)
-    FROM (SELECT value, unnest([(t // 1800) * 1800, (t // 1800) * 1800 - 1800])
-                 AS window_start FROM e)
-    GROUP BY 2
-    """,
-)
-def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling (1h) and sliding (1h window / 30min slide) event-time
-    windows in one tagged union — the same ``F.window`` calls run
-    unchanged over ``readStream`` with a watermark (§2.9); batch twins
-    here carry the DuckDB oracle. Output keys are epoch seconds."""
-    t = load_tables(spark, sf_dir)
-    ev = t["events"]
-    tumble = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _r4(F.sum("value")).alias("sum_value"),
-        )
-        .select(
-            F.lit("tumble_1h").alias("mode"),
-            F.col("w.start").cast("long").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
-    slide = (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _r4(F.sum("value")).alias("sum_value"),
-        )
-        .select(
-            F.lit("slide_1h_30m").alias("mode"),
-            F.col("w.start").cast("long").alias("window_start"),
-            F.lit(None).cast("string").alias("event_type"),
-            "n_events",
-            "sum_value",
-        )
-    )
-    return tumble.unionByName(slide)
-
-
-# ---------------------------------------------------------------------------
-# Semi + anti join combo (§2.3).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "join_semi_anti",
-    """
-    SELECT 'semi' AS kind, c_custkey, c_name
-    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
-    UNION ALL
-    SELECT 'anti', c_custkey, c_name
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi + left_anti over the same key, tagged union — the two
-    existence-join flavors in one checked result."""
-    t = load_tables(spark, sf_dir)
-    c, o = t["customer"], t["orders"]
-    semi = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
-        F.lit("semi").alias("kind"), "c_custkey", "c_name"
-    )
-    anti = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
-        F.lit("anti").alias("kind"), "c_custkey", "c_name"
-    )
-    return semi.unionByName(anti)
-
-
-# ---------------------------------------------------------------------------
-# Exact-dedup combo: groups + survivors in one result.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "dedup_exact",
-    f"""
-    WITH fp AS (
-        SELECT doc_id, lang, source, n_chars, {FINGERPRINT_SQL} AS fp
-        FROM documents
-    ),
-    keep AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-             FROM fp GROUP BY fp)
-    SELECT f.doc_id, f.lang, f.source, f.n_chars, k.n_copies
-    FROM fp f JOIN keep k ON f.doc_id = k.keep_id
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup end-to-end: fingerprint → hash-partitioned groupBy
-    (32-byte keys shuffle, never documents) → survivor join-back. Each
-    surviving row carries its duplicate-group size, so this one result
-    checks both the grouping and the survivor selection."""
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"].select(
-        "doc_id", "lang", "source", "n_chars", fingerprint("text").alias("fp")
-    )
-    keep = docs.groupBy("fp").agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
-    )
-    return docs.join(keep, docs.doc_id == keep.keep_id).select(
-        "doc_id", "lang", "source", "n_chars", "n_copies"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text enrichment combo: metrics + quality + BPE + langid + fingerprint +
-# redaction in ONE per-document projection (the realistic pipeline shape —
-# every per-doc enrichment in a single scan).
-# ---------------------------------------------------------------------------
-
-_LANG_SQL = """
-    CASE
-      WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
-           / CAST(greatest(length(text), 1) AS DOUBLE) > 0.05
-        THEN 'zh'
-      WHEN length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) >
-           length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g'))
-       AND length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) >
-           length(regexp_replace(text, '[^äöüß]', '', 'g'))
-       AND length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) > 0
-        THEN 'es'
-      WHEN length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g')) >
-           length(regexp_replace(text, '[^äöüß]', '', 'g'))
-       AND length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g')) > 0
-        THEN 'fr'
-      WHEN length(regexp_replace(text, '[^äöüß]', '', 'g')) > 0
-        THEN 'de'
-      ELSE 'en'
-    END
-"""
-
-_REDACT_SQL_RE = REDACT_RE.replace("'", "''")
-
-
-@query(
-    "text_enrich",
-    f"""
-    SELECT doc_id,
-           CAST({_TOKENS_SQL} AS INTEGER)      AS n_tokens,
-           CAST(length(text) AS INTEGER)       AS n_chars_text,
-           round({_PUNCT_SQL}, 4)              AS punct_ratio,
-           round({_STOP_SQL}, 4)               AS stopword_ratio,
-           {_QUALITY_SQL}                      AS quality,
-           CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL_RE}'))
-                AS INTEGER)                    AS bpe_tokens,
-           {_LANG_SQL}                         AS guessed_lang,
-           sha256(regexp_replace(regexp_replace(lower(trim(text)),
-               '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g'), '\\s+', ' ', 'g')) AS fp,
-           CAST(len(regexp_extract_all(text, '{_REDACT_SQL_RE}'))
-                AS INTEGER)                    AS n_redacted,
-           sha256(regexp_replace(text, '{_REDACT_SQL_RE}',
-                                 '{REDACT_TOKEN}', 'g')) AS redacted_sha
-    FROM documents
-    """,
-)
-def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every per-document text enrichment in one scan: counts and
-    ratios, heuristic quality, BPE-ish token estimate, language guess,
-    content fingerprint, and PII-style redaction (count + hash of the
-    scrubbed text). Staged projection: the raw-ratio columns are
-    computed once and the quality score derives from THEM (not from
-    re-running the regexes), so the expensive regex passes run exactly
-    once per document regardless of codegen subexpression elimination.
-    Pure codegen expressions — 100 TB of this is scan-bound."""
-    t = load_tables(spark, sf_dir)
-    base = t["documents"].select(
-        "doc_id",
-        "text",
-        token_count("text").alias("n_tokens"),
-        char_count("text").alias("n_chars_text"),
-        punct_ratio("text").alias("_punct"),
-        stopword_ratio("text").alias("_stop"),
-        bpe_token_count("text").alias("bpe_tokens"),
-        lang_guess("text").alias("guessed_lang"),
-        fingerprint("text").alias("fp"),
-        F.size(F.regexp_extract_all("text", F.lit(REDACT_RE), F.lit(0))).alias(
-            "n_redacted"
-        ),
-        F.sha2(F.regexp_replace("text", REDACT_RE, REDACT_TOKEN), 256).alias(
-            "redacted_sha"
-        ),
-    )
-    # quality_score's formula over the already-computed ratio columns —
-    # identical arithmetic to functions.text.quality_score / the oracle.
-    ln = F.col("n_chars_text").cast("double")
-    quality = F.round(
-        F.when((ln >= 50) & (ln <= 20000), F.lit(0.5)).otherwise(F.lit(0.0))
-        + F.least(F.col("_stop") * 2.0, F.lit(0.3))
-        - F.least(F.col("_punct"), F.lit(0.2))
-        + F.lit(0.2),
-        4,
-    )
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "n_chars_text",
-        _r4(F.col("_punct")).alias("punct_ratio"),
-        _r4(F.col("_stop")).alias("stopword_ratio"),
-        quality.alias("quality"),
-        "bpe_tokens",
-        "guessed_lang",
-        "fp",
-        "n_redacted",
-        "redacted_sha",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sampling combo: deterministic + stratified splits, tagged union.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "text_samples",
-    f"""
-    SELECT 'deterministic' AS mode, source, count(*) AS n_sampled,
-           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
-    FROM documents
-    WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-          <= '{SAMPLE_MAX_BUCKET}'
-    GROUP BY source
-    UNION ALL
-    SELECT 'stratified', source, count(*),
-           CAST(sum(n_chars) AS BIGINT)
-    FROM documents
-    WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-          < ({_STRATA_CASE_SQL})
-    GROUP BY source
-    """,
-)
-def text_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic (~20% salted-hash) and stratified (per-source
-    fraction) sampling in one tagged union — split membership is a pure
-    function of (salt, doc_id[, source]), reproducible across engines,
-    retries, and partitionings."""
-    from .textops import STRATA_BUCKETS, STRATA_DEFAULT_BUCKET
-
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    bucket = F.substring(
-        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256),
-        1,
-        2,
-    )
-    det = (
-        docs.filter(bucket <= SAMPLE_MAX_BUCKET)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_chars").cast("long").alias("sampled_chars"),
-        )
-        .select(F.lit("deterministic").alias("mode"), "source", "n_sampled", "sampled_chars")
-    )
-    ceiling = F.coalesce(
-        *[F.when(F.col("source") == s, F.lit(b)) for s, b in STRATA_BUCKETS.items()],
-        F.lit(STRATA_DEFAULT_BUCKET),
-    )
-    strat = (
-        docs.filter(bucket < ceiling)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.sum("n_chars").cast("long").alias("sampled_chars"),
-        )
-        .select(F.lit("stratified").alias("mode"), "source", "n_sampled", "sampled_chars")
-    )
-    return det.unionByName(strat)
-
-
-# ---------------------------------------------------------------------------
-# Multimodal transform combo: resize (1:1) + frame-sample (1:N) mapInPandas.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "multimodal_transform",
-    f"""
-    SELECT 'resize' AS op, doc_id AS asset_id, 0 AS idx,
-           CAST(strlen(substr(text, 1, 256)) AS BIGINT) AS n_bytes,
-           sha256(substr(text, 1, 256)) AS sha,
-           16 AS width, 16 AS height
-    FROM documents
-    UNION ALL
-    SELECT 'frame', asset_id, CAST(frame_idx AS INTEGER),
-           CAST(strlen(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INTEGER),
-                              {FRAME_STRIDE})) AS BIGINT),
-           sha256(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INTEGER),
-                         {FRAME_STRIDE})),
-           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
-    FROM (
-      SELECT doc_id AS asset_id,
-             unnest(range(0, CAST(ceil(strlen(text) / {FRAME_STRIDE}.0) AS BIGINT)))
-               AS frame_idx,
-             text
-      FROM documents WHERE strlen(text) > 0
-    )
-    """,
-)
-def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both Arrow-batched media transforms in one tagged union: 1:1
-    resize (binary in/out + meta struct rewrite) and 1:N frame sampling
-    — the two mapInPandas shapes a real codec pipeline needs, with the
-    oracle recomputing each deterministic fake transform."""
-    t = load_tables(spark, sf_dir)
-    assets = as_assets(t["documents"])
-    resized = resize_assets(assets, 16, 16).select(
-        F.lit("resize").alias("op"),
-        "asset_id",
-        F.lit(0).cast("int").alias("idx"),
-        F.octet_length("payload").cast("long").alias("n_bytes"),
-        F.sha2("payload", 256).alias("sha"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-    )
-    frames = sample_frames(assets).select(
-        F.lit("frame").alias("op"),
-        "asset_id",
-        F.col("frame_idx").alias("idx"),
-        F.col("frame_bytes").alias("n_bytes"),
-        F.col("frame_sha").alias("sha"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-    )
-    return resized.unionByName(frames)
-
-
-# ---------------------------------------------------------------------------
-# Time-series gap fill: dense hourly grid per series with zero-filled
-# missing buckets — the "resample" operation every event dashboard
-# needs; sequence+explode keeps it fully relational (registry entry).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_gap_fill",
-    """
-    WITH e AS (
-        SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
-               value
-        FROM events
-    ),
-    hourly AS (
-        SELECT event_type, h, count(*) AS n, round(sum(value), 4) AS sv
-        FROM e GROUP BY 1, 2
-    ),
-    b AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM e GROUP BY 1),
-    grid AS (
-        SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS h FROM b
-    )
-    SELECT g.event_type, g.h AS window_start,
-           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-           coalesce(sv, 0.0) AS sum_value
-    FROM grid g LEFT JOIN hourly USING (event_type, h)
-    """,
-)
-def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense hourly resample per event_type: hours with no events appear
-    as explicit zero rows between each series' first and last bucket.
-
-    Shape: one hourly aggregation, a per-series bounds aggregation
-    (both share the scan), then ``sequence``+``explode`` builds the
-    grid RELATIONALLY — grid size is (span-hours × series), independent
-    of event count, and the fill join is an equi left join on
-    (series, hour). No driver-side date loops; at 100 TB the grid side
-    is tiny and broadcasts."""
-    t = load_tables(spark, sf_dir)
-    e = t["events"].select(
-        "event_type",
-        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 3600)).alias("h"),
-        "value",
-    )
-    hourly = e.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv")
-    )
-    grid = (
-        e.groupBy("event_type")
-        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-        .select(
-            "event_type",
-            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("h"),
-        )
-    )
-    return grid.join(hourly, ["event_type", "h"], "left").select(
-        "event_type",
-        F.col("h").alias("window_start"),
-        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
-        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
-    )
-
-
-@query("agg_approx_percentile")  # rows-only: t-digest sketch is engine-specific
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch): the 100 TB percentile
-    path — fixed-size sketch per partition merged at the driver side of
-    the agg, vs the exact percentile's per-group full sort. No DuckDB
-    oracle (sketch internals differ); the estimate is pinned within 1%
-    of exact in tests/test_oracle_parity.py."""
-    t = load_tables(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
-            ).alias("price_percentiles"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# End-to-end corpus curation: the LLM-training-data pipeline composed —
-# enrich → quality/length filter → exact-dedup survivors → deterministic
-# sample → mix stats. Registry entry (driver catalog is at its 50-entry
-# cap); oracle-checked by the full-registry pytest + parity --full.
-# ---------------------------------------------------------------------------
-
-CURATE_MIN_QUALITY = 0.55
-CURATE_MIN_TOKENS = 10
-
-
-@query(
-    "corpus_curation",
-    f"""
-    WITH enriched AS (
-        SELECT doc_id, source, lang, n_chars,
-               {_QUALITY_SQL} AS q,
-               CAST({_TOKENS_SQL} AS INTEGER) AS toks,
-               {FINGERPRINT_SQL} AS fp
-        FROM documents
-    ),
-    filtered AS (
-        SELECT * FROM enriched
-        WHERE q >= {CURATE_MIN_QUALITY} AND toks >= {CURATE_MIN_TOKENS}
-    ),
-    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
-    deduped AS (SELECT f.* FROM filtered f JOIN keep k USING (doc_id)),
-    sampled AS (
-        SELECT * FROM deduped
-        WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
-              <= '{SAMPLE_MAX_BUCKET}'
-    )
-    SELECT source, lang, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars,
-           round(sum(q), 4) AS sum_quality
-    FROM sampled GROUP BY source, lang
-    """,
-)
-def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-data pipeline end-to-end in one plan: per-doc
-    enrichment (quality score, token count, fingerprint — one scan),
-    quality/length filtering, exact-dedup survivor selection
-    (fingerprint groupBy + join-back), deterministic salted-hash
-    sampling, and final data-mix stats per (source, lang).
-
-    Plan shape at 100 TB: scan → project (all codegen) → filter → one
-    32-byte-key shuffle for the dedup groupBy → broadcast join-back →
-    partition-local sample filter → small final agg. Exactly the
-    composition a user of the individual operators would write, so the
-    whole chain — not just each stage — is value-checked."""
-    t = load_tables(spark, sf_dir)
-    enriched = t["documents"].select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        quality_score("text").alias("q"),
-        token_count("text").alias("toks"),
-        fingerprint("text").alias("fp"),
-    )
-    filtered = enriched.filter(
-        (F.col("q") >= CURATE_MIN_QUALITY) & (F.col("toks") >= CURATE_MIN_TOKENS)
-    )
-    keep = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = filtered.join(keep, "doc_id", "left_semi")
-    bucket = F.substring(
-        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256),
-        1,
-        2,
-    )
-    sampled = deduped.filter(bucket <= SAMPLE_MAX_BUCKET)
-    return sampled.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        # sum, not avg: q values are 4-decimal-rounded, so their sums
-        # stay on the 1e-4 grid while averages land exactly on rounding
-        # half-boundaries (observed 0.8261 vs 0.8262 engine splits)
-        _r4(F.sum("q")).alias("sum_quality"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Gold-layer marts (pipeline.gold) over the events table: latest-wins
-# current state + posture rollup (the reference's promised-but-unbuilt
-# gold layer, driver-checked).
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "gold_current_assets",
-    """
-    WITH cur AS (
-        SELECT user_id, event_id, event_type, value, ts,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    )
-    SELECT user_id AS asset_uid, event_id AS last_event_id,
-           event_type AS source_system, round(value, 4) AS risk_score,
-           ts AS ingest_ts
-    FROM cur WHERE rn = 1
-    """,
-)
-def gold_current_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``pipeline.gold.current_assets`` semantics on the events table:
-    latest-wins state per asset key (``latest_per_key`` — the same
-    operator ``current_assets`` wraps, with an explicit per-event
-    tiebreak because an event log can carry same-timestamp rows).
-    One key-partitioned window, no driver-side state."""
-    t = load_tables(spark, sf_dir)
-    obs = t["events"].select(
-        F.col("user_id").alias("asset_uid"),
-        F.col("event_id"),
-        F.col("event_type"),
-        F.col("value"),
-        F.col("ts").alias("ingest_ts"),
-    )
-    cur = latest_per_key(obs, key="asset_uid", order_col="ingest_ts", tiebreak="event_id")
-    return cur.select(
-        "asset_uid",
-        F.col("event_id").alias("last_event_id"),
-        F.col("event_type").alias("source_system"),
-        _r4(F.col("value")).alias("risk_score"),
-        "ingest_ts",
-    )
-
-
-@query(
-    "gold_asset_posture",
-    """
-    WITH cur AS (
-        SELECT user_id, event_id, event_type, value,
-               row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    ),
-    mapped AS (
-        SELECT event_type AS source_system,
-               CASE WHEN user_id % 3 = 0 THEN 'linux'
-                    WHEN user_id % 3 = 1 THEN 'windows'
-                    ELSE NULL END AS os_family,
-               value > 50      AS approved,
-               value IS NULL   AS unmanaged,
-               value           AS risk_score,
-               event_id % 5    AS vuln_total,
-               event_id % 2    AS vuln_critical,
-               CASE WHEN user_id % 7 = 0 THEN NULL
-                    ELSE event_id % 3 END AS vuln_exploits
-        FROM cur WHERE rn = 1
-    )
-    SELECT source_system, coalesce(os_family, 'unknown') AS os_family,
-           count(*) AS asset_count,
-           CAST(sum(CASE WHEN approved THEN 1 ELSE 0 END) AS BIGINT)
-               AS approved_count,
-           CAST(sum(CASE WHEN unmanaged THEN 1 ELSE 0 END) AS BIGINT)
-               AS unmanaged_count,
-           round(avg(risk_score), 4) AS avg_risk_score,
-           max(risk_score) AS max_risk_score,
-           CAST(sum(coalesce(vuln_total, 0)) AS BIGINT)    AS vuln_total,
-           CAST(sum(coalesce(vuln_critical, 0)) AS BIGINT) AS vuln_critical,
-           CAST(sum(coalesce(vuln_exploits, 0)) AS BIGINT) AS vuln_exploits
-    FROM mapped GROUP BY 1, 2
-    """,
-)
-def gold_asset_posture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``pipeline.gold.asset_posture`` (the real mart function) over a
-    posture-shaped mapping of the latest-wins event state — fleet
-    counts, governance ratios, risk aggregates per (source_system,
-    os_family), including the NULL-os 'unknown' branch and NULL-vuln
-    coalesce paths."""
-    t = load_tables(spark, sf_dir)
-    obs = t["events"].select(
-        F.col("user_id").alias("asset_uid"),
-        "event_id",
-        "event_type",
-        "value",
-        F.col("ts").alias("ingest_ts"),
-    )
-    cur = latest_per_key(obs, key="asset_uid", order_col="ingest_ts", tiebreak="event_id")
-    mapped = cur.select(
-        F.col("event_type").alias("source_system"),
-        F.when(F.col("asset_uid") % 3 == 0, "linux")
-        .when(F.col("asset_uid") % 3 == 1, "windows")
-        .otherwise(F.lit(None).cast("string"))
-        .alias("os_family"),
-        (F.col("value") > 50).alias("approved"),
-        F.col("value").isNull().alias("unmanaged"),
-        F.col("value").alias("risk_score"),
-        (F.col("event_id") % 5).alias("vuln_total"),
-        (F.col("event_id") % 2).alias("vuln_critical"),
-        F.when(F.col("asset_uid") % 7 == 0, F.lit(None).cast("bigint"))
-        .otherwise(F.col("event_id") % 3)
-        .alias("vuln_exploits"),
-    )
-    return asset_posture(mapped)
-
-
-# ---------------------------------------------------------------------------
-# The driver-facing catalog: ≤50 names, previously-unverified-first order
-# (hedges a time-capped driver; a count-capped driver fits either way).
-# ---------------------------------------------------------------------------
 
 FINAL_CATALOG: list[str] = [
     # --- not driver-green in round 1 (new combos + r1-tail entries) ---

@@ -70,3 +70,38 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedup combo: groups + survivors in one result.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source, n_chars, {FINGERPRINT_SQL} AS fp
+        FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+             FROM fp GROUP BY fp)
+    SELECT f.doc_id, f.lang, f.source, f.n_chars, k.n_copies
+    FROM fp f JOIN keep k ON f.doc_id = k.keep_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup end-to-end: fingerprint → hash-partitioned groupBy
+    (32-byte keys shuffle, never documents) → survivor join-back. Each
+    surviving row carries its duplicate-group size, so this one result
+    checks both the grouping and the survivor selection."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "lang", "source", "n_chars", fingerprint("text").alias("fp")
+    )
+    keep = docs.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return docs.join(keep, docs.doc_id == keep.keep_id).select(
+        "doc_id", "lang", "source", "n_chars", "n_copies"
+    )

@@ -477,3 +477,60 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return assets.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal transform combo: resize (1:1) + frame-sample (1:N) mapInPandas.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_transform",
+    f"""
+    SELECT 'resize' AS op, doc_id AS asset_id, 0 AS idx,
+           CAST(strlen(substr(text, 1, 256)) AS BIGINT) AS n_bytes,
+           sha256(substr(text, 1, 256)) AS sha,
+           16 AS width, 16 AS height
+    FROM documents
+    UNION ALL
+    SELECT 'frame', asset_id, CAST(frame_idx AS INTEGER),
+           CAST(strlen(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INTEGER),
+                              {FRAME_STRIDE})) AS BIGINT),
+           sha256(substr(text, CAST(frame_idx * {FRAME_STRIDE} + 1 AS INTEGER),
+                         {FRAME_STRIDE})),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+    FROM (
+      SELECT doc_id AS asset_id,
+             unnest(range(0, CAST(ceil(strlen(text) / {FRAME_STRIDE}.0) AS BIGINT)))
+               AS frame_idx,
+             text
+      FROM documents WHERE strlen(text) > 0
+    )
+    """,
+)
+def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both Arrow-batched media transforms in one tagged union: 1:1
+    resize (binary in/out + meta struct rewrite) and 1:N frame sampling
+    — the two mapInPandas shapes a real codec pipeline needs, with the
+    oracle recomputing each deterministic fake transform."""
+    t = load_tables(spark, sf_dir)
+    assets = as_assets(t["documents"])
+    resized = resize_assets(assets, 16, 16).select(
+        F.lit("resize").alias("op"),
+        "asset_id",
+        F.lit(0).cast("int").alias("idx"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    frames = sample_frames(assets).select(
+        F.lit("frame").alias("op"),
+        "asset_id",
+        F.col("frame_idx").alias("idx"),
+        F.col("frame_bytes").alias("n_bytes"),
+        F.col("frame_sha").alias("sha"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    return resized.unionByName(frames)

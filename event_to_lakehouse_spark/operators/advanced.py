@@ -842,3 +842,33 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.max("value")).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi + anti join combo (§2.3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_semi_anti",
+    """
+    SELECT 'semi' AS kind, c_custkey, c_name
+    FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti over the same key, tagged union — the two
+    existence-join flavors in one checked result."""
+    t = load_tables(spark, sf_dir)
+    c, o = t["customer"], t["orders"]
+    semi = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi").select(
+        F.lit("semi").alias("kind"), "c_custkey", "c_name"
+    )
+    anti = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        F.lit("anti").alias("kind"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)

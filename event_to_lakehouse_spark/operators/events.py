@@ -401,3 +401,195 @@ def events_variant_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Events payload-parse combo (§2.8 JSON): struct path + map-explode path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_payload_parse",
+    """
+    SELECT 'json_struct' AS path, event_type AS key,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS total,
+           round(avg(value), 4) AS avg_val
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'map_explode', k, count(*),
+           CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def events_payload_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both semi-structured parse paths over the JSON payload column:
+    typed ``from_json`` struct extraction (the reference's PERMISSIVE
+    normalization idiom) and schema-free map parse + explode — tagged
+    union, both aggregated per key."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    struct_path = (
+        ev.select(
+            "event_type",
+            "value",
+            F.from_json(
+                "props", T.StructType([T.StructField("k", T.LongType())])
+            ).getField("k").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("total"),
+            _r4(F.avg("value")).alias("avg_val"),
+        )
+        .select(
+            F.lit("json_struct").alias("path"),
+            F.col("event_type").alias("key"),
+            "n",
+            "total",
+            "avg_val",
+        )
+    )
+    map_path = (
+        ev.select(
+            F.explode(
+                F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+            ).alias("key", "v")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+        .select(
+            F.lit("map_explode").alias("path"),
+            "key",
+            "n",
+            "total",
+            F.lit(None).cast("double").alias("avg_val"),
+        )
+    )
+    return struct_path.unionByName(map_path)
+
+
+# ---------------------------------------------------------------------------
+# Event-time window combo (§2.9 batch analogs): tumbling + sliding.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_windowed_agg",
+    """
+    WITH e AS (SELECT event_type, value,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+    SELECT 'tumble_1h' AS mode, (t // 3600) * 3600 AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT 'slide_1h_30m', window_start, CAST(NULL AS VARCHAR),
+           count(*), round(sum(value), 4)
+    FROM (SELECT value, unnest([(t // 1800) * 1800, (t // 1800) * 1800 - 1800])
+                 AS window_start FROM e)
+    GROUP BY 2
+    """,
+)
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) and sliding (1h window / 30min slide) event-time
+    windows in one tagged union — the same ``F.window`` calls run
+    unchanged over ``readStream`` with a watermark (§2.9); batch twins
+    here carry the DuckDB oracle. Output keys are epoch seconds."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    tumble = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.lit("tumble_1h").alias("mode"),
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    slide = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.lit("slide_1h_30m").alias("mode"),
+            F.col("w.start").cast("long").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return tumble.unionByName(slide)
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: dense hourly grid per series with zero-filled
+# missing buckets — the "resample" operation every event dashboard
+# needs; sequence+explode keeps it fully relational (registry entry).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_gap_fill",
+    """
+    WITH e AS (
+        SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h,
+               value
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, count(*) AS n, round(sum(value), 4) AS sv
+        FROM e GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS mn, max(h) AS mx FROM e GROUP BY 1),
+    grid AS (
+        SELECT event_type, unnest(range(mn, mx + 3600, 3600)) AS h FROM b
+    )
+    SELECT g.event_type, g.h AS window_start,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           coalesce(sv, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample per event_type: hours with no events appear
+    as explicit zero rows between each series' first and last bucket.
+
+    Shape: one hourly aggregation, a per-series bounds aggregation
+    (both share the scan), then ``sequence``+``explode`` builds the
+    grid RELATIONALLY — grid size is (span-hours × series), independent
+    of event count, and the fill join is an equi left join on
+    (series, hour). No driver-side date loops; at 100 TB the grid side
+    is tiny and broadcasts."""
+    t = load_tables(spark, sf_dir)
+    e = t["events"].select(
+        "event_type",
+        (F.col("ts").cast("long") - (F.col("ts").cast("long") % 3600)).alias("h"),
+        "value",
+    )
+    hourly = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), _r4(F.sum("value")).alias("sv")
+    )
+    grid = (
+        e.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mn", "mx", F.lit(3600))).alias("h"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.keys import surrogate_uid
@@ -681,5 +681,361 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_users"),
             F.count(F.lit(1)).alias("n_daily_partials"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window combo (§2.5): lag/lead, running sum, first/last/nth, ntile /
+# percent_rank / cume_dist, and a 90-day RANGE frame in ONE projection.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice)  OVER w, 4) AS prev_price,
+           round(lead(o_totalprice) OVER w, 4) AS next_price,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_spend,
+           round(first_value(o_totalprice) OVER wall, 4) AS first_price,
+           round(last_value(o_totalprice)  OVER wall, 4) AS last_price,
+           round(nth_value(o_totalprice, 2) OVER wall, 4) AS second_price,
+           CAST(ntile(4) OVER w AS INT)       AS tile,
+           round(percent_rank() OVER w, 4)    AS pct_rank,
+           round(cume_dist()    OVER w, 4)    AS cum_dist,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_90d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.5 analytic-function set in one per-customer pass. One
+    partitionBy(o_custkey) sort serves every function (Catalyst reuses
+    the sort across same-spec windows) — at 100 TB this is one shuffle
+    on the partition key, then partition-local sorts."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wrange = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        _r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        _r4(F.lead("o_totalprice").over(w)).alias("next_price"),
+        _r4(F.sum("o_totalprice").over(wrun)).alias("running_spend"),
+        _r4(F.first("o_totalprice").over(wall)).alias("first_price"),
+        _r4(F.last("o_totalprice").over(wall)).alias("last_price"),
+        _r4(F.nth_value("o_totalprice", 2).over(wall)).alias("second_price"),
+        F.ntile(4).over(w).alias("tile"),
+        _r4(F.percent_rank().over(w)).alias("pct_rank"),
+        _r4(F.cume_dist().over(w)).alias("cum_dist"),
+        _r4(F.sum("o_totalprice").over(wrange)).alias("rolling_90d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set-op combo (§2.7): all five flavors, tagged union, full value check.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_flavors",
+    """
+    SELECT 'union_distinct' AS flavor, CAST(nationkey AS DOUBLE) AS val FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect_distinct', CAST(custkey AS DOUBLE) FROM (
+        SELECT c_custkey AS custkey FROM customer
+        INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'except_distinct', CAST(custkey AS DOUBLE) FROM (
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'except_all', l_quantity FROM (
+        SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        EXCEPT ALL SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
+    UNION ALL
+    SELECT 'intersect_all', l_quantity FROM (
+        SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A')
+    """,
+)
+def setop_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All five set-operation flavors (union / intersect / except
+    distinct, intersect/except ALL bag semantics) in one tagged union —
+    every output row of every flavor is value-checked."""
+    t = load_tables(spark, sf_dir)
+    c, s, o, l = t["customer"], t["supplier"], t["orders"], t["lineitem"]
+
+    def tag(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("flavor"), F.col(col).cast("double").alias("val")
+        )
+
+    union_d = (
+        c.select(F.col("c_nationkey").alias("k"))
+        .union(s.select("s_nationkey"))
+        .distinct()
+    )
+    inter_d = c.select(F.col("c_custkey").alias("k")).intersect(
+        o.select("o_custkey")
+    )
+    except_d = (
+        c.select(F.col("c_custkey").alias("k"))
+        .exceptAll(o.select("o_custkey"))
+        .distinct()
+    )
+    r = l.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    a = l.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    return (
+        tag("union_distinct", union_d, "k")
+        .unionByName(tag("intersect_distinct", inter_d, "k"))
+        .unionByName(tag("except_distinct", except_d, "k"))
+        .unionByName(tag("except_all", r.exceptAll(a), "l_quantity"))
+        .unionByName(tag("intersect_all", r.intersectAll(a), "l_quantity"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multidimensional aggregation combo (§2.4): rollup + cube + grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_multidim",
+    """
+    SELECT 'rollup' AS mode, r_name AS g1, n_name AS g2,
+           count(*) AS n, round(sum(c_acctbal), 4) AS sum_val
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           count(*), round(sum(l_extendedprice), 4)
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', r_name, n_name,
+           count(*), round(sum(c_acctbal), 4)
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+    """,
+)
+def agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + explicit GROUPING SETS in one tagged union.
+    Catalyst expands each to a single Expand+agg (one shuffle per arm,
+    not one per grouping combination)."""
+    t = load_tables(spark, sf_dir)
+    c, n, r = t["customer"], t["nation"], t["region"]
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    rollup = (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), _r4(F.sum("c_acctbal")).alias("sum_val"))
+        .select(
+            F.lit("rollup").alias("mode"),
+            F.col("r_name").alias("g1"),
+            F.col("n_name").alias("g2"),
+            "n",
+            "sum_val",
+        )
+    )
+    cube = (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r4(F.sum("l_extendedprice")).alias("sum_val"),
+        )
+        .select(
+            F.lit("cube").alias("mode"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "n",
+            "sum_val",
+        )
+    )
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS mode, r_name AS g1, n_name AS g2,
+               count(*) AS n, round(sum(c_acctbal), 4) AS sum_val
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
+
+
+# ---------------------------------------------------------------------------
+# Pivot → unpivot round trip (§2.4).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "agg_pivot_unpivot",
+    """
+    SELECT c_mktsegment, event_type, round(sum(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    HAVING sum(value) IS NOT NULL
+    """,
+)
+def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list — stable schema, no discovery pass)
+    then unpivot back to long form: both reshape operators in one plan.
+    Null cells are filtered on BOTH sides (Spark: post-unpivot filter;
+    oracle: HAVING sum IS NOT NULL) so the contract is data-independent
+    — a group whose ``value`` column is entirely NULL (sum → NULL) is
+    excluded identically whether it arises from an absent combination
+    or from real NULL-valued rows."""
+    t = load_tables(spark, sf_dir)
+    e, c = t["events"], t["customer"]
+    wide = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(_r4(F.sum("value")))
+    )
+    return (
+        wide.unpivot(
+            ids=["c_mktsegment"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="sum_value",
+        )
+        .filter(F.col("sum_value").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct + percentile stats combo (§2.4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct_stats",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS distinct_suppliers,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(*)                  AS n_lines,
+           round(median(l_extendedprice), 4)             AS med_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 4)     AS p25_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct counts + exact median/percentiles per group.
+
+    Deliberately TWO aggregations joined on the (tiny) group key, not
+    one: mixing countDistinct with percentile in a single agg makes
+    Catalyst Expand the input 3× and haul per-(key,gid) percentile
+    object-buffers through the distinct shuffle — measured 5-9s at
+    sf0.1 vs ~1s for this split shape. Each arm is the canonical plan
+    (Expand+count for distincts, sort-agg for percentiles); the join is
+    a broadcast over group-cardinality rows. At 100 TB swap in
+    approx_count_distinct / approx_percentile sketches (see
+    agg_approx_distinct_users)."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"]
+    d = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    p = l.groupBy("l_returnflag").agg(
+        _r4(F.median("l_extendedprice")).alias("med_price"),
+        _r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+        _r4(F.percentile("l_quantity", F.lit(0.25))).alias("p25_qty"),
+    )
+    return d.join(F.broadcast(p), "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function suite (§2.8): surrogate key + datetime + regex + string
+# functions in one per-row projection over orders.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions_suite",
+    """
+    SELECT o_orderkey,
+           sha256(concat_ws('|',
+                  lower(trim(o_orderstatus)),
+                  lower(trim(o_orderpriority)),
+                  lower(trim(CAST(o_orderkey AS VARCHAR))))) AS order_uid,
+           CAST(year(o_orderdate) AS INTEGER)  AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           date_trunc('month', o_orderdate)    AS month_start,
+           CAST(regexp_extract(o_orderpriority, '(\\d+)-', 1) AS INTEGER)
+               AS prio_num,
+           regexp_replace(o_orderpriority, '[0-9-]', '', 'g') AS prio_word,
+           substring(o_orderpriority, 1, 1)    AS prio_prefix
+    FROM orders
+    """,
+)
+def scalar_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar surface in one projection: the reference's surrogate
+    uid idiom (sha2/concat_ws/lower/trim/cast —
+    bronze_assets_to_silver_assets.py:139-149), date/time arithmetic,
+    and regex extract/replace. All JVM codegen expressions."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        surrogate_uid("o_orderstatus", "o_orderpriority", "o_orderkey").alias(
+            "order_uid"
+        ),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.regexp_extract("o_orderpriority", r"(\d+)-", 1)
+        .cast("int")
+        .alias("prio_num"),
+        F.regexp_replace("o_orderpriority", "[0-9-]", "").alias("prio_word"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_prefix"),
+    )
+
+@query("agg_approx_percentile")  # rows-only: t-digest sketch is engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch): the 100 TB percentile
+    path — fixed-size sketch per partition merged at the driver side of
+    the agg, vs the exact percentile's per-group full sort. No DuckDB
+    oracle (sketch internals differ); the estimate is pinned within 1%
+    of exact in tests/test_oracle_parity.py."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+            ).alias("price_percentiles"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators.relational import _r4, query
+from ..tables import load_tables
 from .upsert import latest_per_key
 
 __all__ = [
@@ -236,3 +238,118 @@ def start_gold_refresh_stream(
         .foreachBatch(_refresh)
         .start()
     )
+
+
+@query(
+    "gold_current_assets",
+    """
+    WITH cur AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id AS asset_uid, event_id AS last_event_id,
+           event_type AS source_system, round(value, 4) AS risk_score,
+           ts AS ingest_ts
+    FROM cur WHERE rn = 1
+    """,
+)
+def gold_current_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline.gold.current_assets`` semantics on the events table:
+    latest-wins state per asset key (``latest_per_key`` — the same
+    operator ``current_assets`` wraps, with an explicit per-event
+    tiebreak because an event log can carry same-timestamp rows).
+    One key-partitioned window, no driver-side state."""
+    t = load_tables(spark, sf_dir)
+    obs = t["events"].select(
+        F.col("user_id").alias("asset_uid"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("ts").alias("ingest_ts"),
+    )
+    cur = latest_per_key(obs, key="asset_uid", order_col="ingest_ts", tiebreak="event_id")
+    return cur.select(
+        "asset_uid",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("source_system"),
+        _r4(F.col("value")).alias("risk_score"),
+        "ingest_ts",
+    )
+
+
+@query(
+    "gold_asset_posture",
+    """
+    WITH cur AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    mapped AS (
+        SELECT event_type AS source_system,
+               CASE WHEN user_id % 3 = 0 THEN 'linux'
+                    WHEN user_id % 3 = 1 THEN 'windows'
+                    ELSE NULL END AS os_family,
+               value > 50      AS approved,
+               value IS NULL   AS unmanaged,
+               value           AS risk_score,
+               event_id % 5    AS vuln_total,
+               event_id % 2    AS vuln_critical,
+               CASE WHEN user_id % 7 = 0 THEN NULL
+                    ELSE event_id % 3 END AS vuln_exploits
+        FROM cur WHERE rn = 1
+    )
+    SELECT source_system, coalesce(os_family, 'unknown') AS os_family,
+           count(*) AS asset_count,
+           CAST(sum(CASE WHEN approved THEN 1 ELSE 0 END) AS BIGINT)
+               AS approved_count,
+           CAST(sum(CASE WHEN unmanaged THEN 1 ELSE 0 END) AS BIGINT)
+               AS unmanaged_count,
+           round(avg(risk_score), 4) AS avg_risk_score,
+           max(risk_score) AS max_risk_score,
+           CAST(sum(coalesce(vuln_total, 0)) AS BIGINT)    AS vuln_total,
+           CAST(sum(coalesce(vuln_critical, 0)) AS BIGINT) AS vuln_critical,
+           CAST(sum(coalesce(vuln_exploits, 0)) AS BIGINT) AS vuln_exploits
+    FROM mapped GROUP BY 1, 2
+    """,
+)
+def gold_asset_posture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline.gold.asset_posture`` (the real mart function) over a
+    posture-shaped mapping of the latest-wins event state — fleet
+    counts, governance ratios, risk aggregates per (source_system,
+    os_family), including the NULL-os 'unknown' branch and NULL-vuln
+    coalesce paths."""
+    t = load_tables(spark, sf_dir)
+    obs = t["events"].select(
+        F.col("user_id").alias("asset_uid"),
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").alias("ingest_ts"),
+    )
+    cur = latest_per_key(obs, key="asset_uid", order_col="ingest_ts", tiebreak="event_id")
+    mapped = cur.select(
+        F.col("event_type").alias("source_system"),
+        F.when(F.col("asset_uid") % 3 == 0, "linux")
+        .when(F.col("asset_uid") % 3 == 1, "windows")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("os_family"),
+        (F.col("value") > 50).alias("approved"),
+        F.col("value").isNull().alias("unmanaged"),
+        F.col("value").alias("risk_score"),
+        (F.col("event_id") % 5).alias("vuln_total"),
+        (F.col("event_id") % 2).alias("vuln_critical"),
+        F.when(F.col("asset_uid") % 7 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("event_id") % 3)
+        .alias("vuln_exploits"),
+    )
+    return asset_posture(mapped)
+
+
+# ---------------------------------------------------------------------------
+# The driver-facing catalog: ≤50 names, previously-unverified-first order
+# (hedges a time-capped driver; a count-capped driver fits either way).
+# ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from .functions.text import (
     stopword_ratio,
     token_count,
 )
+from .dedup.exact import FINGERPRINT_SQL
 from .operators.relational import _r4, query
 from .tables import load_tables
 
@@ -647,3 +648,255 @@ def text_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r4(F.sum("_q")).alias("sum_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Text enrichment combo: metrics + quality + BPE + langid + fingerprint +
+# redaction in ONE per-document projection (the realistic pipeline shape —
+# every per-doc enrichment in a single scan).
+# ---------------------------------------------------------------------------
+
+_LANG_SQL = """
+    CASE
+      WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+           / CAST(greatest(length(text), 1) AS DOUBLE) > 0.05
+        THEN 'zh'
+      WHEN length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) >
+           length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g'))
+       AND length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) >
+           length(regexp_replace(text, '[^äöüß]', '', 'g'))
+       AND length(regexp_replace(text, '[^ñ¿¡áéíóúü]', '', 'g')) > 0
+        THEN 'es'
+      WHEN length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g')) >
+           length(regexp_replace(text, '[^äöüß]', '', 'g'))
+       AND length(regexp_replace(text, '[^àâçèêëîïôùûœ]', '', 'g')) > 0
+        THEN 'fr'
+      WHEN length(regexp_replace(text, '[^äöüß]', '', 'g')) > 0
+        THEN 'de'
+      ELSE 'en'
+    END
+"""
+
+_REDACT_SQL_RE = REDACT_RE.replace("'", "''")
+
+
+@query(
+    "text_enrich",
+    f"""
+    SELECT doc_id,
+           CAST({_TOKENS_SQL} AS INTEGER)      AS n_tokens,
+           CAST(length(text) AS INTEGER)       AS n_chars_text,
+           round({_PUNCT_SQL}, 4)              AS punct_ratio,
+           round({_STOP_SQL}, 4)               AS stopword_ratio,
+           {_QUALITY_SQL}                      AS quality,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL_RE}'))
+                AS INTEGER)                    AS bpe_tokens,
+           {_LANG_SQL}                         AS guessed_lang,
+           sha256(regexp_replace(regexp_replace(lower(trim(text)),
+               '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g'), '\\s+', ' ', 'g')) AS fp,
+           CAST(len(regexp_extract_all(text, '{_REDACT_SQL_RE}'))
+                AS INTEGER)                    AS n_redacted,
+           sha256(regexp_replace(text, '{_REDACT_SQL_RE}',
+                                 '{REDACT_TOKEN}', 'g')) AS redacted_sha
+    FROM documents
+    """,
+)
+def text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text enrichment in one scan: counts and
+    ratios, heuristic quality, BPE-ish token estimate, language guess,
+    content fingerprint, and PII-style redaction (count + hash of the
+    scrubbed text). Staged projection: the raw-ratio columns are
+    computed once and the quality score derives from THEM (not from
+    re-running the regexes), so the expensive regex passes run exactly
+    once per document regardless of codegen subexpression elimination.
+    Pure codegen expressions — 100 TB of this is scan-bound."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id",
+        "text",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars_text"),
+        punct_ratio("text").alias("_punct"),
+        stopword_ratio("text").alias("_stop"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        lang_guess("text").alias("guessed_lang"),
+        fingerprint("text").alias("fp"),
+        F.size(F.regexp_extract_all("text", F.lit(REDACT_RE), F.lit(0))).alias(
+            "n_redacted"
+        ),
+        F.sha2(F.regexp_replace("text", REDACT_RE, REDACT_TOKEN), 256).alias(
+            "redacted_sha"
+        ),
+    )
+    # quality_score's formula over the already-computed ratio columns —
+    # identical arithmetic to functions.text.quality_score / the oracle.
+    ln = F.col("n_chars_text").cast("double")
+    quality = F.round(
+        F.when((ln >= 50) & (ln <= 20000), F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.least(F.col("_stop") * 2.0, F.lit(0.3))
+        - F.least(F.col("_punct"), F.lit(0.2))
+        + F.lit(0.2),
+        4,
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_text",
+        _r4(F.col("_punct")).alias("punct_ratio"),
+        _r4(F.col("_stop")).alias("stopword_ratio"),
+        quality.alias("quality"),
+        "bpe_tokens",
+        "guessed_lang",
+        "fp",
+        "n_redacted",
+        "redacted_sha",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling combo: deterministic + stratified splits, tagged union.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_samples",
+    f"""
+    SELECT 'deterministic' AS mode, source, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+          <= '{SAMPLE_MAX_BUCKET}'
+    GROUP BY source
+    UNION ALL
+    SELECT 'stratified', source, count(*),
+           CAST(sum(n_chars) AS BIGINT)
+    FROM documents
+    WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < ({_STRATA_CASE_SQL})
+    GROUP BY source
+    """,
+)
+def text_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (~20% salted-hash) and stratified (per-source
+    fraction) sampling in one tagged union — split membership is a pure
+    function of (salt, doc_id[, source]), reproducible across engines,
+    retries, and partitionings."""
+    from .textops import STRATA_BUCKETS, STRATA_DEFAULT_BUCKET
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256),
+        1,
+        2,
+    )
+    det = (
+        docs.filter(bucket <= SAMPLE_MAX_BUCKET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .select(F.lit("deterministic").alias("mode"), "source", "n_sampled", "sampled_chars")
+    )
+    ceiling = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(b)) for s, b in STRATA_BUCKETS.items()],
+        F.lit(STRATA_DEFAULT_BUCKET),
+    )
+    strat = (
+        docs.filter(bucket < ceiling)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+        .select(F.lit("stratified").alias("mode"), "source", "n_sampled", "sampled_chars")
+    )
+    return det.unionByName(strat)
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: the LLM-training-data pipeline composed —
+# enrich → quality/length filter → exact-dedup survivors → deterministic
+# sample → mix stats. Registry entry (driver catalog is at its 50-entry
+# cap); oracle-checked by the full-registry pytest + parity --full.
+# ---------------------------------------------------------------------------
+
+CURATE_MIN_QUALITY = 0.55
+CURATE_MIN_TOKENS = 10
+
+
+@query(
+    "corpus_curation",
+    f"""
+    WITH enriched AS (
+        SELECT doc_id, source, lang, n_chars,
+               {_QUALITY_SQL} AS q,
+               CAST({_TOKENS_SQL} AS INTEGER) AS toks,
+               {FINGERPRINT_SQL} AS fp
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM enriched
+        WHERE q >= {CURATE_MIN_QUALITY} AND toks >= {CURATE_MIN_TOKENS}
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY fp),
+    deduped AS (SELECT f.* FROM filtered f JOIN keep k USING (doc_id)),
+    sampled AS (
+        SELECT * FROM deduped
+        WHERE substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 2)
+              <= '{SAMPLE_MAX_BUCKET}'
+    )
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(q), 4) AS sum_quality
+    FROM sampled GROUP BY source, lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in one plan: per-doc
+    enrichment (quality score, token count, fingerprint — one scan),
+    quality/length filtering, exact-dedup survivor selection
+    (fingerprint groupBy + join-back), deterministic salted-hash
+    sampling, and final data-mix stats per (source, lang).
+
+    Plan shape at 100 TB: scan → project (all codegen) → filter → one
+    32-byte-key shuffle for the dedup groupBy → broadcast join-back →
+    partition-local sample filter → small final agg. Exactly the
+    composition a user of the individual operators would write, so the
+    whole chain — not just each stage — is value-checked."""
+    t = load_tables(spark, sf_dir)
+    enriched = t["documents"].select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        quality_score("text").alias("q"),
+        token_count("text").alias("toks"),
+        fingerprint("text").alias("fp"),
+    )
+    filtered = enriched.filter(
+        (F.col("q") >= CURATE_MIN_QUALITY) & (F.col("toks") >= CURATE_MIN_TOKENS)
+    )
+    keep = filtered.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = filtered.join(keep, "doc_id", "left_semi")
+    bucket = F.substring(
+        F.sha2(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")), 256),
+        1,
+        2,
+    )
+    sampled = deduped.filter(bucket <= SAMPLE_MAX_BUCKET)
+    return sampled.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        # sum, not avg: q values are 4-decimal-rounded, so their sums
+        # stay on the 1e-4 grid while averages land exactly on rounding
+        # half-boundaries (observed 0.8261 vs 0.8262 engine splits)
+        _r4(F.sum("q")).alias("sum_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gold-layer marts (pipeline.gold) over the events table: latest-wins
+# current state + posture rollup (the reference's promised-but-unbuilt
+# gold layer, driver-checked).
+# ---------------------------------------------------------------------------
