@@ -221,7 +221,19 @@ def write_silver(
     if snapshot_root is not None:
         from ..storage.snapshots import SnapshotTable
 
-        SnapshotTable(spark, snapshot_root).append(df, batch_token=batch_token)
+        # Manifest stats on the contract's time column (time-range
+        # reads prune at the manifest layer) + a per-file bloom on the
+        # surrogate key ("fetch one asset by uid" opens a few footers,
+        # not the table) — both only when the columns exist, so
+        # non-contract frames keep the bare-table behavior.
+        cols = set(df.columns)
+        t = SnapshotTable(
+            spark,
+            snapshot_root,
+            stats_cols=["ingest_ts"] if "ingest_ts" in cols else None,
+            bloom_col="asset_uid" if "asset_uid" in cols else None,
+        )
+        t.append(df, batch_token=batch_token)
         return "snapshot"
     if path is None:
         raise ValueError("no V2 catalog configured and no parquet path given")

@@ -315,3 +315,11 @@ def test_write_silver_snapshot_branch(spark, rapid7_bronze, tmp_dir):
     # replay: same token is a no-op
     write_silver(silver, spark, snapshot_root=root, batch_token="b0")
     assert t.read().count() == 2 and t.snapshot().version == 1
+    # the contract columns opt the table into manifest pruning stats:
+    # ingest_ts zone maps + an asset_uid bloom per file
+    f0 = t.snapshot().files[0]
+    assert "ingest_ts" in f0.get("stats", {})
+    assert isinstance(f0.get("bloom"), str)
+    uid = silver.select("asset_uid").first()["asset_uid"]
+    t2 = SnapshotTable(spark, root, bloom_col="asset_uid")
+    assert t2.read_point(uid).count() == 1
