@@ -231,6 +231,31 @@ def test_compact_snapshot_zorder_restores_skipping(spark, tmp_dir):
     assert t.read(where=box).count() == expected
 
 
+def test_temporal_box_pruning_uses_isoformat_bounds(spark, tmp_dir):
+    """Zone maps on a TIMESTAMP column: datetime bounds must serialize
+    the same way as the stored stats (isoformat — ADVICE r2 found
+    ' ' < 'T' breaking str(datetime) comparisons), so same-day boxes
+    prune correctly and results equal the unpruned filter."""
+    import datetime as dt
+
+    events = load_tables(spark, SF)["events"].select("event_id", "ts")
+    t = SnapshotTable(spark, f"{tmp_dir}/ts", stats_cols=["ts"])
+    t.append(events.repartitionByRange(8, "ts"))
+
+    bounds = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo = bounds["lo"]
+    hi = lo + dt.timedelta(hours=6)  # same-date window
+
+    box = {"ts": (lo, hi)}
+    kept = t._prune_box(t.snapshot().files, box)
+    assert 0 < len(kept) < 8  # pruning engaged, nothing over-pruned
+    expected = events.filter(F.col("ts").between(lo, hi)).count()
+    assert expected > 0
+    assert t.read(where=box).count() == expected
+
+
 def test_backcompat_single_stats_col_entries(spark, tmp_dir):
     """Pre-widening manifests (only min/max, no 'stats' dict) still
     prune through read(between=...) and merge(): simulate by writing
