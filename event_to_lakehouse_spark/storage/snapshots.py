@@ -106,12 +106,34 @@ class SnapshotTable:
         self.stats_cols = list(stats_cols) if stats_cols else (
             [stats_col] if stats_col else []
         )
-        self.stats_col = self.stats_cols[0] if self.stats_cols else None
         self.bloom_col = bloom_col
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
         (self.root / "data").mkdir(parents=True, exist_ok=True)
         (self.root / "meta").mkdir(parents=True, exist_ok=True)
+        if not self.stats_cols or bloom_col is None:
+            # Self-configure from the newest manifest: readers shouldn't
+            # need to know the writer's stats/bloom config — the
+            # manifest records it (like a real table format's metadata).
+            # Explicit arguments always win (reconfiguration on the next
+            # commit); the probe is one small JSON read.
+            try:
+                doc = json.loads(
+                    (self.root / "meta" / f"v{self._latest_version()}.json")
+                    .read_text()
+                )
+                if not self.stats_cols:
+                    self.stats_cols = list(
+                        doc.get("stats_cols")
+                        or ([doc["stats_col"]] if doc.get("stats_col") else [])
+                    )
+                if bloom_col is None and doc.get("bloom_col"):
+                    self.bloom_col = doc["bloom_col"]
+                    self.bloom_bits = int(doc.get("bloom_bits", bloom_bits))
+                    self.bloom_k = int(doc.get("bloom_k", bloom_k))
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass  # empty table: keep constructor args
+        self.stats_col = self.stats_cols[0] if self.stats_cols else None
 
     # -- manifest chain -----------------------------------------------------
 

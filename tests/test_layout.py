@@ -176,12 +176,11 @@ def test_bloom_and_stats_coexist_and_survive_reload(spark, tmp_dir):
     assert set(f0["stats"]) == {"user_id", "value"}
     assert isinstance(f0["bloom"], str) and int(f0["bloom"], 16) > 0
 
-    t2 = SnapshotTable(
-        spark,
-        f"{tmp_dir}/both",
-        stats_cols=["user_id", "value"],
-        bloom_col="event_id",
-    )
+    # a BARE handle self-configures from the manifest — readers don't
+    # need to know the writer's stats/bloom config
+    t2 = SnapshotTable(spark, f"{tmp_dir}/both")
+    assert t2.stats_cols == ["user_id", "value"]
+    assert t2.bloom_col == "event_id"
     eid = events.limit(1).first()["event_id"]
     assert t2.read_point(eid).count() == 1
     assert t2.read(where={"value": (0.0, 10.0)}).count() == events.filter(
