@@ -20,6 +20,9 @@ Options:
   re-emit surviving rows, not pure inserts. By default the stream
   FAILS on one (same contract as ``changes()``); opt in to emit the
   rewrite's files anyway for idempotent latest-wins consumers.
+- ``withVersionColumn`` (default false): append a ``_commit_version``
+  int column recording which snapshot added each row — the CDC
+  metadata a downstream merge needs for ordering/lineage.
 
 The reader is pure Python (manifest JSON + pyarrow parquet) and runs
 where Spark schedules it; per-batch data is whatever the new commits
@@ -48,10 +51,11 @@ def _files(root: str, v: int) -> list[str]:
 
 def _added_paths(
     root: str, from_v: int, to_v: int, ignore_rewrites: bool
-) -> list[str]:
-    """Paths added by commits (from_v, to_v] — the same manifest-only
-    diff as ``SnapshotTable.changes`` (no data file is opened)."""
-    added: list[str] = []
+) -> list[tuple[str, int]]:
+    """(path, adding_version) for commits (from_v, to_v] — the same
+    manifest-only diff as ``SnapshotTable.changes`` (no data file is
+    opened)."""
+    added: list[tuple[str, int]] = []
     prev = set(_files(root, from_v)) if from_v > 0 else set()
     for v in range(from_v + 1, to_v + 1):
         cur = set(_files(root, v))
@@ -61,7 +65,7 @@ def _added_paths(
                 "restart past it with startingVersion or set "
                 "ignoreRewrites=true (accepting re-emitted rows)"
             )
-        added.extend(p for p in sorted(cur) if p not in prev)
+        added.extend((p, v) for p in sorted(cur) if p not in prev)
         prev = cur
     return added
 
@@ -73,7 +77,12 @@ class SnapshotChangesReader(SimpleDataSourceStreamReader):
         self.ignore_rewrites = (
             str(options.get("ignorerewrites", "false")).lower() == "true"
         )
-        self.names = schema.fieldNames()
+        self.with_version = (
+            str(options.get("withversioncolumn", "false")).lower() == "true"
+        )
+        self.names = [
+            n for n in schema.fieldNames() if n != "_commit_version"
+        ]
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v}
@@ -87,7 +96,7 @@ class SnapshotChangesReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         rows: list[tuple] = []
-        for path in _added_paths(
+        for path, v in _added_paths(
             self.root, from_v, to_v, self.ignore_rewrites
         ):
             table = pq.read_table(path, columns=self.names)
@@ -96,6 +105,8 @@ class SnapshotChangesReader(SimpleDataSourceStreamReader):
                     batch.column(i).to_pylist()
                     for i in range(batch.num_columns)
                 ]
+                if self.with_version:
+                    cols.append([v] * batch.num_rows)
                 rows.extend(zip(*cols))
         return rows
 
@@ -127,7 +138,14 @@ class SnapshotChangesDataSource(DataSource):
         if not vs:
             raise FileNotFoundError(f"no snapshot at {root}")
         paths = _files(root, max(vs))
-        return from_arrow_schema(pq.read_schema(paths[-1]))
+        schema = from_arrow_schema(pq.read_schema(paths[-1]))
+        if str(self.options.get("withversioncolumn", "false")).lower() == "true":
+            from pyspark.sql.types import IntegerType, StructField
+
+            schema = StructType(
+                schema.fields + [StructField("_commit_version", IntegerType())]
+            )
+        return schema
 
     def simpleStreamReader(self, schema: StructType) -> SnapshotChangesReader:
         return SnapshotChangesReader(schema, self.options)

@@ -65,6 +65,25 @@ def test_stream_starting_version_skips_history(spark, tmp_dir):
     assert got.agg(F.min("v")).first()[0] == 50
 
 
+def test_stream_version_column_records_commit_lineage(spark, tmp_dir):
+    """withVersionColumn stamps each row with the snapshot that added
+    it — the ordering/lineage metadata a downstream CDC merge needs."""
+    snapshot_stream.register(spark)
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(spark.range(3).withColumnRenamed("id", "v"))  # v1
+    t.append(spark.range(10, 12).withColumnRenamed("id", "v"))  # v2
+
+    out, ckpt = f"{tmp_dir}/out", f"{tmp_dir}/ckpt"
+    _drain(spark, f"{tmp_dir}/tbl", out, ckpt, withVersionColumn="true")
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"v", "_commit_version"}
+    by_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_v == {1: 3, 2: 2}
+
+
 def test_stream_fails_on_rewrite_unless_opted_in(spark, tmp_dir):
     """A COW delete between triggers rewrites parent files; the stream
     must fail loudly by default (its added files re-emit survivors,
