@@ -120,7 +120,28 @@ def _cmd_snapshot(args) -> int:
         print(f"removed {t.vacuum(keep_versions=args.keep)} files")
     elif args.action == "count":
         print(t.read(version=args.version).count())
+    elif args.action == "prune":
+        snap = t.snapshot()
+        files = snap.files
+        if args.between:
+            lo, hi = args.between.split(",", 1)
+            col = args.stats_col or t.stats_col
+            kept = t._prune_box(files, {col: (_coerce(lo), _coerce(hi))})
+            print(f"zone maps [{col}]: {len(kept)}/{len(files)} files kept")
+        if args.point is not None:
+            pos = t._bloom_positions(args.point)
+            kept = [f for f in files if t._bloom_may_contain(f, pos)]
+            print(f"bloom [{t.bloom_col}]: {len(kept)}/{len(files)} files kept")
     return 0
+
+
+def _coerce(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            continue
+    return v
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -165,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=_cmd_compact)
 
     s = sub.add_parser("snapshot", help="snapshot-table maintenance")
-    s.add_argument("action", choices=["history", "vacuum", "count", "compact"])
+    s.add_argument("action",
+                   choices=["history", "vacuum", "count", "compact", "prune"])
     s.add_argument("--root", required=True)
     s.add_argument("--stats-col")
     s.add_argument("--stats-cols", default="",
@@ -176,6 +198,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--sort-by", default="")
     s.add_argument("--zorder-by", default="",
                    help="Morton-cluster by these columns (OPTIMIZE ZORDER)")
+    s.add_argument("--between", default="",
+                   help="lo,hi bounds for a zone-map prune report")
+    s.add_argument("--point", default=None,
+                   help="key value for a bloom prune report")
     s.set_defaults(fn=_cmd_snapshot)
 
     args = p.parse_args(argv)

@@ -100,7 +100,14 @@ class SnapshotTable:
         straddle the key. Bits are built in the SAME one-pass,
         column-pruned aggregation as the min/max stats (collect_set of
         probe positions, bounded by bloom_bits per file — metadata, not
-        data, crosses to the driver)."""
+        data, crosses to the driver).
+
+        SIZE bloom_bits to ~10 bits per expected distinct key per file
+        (the standard ~1% fpp operating point for k=4): the 8192-bit
+        default suits ≤1k keys/file; a 128 MB parquet file of narrow
+        rows wants 2^20+. An undersized filter degrades gracefully —
+        fill rate rises, false-positive files stop being excluded — but
+        never drops a true match (no false negatives by construction)."""
         self.spark = spark
         self.root = Path(root)
         self.stats_cols = list(stats_cols) if stats_cols else (

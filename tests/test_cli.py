@@ -116,3 +116,23 @@ def test_snapshot_cli(spark, tmp_dir, capsys):
 
     assert main(["snapshot", "count", "--root", root]) == 0
     assert capsys.readouterr().out.strip() == "30"
+
+
+def test_snapshot_prune_cli(spark, tmp_dir, capsys):
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = f"{tmp_dir}/tbl"
+    t = SnapshotTable(spark, root, stats_cols=["id"], bloom_col="id")
+    t.append(spark.range(100).select(F.col("id")).repartitionByRange(4, "id"))
+
+    assert main(
+        ["snapshot", "prune", "--root", root, "--between", "0,10"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "zone maps [id]: 1/4 files kept" in out
+
+    assert main(["snapshot", "prune", "--root", root, "--point", "7"]) == 0
+    out = capsys.readouterr().out
+    assert "bloom [id]:" in out and "/4 files kept" in out
