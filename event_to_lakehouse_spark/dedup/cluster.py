@@ -50,52 +50,49 @@ def cluster_labels(
     """(doc_id, cluster_id) for every vertex of the pair graph;
     cluster_id = min doc_id in the connected component. Convergence is
     probed every ``check_every`` rounds (see module docstring)."""
-    from pyspark import StorageLevel
-
+    # localCheckpoint, not persist: persist caches DATA but every round
+    # still carries the full upstream LOGICAL plan, and Catalyst
+    # re-analyzes it per action — with a literal-heavy pair source
+    # (LSH hyperplane expressions) the analysis alone cost 10+ s per
+    # loop while the 100-row joins took milliseconds. Truncating the
+    # lineage at the loop boundary (the standard iterative-algorithm
+    # pattern — GraphX checkpoints for exactly this reason) makes each
+    # round's plan O(1) regardless of how the edges were derived.
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()  # eager: one job, then a leaf plan
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     )
-    deferred: list[DataFrame] = []  # old handles kept alive until the
-    # next materializing check (unpersisting earlier would force their
-    # lineage to recompute inside the accumulated lazy chain)
     for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        new_labels = labels.join(nbr_min, labels.id == nbr_min.dst, "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
         )
-        deferred.append(labels)
         if it % check_every == check_every - 1 or it == max_iter - 1:
-            # one job materializes this check's round AND any skipped
-            # rounds; a no-change adjacent pair proves global fixpoint
+            # truncate the accumulated (≤check_every-round) lineage,
+            # then one cheap job proves fixpoint: labels are monotone
+            # non-increasing, so a no-change adjacent pair is global
+            new_labels = new_labels.localCheckpoint()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            for h in deferred:
-                h.unpersist()
-            deferred = []
             labels = new_labels
             if changed == 0:
                 break
