@@ -84,6 +84,79 @@ def test_stream_version_column_records_commit_lineage(spark, tmp_dir):
     assert by_v == {1: 3, 2: 2}
 
 
+def test_cdc_stream_drives_incremental_gold_merge(spark, tmp_dir):
+    """End-to-end CDC: silver commits tail out through snapshot_changes
+    into a foreachBatch that MERGEs per-user totals into a gold
+    SnapshotTable keyed by batch token — restarts replay nothing, each
+    silver commit lands in gold exactly once, and gold equals the
+    batch aggregate of everything ingested."""
+    snapshot_stream.register(spark)
+    silver = SnapshotTable(spark, f"{tmp_dir}/silver")
+    gold = SnapshotTable(spark, f"{tmp_dir}/gold", stats_col="user_id")
+
+    def _drive(ckpt: str) -> None:
+        def _merge(batch_df, batch_id):
+            agg = (
+                batch_df.groupBy("user_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("s"),
+                )
+                .withColumn("_v", F.lit(batch_id))
+            )
+            prev = None
+            try:
+                prev = gold.read()
+            except FileNotFoundError:
+                pass
+            if prev is not None:
+                merged = (
+                    prev.unionByName(agg)
+                    .groupBy("user_id")
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("s").alias("s"),
+                        F.max("_v").alias("_v"),
+                    )
+                )
+            else:
+                merged = agg
+            gold.overwrite(
+                merged, batch_token=f"gold-{ckpt.split('/')[-1]}-{batch_id}"
+            )
+
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", f"{tmp_dir}/silver")
+            .load()
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 2.0)], ["user_id", "value"]
+    )
+    silver.append(rows1)
+    ckpt = f"{tmp_dir}/ckpt"
+    _drive(ckpt)
+    got = {r["user_id"]: (r["n"], r["s"]) for r in gold.read().collect()}
+    assert got == {1: (2, 15.0), 2: (1, 2.0)}
+
+    # second silver commit: only the delta reaches the merge
+    silver.append(spark.createDataFrame([(1, 1.0), (3, 7.0)], ["user_id", "value"]))
+    _drive(ckpt)
+    got = {r["user_id"]: (r["n"], r["s"]) for r in gold.read().collect()}
+    assert got == {1: (3, 16.0), 2: (1, 2.0), 3: (1, 7.0)}
+
+    # idle restart: checkpoint says nothing new; gold untouched
+    v_before = gold.snapshot().version
+    _drive(ckpt)
+    assert gold.snapshot().version == v_before
+
+
 def test_stream_fails_on_rewrite_unless_opted_in(spark, tmp_dir):
     """A COW delete between triggers rewrites parent files; the stream
     must fail loudly by default (its added files re-emit survivors,
