@@ -94,8 +94,12 @@ FINAL_CATALOG: list[str] = [
     "profile_documents",
     "dedup_ngram_jaccard",
     "dedup_cluster_labels",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
+    # r4: portable-hash successors of dedup_minhash_lsh /
+    # dedup_simhash_pairs — same pipelines, DuckDB-oracle-checkable
+    # (VERDICT r3 #1); the xxhash64 production flavors stay in the
+    # master registry, pytest-pinned.
+    "dedup_minhash_lsh_portable",
+    "dedup_simhash_pairs_portable",
     "dedup_embedding_neardup",
     "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",

@@ -1,1 +1,1 @@
-from . import cluster, exact, jaccard, minhash, simhash  # noqa: F401
+from . import cluster, exact, jaccard, minhash, portable, simhash  # noqa: F401

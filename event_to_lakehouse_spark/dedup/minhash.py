@@ -80,19 +80,32 @@ def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     return full.unionByName(short)
 
 
+def _default_hash_sql(seed: int, col: str) -> str:
+    return f"xxhash64({seed}, {col})"
+
+
 def signatures(
-    docs: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    hash_sql=None,
 ) -> DataFrame:
     """(doc_id, sig: array<long>[k]) minhash signatures — one
     explode+window+agg pipeline, every hash in whole-stage codegen.
     ``n_hashes`` is corpus-tunable: k=16 suits the small test corpora;
     production near-dup recall targets typically run k=128 with
-    proportionally more bands (see ``candidate_pairs``)."""
+    proportionally more bands (see ``candidate_pairs``).
+
+    ``hash_sql(seed, col) -> SQL expr string`` selects the seeded hash
+    family: default xxhash64 (fastest, engine-specific); the portable
+    md5-slice flavor (``portable.py``) is bit-identical in DuckDB so the
+    driver can value-hash-check the whole pipeline."""
+    hash_sql = hash_sql or _default_hash_sql
     exploded = shingle_rows(docs, text_col)
     # SQL-string aggregates: one JVM-side parse instead of ~100 py4j
     # round-trips of Column building (same lesson as simhash.py).
     mins = exploded.groupBy("doc_id").agg(
-        *[F.expr(f"min(xxhash64({i}, shingle)) AS mh_{i}") for i in range(n_hashes)]
+        *[F.expr(f"min({hash_sql(i, 'shingle')}) AS mh_{i}") for i in range(n_hashes)]
     )
     return mins.selectExpr(
         "doc_id", f"array({', '.join(f'mh_{i}' for i in range(n_hashes))}) AS sig"
@@ -104,23 +117,26 @@ def _bands(
     n_hashes: int = N_HASHES,
     bands: int = BANDS,
     max_bucket: int = MAX_BUCKET,
+    band_concat: bool = False,
 ) -> DataFrame:
     rows_per_band = n_hashes // bands
+
+    def band_key(b: int) -> F.Column:
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        # band_concat: portable band key — the raw signature slice
+        # joined as a string renders identically in any engine, so the
+        # DuckDB oracle buckets bit-identically. xxhash64 default keeps
+        # the band rows fixed-width (2 longs) for the production path.
+        return F.concat_ws("|", *elems) if band_concat else F.xxhash64(*elems)
+
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     # Hot-bucket guard: drop band values that are effectively "everyone".
     # A window count over the bucket key is one shuffle (vs groupBy +
@@ -141,6 +157,8 @@ def candidate_pairs(
     n_hashes: int = N_HASHES,
     bands: int = BANDS,
     max_bucket: int = MAX_BUCKET,
+    hash_sql=None,
+    band_concat: bool = False,
 ) -> DataFrame:
     """LSH-banded candidate pairs with minhash-estimated Jaccard.
 
@@ -160,8 +178,10 @@ def candidate_pairs(
     from pyspark import StorageLevel
 
     assert n_hashes % bands == 0, "n_hashes must be divisible by bands"
-    sigs = signatures(docs, text_col, n_hashes).persist(StorageLevel.MEMORY_AND_DISK)
-    banded = _bands(sigs, n_hashes, bands, max_bucket).persist(
+    sigs = signatures(docs, text_col, n_hashes, hash_sql).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = _bands(sigs, n_hashes, bands, max_bucket, band_concat).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     a, b = banded.alias("a"), banded.alias("b")

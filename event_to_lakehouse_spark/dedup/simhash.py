@@ -33,7 +33,12 @@ BAND_BITS = 16
 N_BANDS = N_BITS // BAND_BITS
 
 
-def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    token_hash_sql: str = "xxhash64(tok)",
+    n_bits: int = N_BITS,
+) -> DataFrame:
     """(doc_id, simhash: bigint) — one codegen'd explode+agg pass.
 
     The 64 vote aggregates and the 64-term bit assembly are built as
@@ -42,7 +47,12 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     64-deep analyzer tree, which dominated the query at ~2s of pure
     driver overhead (measured 2.8s → 0.9s at sf0.1). The assembly OR
     is a balanced tree, keeping the optimizer's expression-tree depth
-    at 6 instead of 64."""
+    at 6 instead of 64.
+
+    ``token_hash_sql`` (SQL expr over column ``tok``) selects the hash
+    family: xxhash64 default; the md5-slice portable flavor
+    (``portable.py``) is DuckDB-mirrorable, paired with ``n_bits=60``
+    (an md5 slice of 15 hex chars)."""
     toks = (
         docs.select(
             "doc_id",
@@ -50,18 +60,18 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("tok") != "")
         # hash once per token; the 64 bit-vote aggregates below then
-        # read this column instead of each re-evaluating xxhash64.
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        # read this column instead of each re-evaluating the hash.
+        .selectExpr("doc_id", f"{token_hash_sql} AS h")
     )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.expr(
                 f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
             )
-            for i in range(N_BITS)
+            for i in range(n_bits)
         ]
     )
-    terms = [f"shiftleft(CAST(v_{i} > 0 AS BIGINT), {i})" for i in range(N_BITS)]
+    terms = [f"shiftleft(CAST(v_{i} > 0 AS BIGINT), {i})" for i in range(n_bits)]
     while len(terms) > 1:
         terms = [
             f"({terms[j]} | {terms[j + 1]})" if j + 1 < len(terms) else terms[j]
@@ -74,7 +84,12 @@ MAX_BAND = 200  # drop degenerate band buckets (same guard as minhash)
 
 
 def near_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 8,
+    token_hash_sql: str = "xxhash64(tok)",
+    n_bits: int = N_BITS,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
     """Banded candidate generation + Hamming verification.
 
@@ -91,8 +106,12 @@ def near_pairs(
     from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
-    fps = fingerprints(docs, text_col).select("doc_id", "simhash")
-    mask = (1 << BAND_BITS) - 1
+    assert n_bits % band_bits == 0, "n_bits must be divisible by band_bits"
+    n_bands = n_bits // band_bits
+    fps = fingerprints(docs, text_col, token_hash_sql, n_bits).select(
+        "doc_id", "simhash"
+    )
+    mask = (1 << band_bits) - 1
     w = Window.partitionBy("band_idx", "band_val")
     bands = (
         fps.select(
@@ -101,8 +120,8 @@ def near_pairs(
             F.posexplode(
                 F.array(
                     *[
-                        F.shiftright("simhash", b * BAND_BITS).bitwiseAND(F.lit(mask))
-                        for b in range(N_BANDS)
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask))
+                        for b in range(n_bands)
                     ]
                 )
             ).alias("band_idx", "band_val"),

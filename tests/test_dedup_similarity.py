@@ -4,6 +4,7 @@ must be found; similarity rankings must match a NumPy oracle."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from event_to_lakehouse_spark.dedup.exact import dedup_exact_groups
@@ -30,10 +31,23 @@ def _docs(spark):
     )
 
 
-def test_minhash_finds_planted_neardup(spark):
+def _minhash_flavors():
+    """Both hash families must satisfy the planted-pair semantics:
+    xxhash64 (production) and the md5-slice portable flavor whose
+    DuckDB twin the driver value-checks (dedup/portable.py)."""
+    from event_to_lakehouse_spark.dedup.portable import seeded_hash_spark
+
+    return [
+        ("xxhash64", dict()),
+        ("portable", dict(hash_sql=seeded_hash_spark, band_concat=True)),
+    ]
+
+
+@pytest.mark.parametrize("flavor,kw", _minhash_flavors())
+def test_minhash_finds_planted_neardup(spark, flavor, kw):
     pairs = {
         (r.doc_id_a, r.doc_id_b): r.jaccard_est
-        for r in candidate_pairs(_docs(spark)).collect()
+        for r in candidate_pairs(_docs(spark), **kw).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # case/trim-normalized
@@ -48,13 +62,37 @@ def test_minhash_signature_shape(spark):
     assert by_id[1] == by_id[4]  # normalization-identical docs
 
 
-def test_simhash_hamming(spark):
-    fps = {r.doc_id: r.simhash for r in fingerprints(_docs(spark)).collect()}
+def _simhash_flavors():
+    from event_to_lakehouse_spark.dedup.portable import (
+        P_BAND_BITS,
+        P_BITS,
+        hash60_spark,
+    )
+
+    return [
+        ("xxhash64", dict()),
+        (
+            "portable",
+            dict(
+                token_hash_sql=hash60_spark("tok"),
+                n_bits=P_BITS,
+                band_bits=P_BAND_BITS,
+            ),
+        ),
+    ]
+
+
+@pytest.mark.parametrize("flavor,kw", _simhash_flavors())
+def test_simhash_hamming(spark, flavor, kw):
+    fp_kw = {k: v for k, v in kw.items() if k != "band_bits"}
+    fps = {r.doc_id: r.simhash for r in fingerprints(_docs(spark), **fp_kw).collect()}
     ham_12 = bin(fps[1] ^ fps[2]).count("1")
     ham_13 = bin(fps[1] ^ fps[3]).count("1")
     assert fps[1] == fps[4]
     assert ham_12 < ham_13  # near-dup closer than unrelated
-    got = {(r.doc_id_a, r.doc_id_b) for r in near_pairs(_docs(spark)).collect()}
+    got = {
+        (r.doc_id_a, r.doc_id_b) for r in near_pairs(_docs(spark), **kw).collect()
+    }
     assert (1, 4) in got
 
 

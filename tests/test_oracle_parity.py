@@ -52,15 +52,31 @@ def test_query_parity(spark, duck, name):
 
 def test_driver_catalog_shape():
     """The driver records at most 50 entries (observed round-1 cap):
-    the curated catalog must fit, resolve, and keep oracle coverage for
-    everything except the engine-specific-hash entries."""
+    the curated catalog must fit, resolve, and — since round 4's
+    portable-hash dedup flavors — carry an oracle for EVERY entry."""
     assert len(FINAL_CATALOG) <= 50
     assert set(entrymod.queries()) == set(FINAL_CATALOG)
     rows_only = {n for n in FINAL_CATALOG if n not in entrymod.oracle_sql()}
-    assert rows_only == {"dedup_minhash_lsh", "dedup_simhash_pairs"}
+    assert rows_only == set(), f"driver entries without oracle: {rows_only}"
     # every retired name still lives in the master registry
     assert set(RETIRED).isdisjoint(FINAL_CATALOG)
     assert set(RETIRED) | set(FINAL_CATALOG) == set(QUERIES)
+
+
+def test_registry_counts_match_coverage():
+    """COVERAGE.md's registry count drifted twice (r2, r3 — VERDICT r3
+    'what's wrong' #3); pin the documented numbers to the imports."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"(\d+) entries: (\d+) oracle \+ (\d+) rows-only", text)
+    assert m, "COVERAGE.md registry-count sentence missing"
+    assert (len(QUERIES), len(ORACLES), len(QUERIES) - len(ORACLES)) == (
+        int(m.group(1)),
+        int(m.group(2)),
+        int(m.group(3)),
+    ), "COVERAGE.md counts drifted from the imported registry"
 
 
 def test_hll_estimate_within_5pct(spark):
