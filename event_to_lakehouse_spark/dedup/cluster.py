@@ -16,11 +16,17 @@ hash-agg, both partitioned on vertex id; the only driver-side value is
 the scalar converged-count (never data). Intermediates are persisted:
 each round's DAG would otherwise re-derive every prior round.
 
-The convergence probe (changed-label count) costs an extra join + one
-driver-sync job, so it runs only every ``check_every`` rounds: labels
-are monotone non-increasing, so one no-change round proves fixpoint no
-matter when it is observed, and the skipped rounds collapse into the
-next check's job (half the job count for typical shallow graphs).
+Each round fuses min-propagation with one POINTER JUMP
+(``label(v) ← label(label(v))``): label values are always vertex ids
+within the component, so composing the labeling with itself is safe
+and doubles the effective hop distance per round — chains converge in
+O(log diameter) rounds instead of O(diameter). The convergence probe
+is free of extra joins: the round computes its own ``changed`` flag
+(new label < old), the round's localCheckpoint is the only real job,
+and the probe is an ``isEmpty`` scan of the checkpointed leaf. At a
+combined-round fixpoint both constituent steps are fixed (each is
+monotone non-increasing), and a propagation fixpoint means labels are
+equal across every edge — constant per component, i.e. converged.
 
 The DuckDB oracle computes the same fixpoint with a recursive CTE over
 the SAME pair SQL (composed from the registered jaccard oracle), so
@@ -45,11 +51,11 @@ def cluster_labels(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = MAX_ITER,
-    check_every: int = 2,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every vertex of the pair graph;
-    cluster_id = min doc_id in the connected component. Convergence is
-    probed every ``check_every`` rounds (see module docstring)."""
+    cluster_id = min doc_id in the connected component. Each round is
+    min-propagation + pointer jump with an inline ``changed`` flag
+    (see module docstring)."""
     # localCheckpoint, not persist: persist caches DATA but every round
     # still carries the full upstream LOGICAL plan, and Catalyst
     # re-analyzes it per action — with a literal-heavy pair source
@@ -58,46 +64,61 @@ def cluster_labels(
     # lineage at the loop boundary (the standard iterative-algorithm
     # pattern — GraphX checkpoints for exactly this reason) makes each
     # round's plan O(1) regardless of how the edges were derived.
+    # Symmetrize with ONE pass over the pair pipeline: explode each
+    # pair into both directions. The union-of-two-projections form
+    # executed the (expensive) upstream pair derivation twice per
+    # materialization — measured 0.3 s slower at sf0.1.
     edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()  # eager: one job, then a leaf plan
     )
+    # Initial labels derive lazily from the checkpointed edge leaf (one
+    # distinct folded into round 0's job — no separate materialization).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
-    for it in range(max_iter):
+    for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = labels.join(nbr_min, labels.id == nbr_min.dst, "left").select(
+        prop = labels.join(nbr_min, labels.id == nbr_min.dst, "left").select(
             "id",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", "label")
-            ).alias("label"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("prop"),
+            F.col("label").alias("old"),
         )
-        if it % check_every == check_every - 1 or it == max_iter - 1:
-            # truncate the accumulated (≤check_every-round) lineage,
-            # then one cheap job proves fixpoint: labels are monotone
-            # non-increasing, so a no-change adjacent pair is global
-            new_labels = new_labels.localCheckpoint()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
+        # pointer jump: follow the propagated label to ITS label. Label
+        # values are vertex ids, so the lookup side is prop itself.
+        lk = prop.select(
+            F.col("id").alias("jid"), F.col("prop").alias("jlabel")
+        )
+        new_labels = (
+            prop.join(lk, prop.prop == lk.jid, "left")
+            .select(
+                "id",
+                F.least(F.coalesce("jlabel", "prop"), F.col("prop")).alias("label"),
+                (F.least(F.coalesce("jlabel", "prop"), F.col("prop")) < F.col("old"))
+                .alias("changed"),
             )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            labels = new_labels
+            .localCheckpoint()  # the round's one real job
+        )
+        labels = new_labels.select("id", "label")
+        # Probe on the checkpointed leaf: no join, no shuffle — a local
+        # scan that stops at the first changed row.
+        if new_labels.filter("changed").isEmpty():
+            break
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
