@@ -242,10 +242,18 @@ class SnapshotTable:
         df = self.spark.read.parquet(*paths).withColumn(
             "_file", F.input_file_name()
         )
+        # A frame may legitimately lack some stats/bloom columns (e.g.
+        # write_silver's non-contract bare-table path sharing a root):
+        # aggregate only what is present and record null stats for the
+        # rest — readers already treat missing stats/bloom as
+        # "cannot exclude", so skipping degrades pruning, not results.
+        present = [c for c in self.stats_cols if c in df.columns]
+        bloom_ok = self.bloom_col is not None and self.bloom_col in df.columns
         aggs = [F.count(F.lit(1)).alias("rows")]
         for j, c in enumerate(self.stats_cols):
-            aggs += [F.min(c).alias(f"mn{j}"), F.max(c).alias(f"mx{j}")]
-        if self.bloom_col:
+            if c in present:
+                aggs += [F.min(c).alias(f"mn{j}"), F.max(c).alias(f"mx{j}")]
+        if bloom_ok:
             for i in range(self.bloom_k):
                 aggs.append(
                     F.collect_set(
@@ -262,21 +270,24 @@ class SnapshotTable:
             for r in df.groupBy("_file").agg(*aggs).collect()
         }
 
+        def _mn_mx(r, j: int, c: str):
+            if r is None or c not in present:
+                return None, None
+            return _stat_safe(r[f"mn{j}"]), _stat_safe(r[f"mx{j}"])
+
         out = []
         for p in paths:
             r = stats.get(p)
-            entry = {
-                "path": p,
-                "rows": int(r["rows"]) if r else 0,
-                "min": (_stat_safe(r["mn0"]) if (r and self.stats_cols) else None),
-                "max": (_stat_safe(r["mx0"]) if (r and self.stats_cols) else None),
-            }
+            mn0, mx0 = (
+                _mn_mx(r, 0, self.stats_cols[0]) if self.stats_cols else (None, None)
+            )
+            entry = {"path": p, "rows": int(r["rows"]) if r else 0, "min": mn0, "max": mx0}
             if r and self.stats_cols:
                 entry["stats"] = {
-                    c: [_stat_safe(r[f"mn{j}"]), _stat_safe(r[f"mx{j}"])]
+                    c: list(_mn_mx(r, j, c))
                     for j, c in enumerate(self.stats_cols)
                 }
-            if r and self.bloom_col:
+            if r and bloom_ok:
                 bits = 0
                 for i in range(self.bloom_k):
                     for pos in r[f"bl{i}"]:
@@ -289,15 +300,19 @@ class SnapshotTable:
 
     def _bloom_positions(self, value) -> list[int]:
         """Probe positions for ``value`` — computed by the SAME Spark
-        expression used at write time (xxhash64 over the stringified
-        key, salted per probe), via a 1-row local-relation job: a
-        driver-side metadata op, no table data touched."""
+        expression used at write time (xxhash64 over ``CAST(x AS
+        STRING)``, salted per probe), via a 1-row local-relation job: a
+        driver-side metadata op, no table data touched. The probe must
+        let SPARK render the value (``lit(value).cast('string')``), not
+        Python ``str()`` — the two disagree on e.g. 1e20 ('1e+20' vs
+        '1.0E20') and timestamps, and a divergent rendering would probe
+        wrong positions and return a silent false negative."""
         row = (
             self.spark.range(1)
             .select(
                 *[
                     F.pmod(
-                        F.xxhash64(F.lit(str(value)), F.lit(i)),
+                        F.xxhash64(F.lit(value).cast("string"), F.lit(i)),
                         F.lit(self.bloom_bits),
                     ).alias(f"p{i}")
                     for i in range(self.bloom_k)

@@ -18,6 +18,8 @@ checkpointed; watermarks bound state size at 100 TB/day streams.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -132,6 +134,30 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider to a query start: sets
+    the conf, restores the previous value on exit. The provider is read
+    when a streaming query STARTS, so wrapping just the ``start()``
+    call is sufficient — queries already running, and those started
+    after the block, keep their own provider."""
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield spark
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
+
 def running_user_totals_tws(
     events: DataFrame, ttl_ms: int | None = None
 ) -> DataFrame:
@@ -147,7 +173,14 @@ def running_user_totals_tws(
     (count, sum) ValueState per user, updated per Arrow batch, latest
     totals re-emitted each micro-batch. ``ttl_ms`` bounds state
     lifetime for corpora where keys churn (state for idle users is
-    evicted by the store, not by hand-rolled timeout code)."""
+    evicted by the store, not by hand-rolled timeout code).
+
+    REQUIRES the RocksDB state-store provider. Building the DataFrame
+    does NOT set it (a session-wide conf mutated as a side effect
+    would silently switch every other streaming query in the session —
+    ADVICE r3): wrap query start in ``rocksdb_state_store(spark)`` or
+    set ``spark.sql.streaming.stateStore.providerClass`` in your
+    session factory."""
     import pandas as pd  # local import: Arrow path only
     from pyspark.sql.streaming import StatefulProcessor
 
@@ -173,14 +206,6 @@ def running_user_totals_tws(
         def close(self) -> None:
             pass
 
-    spark = events.sparkSession
-    # transformWithState requires the RocksDB provider (bundled with
-    # Spark); set before the query starts — a per-query static.
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
     return events.groupBy("user_id").transformWithStateInPandas(
         _UserTotals(),
         outputStructType="user_id long, n_events long, sum_value double",

@@ -50,6 +50,39 @@ def test_stats_file_skipping(spark, tmp_dir):
     assert t.read(between=(5000, 6000)).count() == 0  # nothing overlaps
 
 
+def test_append_missing_stats_columns_degrades(spark, tmp_dir):
+    """A frame lacking some stats/bloom columns (e.g. a generic writer
+    sharing the table root) must append with null stats for the missing
+    columns instead of raising UNRESOLVED_COLUMN (ADVICE r3). Pruning
+    then treats those files as non-excludable — results stay exact."""
+    t = SnapshotTable(
+        spark, f"{tmp_dir}/tbl", stats_cols=["id", "v"], bloom_col="v"
+    )
+    t.append(_batch(spark, 0, 50).coalesce(1))
+    bare = spark.range(50, 60).select("id")  # no 'v' at all
+    s2 = t.append(bare.coalesce(1))
+    assert s2.version == 2
+    bare_entries = [f for f in s2.files if f["stats"]["v"] == [None, None]]
+    assert bare_entries and all("bloom" not in f for f in bare_entries)
+    # range read on the missing column keeps the bare file (can't
+    # exclude) and row-level filtering still yields exact results
+    assert t.read(where={"v": (0, 20)}).count() == 11  # v=0,2,..,20
+    assert t.read().count() == 60
+
+
+def test_bloom_point_lookup_spark_rendered_probe(spark, tmp_dir):
+    """Probe-side hashing must use Spark's value→string rendering, not
+    Python str(): for 1e20 the two disagree ('1.0E20' vs '1e+20') and
+    a str()-based probe silently returned zero rows (ADVICE r3)."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", bloom_col="x")
+    df = spark.createDataFrame(
+        [(1, 1e20), (2, 2.5), (3, -7.0)], ["id", "x"]
+    )
+    t.append(df.coalesce(1))
+    assert t.read_point(1e20).count() == 1  # no false negative
+    assert t.read_point(2.5).count() == 1
+
+
 def test_overwrite_is_logical_truncate(spark, tmp_dir):
     t = SnapshotTable(spark, f"{tmp_dir}/tbl")
     t.append(_batch(spark, 0, 100))

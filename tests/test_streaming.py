@@ -123,6 +123,7 @@ def test_running_user_totals_transform_with_state(spark, tmp_dir):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from event_to_lakehouse_spark.streaming.jobs import (
+        rocksdb_state_store,
         running_user_totals_tws,
     )
 
@@ -132,7 +133,11 @@ def test_running_user_totals_transform_with_state(spark, tmp_dir):
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
     try:
-        q = _mem_query(running_user_totals_tws(stream), name, "update")
+        # rocksdb_state_store scopes the provider to the query start
+        # and restores the session conf afterwards (ADVICE r3 fix).
+        with rocksdb_state_store(spark):
+            q = _mem_query(running_user_totals_tws(stream), name, "update")
+        assert spark.conf.get(provider_key, None) == prev_provider
         q.awaitTermination(120)
     except StreamingQueryException as e:
         gated = (
@@ -142,13 +147,6 @@ def test_running_user_totals_transform_with_state(spark, tmp_dir):
         if gated:
             pytest.skip("transformWithState needs protobuf (not in sandbox)")
         raise
-    finally:
-        # the op sets the RocksDB provider session-wide; keep the other
-        # streaming tests on whatever provider they started with
-        if prev_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev_provider)
     latest = {
         r.user_id: r
         for r in spark.sql(
