@@ -66,10 +66,22 @@ class Snapshot:
     files: list[dict]  # {"path": str, "rows": int, "min": str|None, "max": str|None}
     batch_tokens: list[str] = field(default_factory=list)
     stats_col: str | None = None
+    #: per-snapshot logical schema (StructType.jsonValue() dict) — the
+    #: Iceberg evolution model: each snapshot pins the schema current
+    #: at its commit, so time travel returns the OLD shape and the
+    #: latest read returns the evolved union. None on pre-evolution
+    #: manifests (reads fall back to the files' own schema).
+    schema: dict | None = None
 
     @property
     def paths(self) -> list[str]:
         return [f["path"] for f in self.files]
+
+    def struct(self):
+        """The pinned schema as a StructType (None if unrecorded)."""
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(self.schema) if self.schema else None
 
 
 class SnapshotTable:
@@ -170,6 +182,7 @@ class SnapshotTable:
             files=doc["files"],
             batch_tokens=doc.get("batch_tokens", []),
             stats_col=doc.get("stats_col"),
+            schema=doc.get("schema"),
         )
 
     def history(self) -> list[int]:
@@ -182,6 +195,7 @@ class SnapshotTable:
         files: list[dict],
         batch_tokens: list[str],
         parent_version: int | None = None,
+        schema: dict | None = None,
     ) -> Snapshot:
         # The new version is anchored on the PARENT the files were
         # derived from — not on the live pointer — so a writer holding
@@ -199,6 +213,7 @@ class SnapshotTable:
                 "bloom_col": self.bloom_col,
                 "bloom_bits": self.bloom_bits,
                 "bloom_k": self.bloom_k,
+                "schema": schema,
             }
         )
         # exclusive create = optimistic concurrency: the loser must
@@ -230,6 +245,77 @@ class SnapshotTable:
                 tmp.rename(self.root / "meta" / "_latest")  # atomic swap
         finally:
             os.close(lock_fd)  # releases the flock
+
+    # -- schema evolution ---------------------------------------------------
+
+    # Safe numeric widening chains (Iceberg's promotion set): Spark 4's
+    # parquet reader natively reads a file written at any earlier stage
+    # of a chain under the wider pinned type (probed: int32 file under
+    # LongType schema, float under double — both read clean).
+    _WIDEN = {"tinyint": 0, "smallint": 1, "integer": 2, "long": 3}
+    _WIDEN_F = {"float": 0, "double": 1}
+
+    @classmethod
+    def _wider(cls, a, b):
+        """The wider of two types along a promotion chain, or None if
+        they are not chain-compatible."""
+        if a == b:
+            return a
+        for chain in (cls._WIDEN, cls._WIDEN_F):
+            an, bn = a.typeName(), b.typeName()
+            if an in chain and bn in chain:
+                return a if chain[an] >= chain[bn] else b
+        return None
+
+    @classmethod
+    def _evolve(cls, parent_schema: dict | None, df: DataFrame) -> dict:
+        """ADDITIVE schema evolution plus safe numeric type promotion
+        (the core of Iceberg's model): the child schema is the parent's
+        fields, in order — each widened if the incoming frame demands
+        it — plus any new ``df`` columns appended as nullable. A
+        same-name column whose types are NOT promotion-compatible is
+        rejected: silent coercion is how lakehouse tables corrupt."""
+        from pyspark.sql.types import StructField, StructType
+
+        if not parent_schema:
+            return df.schema.jsonValue()
+        parent = StructType.fromJson(parent_schema)
+        incoming = {f.name: f for f in df.schema.fields}
+        fields = []
+        for old in parent.fields:
+            new = incoming.get(old.name)
+            if new is None or new.dataType == old.dataType:
+                fields.append(old)
+                continue
+            wider = cls._wider(old.dataType, new.dataType)
+            if wider is None:
+                raise ValueError(
+                    f"incompatible schema change for column '{old.name}': "
+                    f"{old.dataType.simpleString()} -> "
+                    f"{new.dataType.simpleString()} (only additive evolution "
+                    "and numeric widening are supported)"
+                )
+            fields.append(StructField(old.name, wider, True))
+        seen = {f.name for f in fields}
+        fields += [
+            StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in seen
+        ]
+        return StructType(fields).jsonValue()
+
+    def _read_files(self, paths: list[str], schema: dict | None) -> DataFrame:
+        """Read a file set under a pinned snapshot schema: files written
+        before a column existed surface it as NULL, files with columns
+        the snapshot doesn't know are projected away. Passing the
+        explicit schema (instead of ``mergeSchema``) keeps planning
+        manifest-only — no footer merge over the whole file set, which
+        is what makes this viable at 100 TB file counts."""
+        if schema is None:
+            return self.spark.read.parquet(*paths)
+        from pyspark.sql.types import StructType
+
+        return self.spark.read.schema(StructType.fromJson(schema)).parquet(*paths)
 
     # -- writes -------------------------------------------------------------
 
@@ -355,7 +441,12 @@ class SnapshotTable:
             if batch_token is not None:
                 tokens.append(batch_token)
             try:
-                return self._commit(files, tokens, parent.version if parent else 0)
+                return self._commit(
+                    files,
+                    tokens,
+                    parent.version if parent else 0,
+                    schema=self._evolve(parent.schema if parent else None, df),
+                )
             except FileExistsError:
                 continue  # another writer took this version; re-resolve
         raise RuntimeError(
@@ -387,7 +478,12 @@ class SnapshotTable:
             tokens.append(batch_token)
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         df.write.mode("overwrite").parquet(str(commit_dir))
-        return self._commit(self._file_entries(commit_dir), tokens)
+        # truncate+load pins the NEW frame's schema (dropping columns is
+        # allowed here — the snapshot holds only df's rows); prior
+        # snapshots keep their own pinned schema for time travel.
+        return self._commit(
+            self._file_entries(commit_dir), tokens, schema=df.schema.jsonValue()
+        )
 
     # -- reads --------------------------------------------------------------
 
@@ -415,10 +511,10 @@ class SnapshotTable:
         if where:
             files = self._prune_box(files, where)
             if not files:
-                return self.spark.read.parquet(snap.paths[0]).limit(0).filter(
-                    F.lit(False)
-                )
-        df = self.spark.read.parquet(*[f["path"] for f in files])
+                return self._read_files([snap.paths[0]], snap.schema).limit(
+                    0
+                ).filter(F.lit(False))
+        df = self._read_files([f["path"] for f in files], snap.schema)
         if where:
             for c, (lo, hi) in where.items():
                 df = df.filter(F.col(c).between(lo, hi))
@@ -462,10 +558,10 @@ class SnapshotTable:
             f for f in snap.files if self._bloom_may_contain(f, positions)
         ]
         if not files:
-            return self.spark.read.parquet(snap.paths[0]).limit(0).filter(
-                F.lit(False)
-            )
-        return self.spark.read.parquet(*[f["path"] for f in files]).filter(
+            return self._read_files([snap.paths[0]], snap.schema).limit(
+                0
+            ).filter(F.lit(False))
+        return self._read_files([f["path"] for f in files], snap.schema).filter(
             F.col(self.bloom_col) == value
         )
 
@@ -515,10 +611,15 @@ class SnapshotTable:
                 )
             added.extend(p for p in snap.paths if p not in prev_paths)
             prev_paths = cur_paths
+        # Conform the delta to the TO-version's pinned schema so an
+        # incremental scan spanning an evolution boundary yields one
+        # uniform shape (older files' new columns read as NULL).
+        to_snap = self.snapshot(to_v)
+        schema = to_snap.schema if to_snap else None
         if not added:
-            ref = self.snapshot(to_v) or self.snapshot()
-            return self.spark.read.parquet(ref.paths[0]).limit(0)
-        return self.spark.read.parquet(*added)
+            ref = to_snap or self.snapshot()
+            return self._read_files([ref.paths[0]], schema).limit(0)
+        return self._read_files(added, schema)
 
     def merge(
         self,
@@ -564,10 +665,14 @@ class SnapshotTable:
                 if f["min"] is None or not (f["max"] < ser or f["min"] > ser_hi)
             ]
             untouched = [f for f in snap.files if f not in touched]
+        evolved = self._evolve(snap.schema, updates)
         if touched:
-            base = self.spark.read.parquet(*[f["path"] for f in touched])
+            base = self._read_files([f["path"] for f in touched], snap.schema)
             merged = latest_per_key(
-                base.unionByName(updates), key, order_col, tiebreak
+                base.unionByName(updates, allowMissingColumns=True),
+                key,
+                order_col,
+                tiebreak,
             )
         else:
             merged = updates
@@ -580,6 +685,7 @@ class SnapshotTable:
             untouched + self._file_entries(commit_dir),
             tokens,
             snap.version,
+            schema=evolved,
         )
 
     def delete_where(self, predicate) -> Snapshot:
@@ -605,7 +711,9 @@ class SnapshotTable:
             cond = F.col(self.stats_col).between(lo, hi)
         if not touched:
             return snap
-        kept = self.spark.read.parquet(*[f["path"] for f in touched]).filter(
+        # rewrite under the pinned schema: an old file rewritten after
+        # an evolution must not silently drop the newer columns
+        kept = self._read_files([f["path"] for f in touched], snap.schema).filter(
             ~cond
         )
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
@@ -614,6 +722,7 @@ class SnapshotTable:
             untouched + self._file_entries(commit_dir),
             list(snap.batch_tokens),
             snap.version,
+            schema=snap.schema,
         )
 
     # -- maintenance --------------------------------------------------------

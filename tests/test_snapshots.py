@@ -50,6 +50,95 @@ def test_stats_file_skipping(spark, tmp_dir):
     assert t.read(between=(5000, 6000)).count() == 0  # nothing overlaps
 
 
+def test_schema_evolution_add_column(spark, tmp_dir):
+    """The reference promises 'safe, intentional schema changes using
+    Iceberg's evolution model' (/root/reference/README.md:27-31): an
+    append that ADDS a column evolves the table — time travel to the
+    pre-evolution snapshot returns the OLD schema, the latest read
+    returns the union with NULLs for pre-evolution rows."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 10))
+    widened = _batch(spark, 10, 5).withColumn("tag", F.lit("new"))
+    t.append(widened)
+
+    old = t.read(version=1)
+    assert old.columns == ["id", "v"]  # time travel: old shape
+    cur = t.read()
+    assert cur.columns == ["id", "v", "tag"]
+    assert cur.count() == 15
+    # pre-evolution rows surface the new column as NULL
+    assert cur.filter(F.col("tag").isNull()).count() == 10
+    assert cur.filter(F.col("tag") == "new").count() == 5
+
+
+def test_schema_evolution_changes_span_boundary(spark, tmp_dir):
+    """An incremental append scan spanning the evolution commit yields
+    ONE uniform shape — the to-version's schema."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 10))
+    t.append(_batch(spark, 10, 5))  # v2, old shape
+    t.append(_batch(spark, 15, 5).withColumn("tag", F.lit("new")))  # v3
+    delta = t.changes(1)  # v2 + v3 files, across the boundary
+    assert delta.columns == ["id", "v", "tag"]
+    assert delta.count() == 10
+    assert delta.filter(F.col("tag").isNull()).count() == 5
+
+
+def test_schema_evolution_numeric_widening(spark, tmp_dir):
+    """int→long / float→double follow Iceberg's promotion set: the
+    pinned schema widens and OLD narrow files read clean under it."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(
+        spark.range(3).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(1.5).cast("float").alias("x"),
+        )
+    )
+    t.append(
+        spark.range(3, 6).select(
+            F.col("id").alias("id"),  # long
+            F.lit(2.5).cast("double").alias("x"),
+        )
+    )
+    cur = t.read()
+    assert [f.dataType.simpleString() for f in cur.schema.fields] == [
+        "bigint",
+        "double",
+    ]
+    assert cur.count() == 6 and cur.agg(F.sum("id")).first()[0] == 15
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_dir):
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 10))
+    retyped = spark.range(5).select(
+        F.col("id").cast("string").alias("id"), F.lit(1.0).alias("v")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        t.append(retyped)
+
+
+def test_schema_evolution_merge_and_delete_preserve_columns(spark, tmp_dir):
+    """COW merge with a widened update frame evolves the schema; a
+    later delete_where rewrite of pre-evolution files must keep the
+    evolved column (as NULL), not silently drop it."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(_batch(spark, 0, 10).coalesce(1))
+    upd = spark.createDataFrame(
+        [(2, 99, "patched")], ["id", "v", "tag"]
+    ).select("id", F.col("v").cast("long"), "tag")
+    t.merge(upd, key="id", order_col="v")
+    assert t.read().columns == ["id", "v", "tag"]
+    assert t.read().filter(F.col("tag") == "patched").count() == 1
+    t.delete_where((3, 4))  # rewrites files straddling the range
+    cur = t.read()
+    assert cur.columns == ["id", "v", "tag"]
+    assert cur.count() == 8
+    assert cur.filter(F.col("tag") == "patched").count() == 1
+
+
 def test_append_missing_stats_columns_degrades(spark, tmp_dir):
     """A frame lacking some stats/bloom columns (e.g. a generic writer
     sharing the table root) must append with null stats for the missing
