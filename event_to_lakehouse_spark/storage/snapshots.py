@@ -21,12 +21,14 @@ supplies on plain parquet:
   ``read(between=(lo, hi))`` opens only overlapping files — the zone-map
   pruning Iceberg manifests provide.
 
-Honest caveats: the pointer rename is atomic on posix/HDFS, not on
-S3-style object stores (there you'd keep the manifest chain and resolve
-"latest" by listing — or use the real table format); concurrent writers
-are serialized optimistically by the exclusive ``v{N}.json`` create, and
-a loser must retry its commit (its data files are orphaned, swept by
-``vacuum``).
+Object stores: construct with ``posix_rename=False`` — the ``_latest``
+pointer (whose rename/flock are posix-only) is skipped entirely and
+"latest" is resolved by listing the manifest chain, the same resolution
+``snapshot()`` always performs; commit atomicity rests solely on the
+exclusive manifest create (hard-link locally, conditional PUT on a real
+store). Concurrent writers are serialized optimistically by that
+exclusive create, and a loser must retry its commit (its data files are
+orphaned, swept by ``vacuum``).
 """
 
 from __future__ import annotations
@@ -96,6 +98,7 @@ class SnapshotTable:
         bloom_col: str | None = None,
         bloom_bits: int = 8192,
         bloom_k: int = 4,
+        posix_rename: bool = True,
     ):
         """``stats_col`` keeps the original single-column zone-map API
         (merge/delete/`between` pruning key). ``stats_cols`` widens the
@@ -122,6 +125,13 @@ class SnapshotTable:
         never drops a true match (no false negatives by construction)."""
         self.spark = spark
         self.root = Path(root)
+        # posix_rename=False is the OBJECT-STORE protocol: no ``_latest``
+        # pointer (rename/flock aren't atomic there) — "latest" is
+        # resolved ONLY by listing the manifest chain, which snapshot()
+        # does anyway. Commits stay atomic via the exclusive manifest
+        # create (conditional PUT on a real store). The pointer mode is
+        # a pure O(1)-hint optimization for posix/HDFS deployments.
+        self.posix_rename = posix_rename
         self.stats_cols = list(stats_cols) if stats_cols else (
             [stats_col] if stats_col else []
         )
@@ -216,13 +226,24 @@ class SnapshotTable:
                 "schema": schema,
             }
         )
-        # exclusive create = optimistic concurrency: the loser must
-        # re-resolve latest and retry (its data dir is orphaned until
-        # vacuum()).
-        fd = os.open(manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        self._advance_pointer(v)
+        # Exclusive AND atomic manifest creation: the payload is staged
+        # to a hidden temp file, then hard-linked into place. link(2)
+        # fails with EEXIST on a racing writer (optimistic concurrency —
+        # the loser re-resolves latest and retries; its data dir is
+        # orphaned until vacuum()) and publishes the COMPLETE document
+        # in one metadata op, so a concurrent reader can never parse a
+        # half-written manifest. (An O_EXCL create followed by write()
+        # had exactly that window.) On an object store the equivalent is
+        # a conditional full-object PUT (If-None-Match), which is also
+        # exclusive-and-atomic — same protocol, different primitive.
+        tmp = self.root / "meta" / f".commit.tmp.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(payload)
+        try:
+            os.link(tmp, manifest)
+        finally:
+            tmp.unlink()
+        if self.posix_rename:
+            self._advance_pointer(v)
         return self.snapshot(v)  # type: ignore[return-value]
 
     def _advance_pointer(self, v: int) -> None:

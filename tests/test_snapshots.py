@@ -50,6 +50,62 @@ def test_stats_file_skipping(spark, tmp_dir):
     assert t.read(between=(5000, 6000)).count() == 0  # nothing overlaps
 
 
+def test_object_store_mode_no_pointer(spark, tmp_dir):
+    """posix_rename=False: the object-store protocol never creates the
+    ``_latest`` pointer or lock; resolution is manifest-chain listing
+    and every read still sees complete committed versions."""
+    import os
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", posix_rename=False)
+    t.append(_batch(spark, 0, 10))
+    t.append(_batch(spark, 10, 5))
+    meta = os.listdir(f"{tmp_dir}/tbl/meta")
+    assert "_latest" not in meta and "_latest.lock" not in meta
+    assert sorted(meta) == ["v1.json", "v2.json"]
+    assert t.read().count() == 15
+    assert t.read(version=1).count() == 10
+
+
+def test_readers_never_observe_half_commit(spark, tmp_dir):
+    """Manifests are published with an atomic exclusive link, so a
+    reader polling the chain during a burst of commits must only ever
+    parse COMPLETE manifests with monotonically growing versions —
+    the listing protocol's atomicity guarantee (VERDICT r3 #5)."""
+    import threading
+
+    root = f"{tmp_dir}/tbl"
+    t = SnapshotTable(spark, root, posix_rename=False)
+    t.append(_batch(spark, 0, 5))
+    errors: list[str] = []
+    seen: list[int] = []
+    stop = threading.Event()
+
+    def poll():
+        reader = SnapshotTable(spark, root, posix_rename=False)
+        last = 0
+        while not stop.is_set():
+            try:
+                snap = reader.snapshot()  # parses the newest manifest
+                assert snap is not None and snap.files
+                assert snap.version >= last, "version went backwards"
+                last = snap.version
+                seen.append(snap.version)
+            except Exception as e:  # half-commit would surface here
+                errors.append(repr(e))
+                return
+
+    th = threading.Thread(target=poll)
+    th.start()
+    try:
+        for i in range(1, 12):
+            t.append(_batch(spark, i * 5, 5))
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert not errors, f"reader observed a broken commit: {errors[:3]}"
+    assert max(seen) >= 2  # the poller really raced the commits
+
+
 def test_schema_evolution_add_column(spark, tmp_dir):
     """The reference promises 'safe, intentional schema changes using
     Iceberg's evolution model' (/root/reference/README.md:27-31): an
