@@ -1,0 +1,182 @@
+"""Corpus-curation operators beyond per-document enrichment: Gopher-
+style repetition filtering and domain-mix resampling — the two knobs a
+training-data pipeline turns AFTER cleaning individual documents
+(filter the degenerate ones, then rebalance what domains remain).
+
+Both are pure built-in-expression pipelines with DuckDB oracles; the
+resampler uses the portable 60-bit hash (``dedup.portable``) so the
+deterministic keep/drop decision is bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup.portable import hash60_duck, hash60_spark
+from .operators.relational import _r4, query
+from .tables import load_tables
+
+# Gopher-rule thresholds (scaled to the synthetic corpus; production
+# values are corpus-tuned the same way).
+REP_NGRAM = 5  # word n-gram width for the duplicate-fraction signal
+DUP_NGRAM_MAX = 0.30  # keep docs with <= 30% duplicate 5-grams
+TOP_WORD_MAX = 0.20  # keep docs whose top word is <= 20% of tokens
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(w) AS n_words,
+             CASE WHEN len(w) >= {REP_NGRAM}
+                  THEN list_transform(range(1, len(w) - {REP_NGRAM - 2}),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4])
+                  ELSE [] END AS grams
+      FROM t
+    ),
+    rep AS (
+      SELECT doc_id, n_words,
+             CASE WHEN len(grams) > 0
+                  THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams), 4)
+                  ELSE 0.0 END AS dup_ngram_frac
+      FROM g
+    ),
+    wc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+      WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    tw AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac
+      FROM wc GROUP BY doc_id
+    )
+    SELECT rep.doc_id, CAST(rep.n_words AS INTEGER) AS n_words,
+           rep.dup_ngram_frac,
+           coalesce(tw.top_word_frac, 0.0) AS top_word_frac,
+           (rep.dup_ngram_frac <= {DUP_NGRAM_MAX}
+            AND coalesce(tw.top_word_frac, 0.0) <= {TOP_WORD_MAX}) AS keep
+    FROM rep LEFT JOIN tw ON rep.doc_id = tw.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb repetition signals per document: the fraction
+    of duplicated word 5-grams and the most-frequent-word share, with
+    the keep/drop verdict. The n-gram fraction is a single projection
+    (HOF over the token array — no explode, no shuffle); the top-word
+    share is one explode + two-level agg hash-partitioned on doc_id.
+    At 100 TB both are scan-bound; the only shuffle carries (doc_id,
+    token) pairs with map-side combine."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (REP_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + j) for j in range(REP_NGRAM)]
+        ),
+    )
+    rep = toks.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        F.when(
+            F.size("w") >= REP_NGRAM,
+            _r4(
+                F.lit(1.0)
+                - F.size(F.array_distinct(gram)).cast("double") / F.size(gram)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )
+    wc = (
+        toks.select("doc_id", F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tw = wc.groupBy("doc_id").agg(
+        _r4(F.max("c").cast("double") / F.sum("c")).alias("top_word_frac")
+    )
+    joined = rep.join(tw, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "dup_ngram_frac",
+        F.coalesce("top_word_frac", F.lit(0.0)).alias("top_word_frac"),
+    )
+    return joined.withColumn(
+        "keep",
+        (F.col("dup_ngram_frac") <= DUP_NGRAM_MAX)
+        & (F.col("top_word_frac") <= TOP_WORD_MAX),
+    )
+
+
+# Deterministic domain rebalancing toward TARGET WEIGHTS: the mix a
+# training run wants (upweight curated domains, downsample the rest).
+# Per-source keep rate r_d = C·w_d / cnt_d with C maximal subject to
+# r_d ≤ 1 (C = min_d cnt_d/w_d) — all in integer arithmetic so both
+# engines compute identical thresholds. The keep decision hashes the
+# doc id with the portable hash: the SAME documents are kept on every
+# engine and every rerun.
+MIX_SALT = "mix-v1|"
+MIX_DENOM = 1_000_000
+MIX_WEIGHTS = {"src0": 3, "src1": 2}  # every other source weight 1
+_W_SQL = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items())
+    + " ELSE 1 END"
+)
+
+
+@query(
+    "corpus_domain_mix",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS cnt, {_W_SQL} AS w
+      FROM documents GROUP BY source
+    ),
+    m AS (SELECT min((cnt * {MIX_DENOM}) // w) AS c0 FROM counts)
+    SELECT d.doc_id, d.source,
+           round(CAST((m.c0 * c.w) // c.cnt AS DOUBLE)
+                 / {MIX_DENOM}, 6) AS keep_rate
+    FROM documents d
+    JOIN counts c ON d.source = c.source
+    CROSS JOIN m
+    WHERE {hash60_duck(f"'{MIX_SALT}' || CAST(d.doc_id AS VARCHAR)")}
+          % {MIX_DENOM} < (m.c0 * c.w) // c.cnt
+    """,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix resampling toward target weights, deterministic via
+    the portable hash (bit-identical keep set cross-engine). 100 TB
+    shape: one metadata-scale groupBy for the counts (broadcast back),
+    then a scan-local filter — the corpus itself never shuffles."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"), F.expr(_W_SQL).alias("w")
+    )
+    m = counts.agg(F.min(F.expr(f"(cnt * {MIX_DENOM}) div w")).alias("c0"))
+    rated = counts.crossJoin(F.broadcast(m)).select(
+        "source", F.expr("(c0 * w) div cnt").alias("thresh")
+    )
+    h = F.expr(
+        hash60_spark(f"concat('{MIX_SALT}', CAST(doc_id AS STRING))")
+    )
+    return (
+        docs.join(F.broadcast(rated), "source")
+        .filter(h % MIX_DENOM < F.col("thresh"))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("thresh").cast("double") / MIX_DENOM, 6).alias(
+                "keep_rate"
+            ),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Semantics pins for the curation operators: planted repetitive
+documents must be dropped; domain-mix keep rates must track the target
+weights."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.curation import (
+    DUP_NGRAM_MAX,
+    MIX_WEIGHTS,
+    corpus_domain_mix,
+    text_repetition_filter,
+)
+
+
+def _with_docs(spark, tmp_dir, rows):
+    spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"]) \
+        .write.parquet(f"{tmp_dir}/documents.parquet")
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ]:
+        spark.read.parquet(f"/root/testdata/sf0.001/{name}.parquet").limit(
+            1
+        ).write.parquet(f"{tmp_dir}/{name}.parquet")
+    return tmp_dir
+
+
+def test_repetition_filter_drops_planted_loops(spark, tmp_dir):
+    clean = (
+        "the quick brown fox jumps over a lazy dog near this river bank "
+        "while two birds sing softly and children play outside in warm sun"
+    )
+    loop = "spam beacon alpha beta gamma " * 12  # one 5-gram repeated
+    onetok = "word " * 30  # top word = 100% of tokens
+    _with_docs(
+        spark,
+        tmp_dir,
+        [
+            (1, clean, "en", "s", len(clean)),
+            (2, loop.strip(), "en", "s", len(loop)),
+            (3, onetok.strip(), "en", "s", len(onetok)),
+        ],
+    )
+    got = {r.doc_id: r for r in text_repetition_filter(spark, tmp_dir).collect()}
+    assert got[1].keep and got[1].dup_ngram_frac == 0.0
+    assert not got[2].keep and got[2].dup_ngram_frac > DUP_NGRAM_MAX
+    assert not got[3].keep and got[3].top_word_frac == 1.0
+
+
+def test_domain_mix_tracks_target_weights(spark):
+    out = corpus_domain_mix(spark, "/root/testdata/sf0.01")
+    rates = {
+        r.source: r.keep_rate
+        for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    # sf0.01 sources are uniform (25 docs each), so rates reduce to
+    # w_d / max_w exactly
+    max_w = max(MIX_WEIGHTS.values())
+    # integer thresholds floor, so rates sit within 1e-3 of the ideal
+    assert abs(rates["src0"] - MIX_WEIGHTS["src0"] / max_w) < 1e-3
+    assert abs(rates["src1"] - MIX_WEIGHTS["src1"] / max_w) < 1e-3
+    assert abs(rates["src5"] - 1 / max_w) < 1e-3
+    # the deterministic keep set: rerun == same rows
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in corpus_domain_mix(spark, "/root/testdata/sf0.01").collect())
+    assert a == b
