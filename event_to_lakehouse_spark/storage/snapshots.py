@@ -325,6 +325,52 @@ class SnapshotTable:
         ]
         return StructType(fields).jsonValue()
 
+    def alter_schema(
+        self,
+        add: dict[str, str] | None = None,
+        drop: list[str] | None = None,
+    ) -> Snapshot:
+        """METADATA-ONLY schema change — the Iceberg ``ALTER TABLE``
+        shape: a new manifest with the SAME file set and an edited
+        pinned schema. ``add`` maps column name → Spark type string
+        (simpleString, e.g. ``"long"``, ``"array<double>"``); added
+        columns read as NULL until a writer fills them. ``drop``
+        removes columns from the pinned schema — the bytes stay in the
+        files (and in older snapshots, which still time-travel to the
+        pre-drop shape) but every read of this and later snapshots
+        projects them away. Zero data files touched either way."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        if snap.schema is None:
+            raise ValueError(
+                "table has no pinned schema yet (pre-evolution manifests); "
+                "run one append first"
+            )
+        schema = StructType.fromJson(snap.schema)
+        names = {f.name for f in schema.fields}
+        for c in drop or []:
+            if c not in names:
+                raise ValueError(f"cannot drop unknown column '{c}'")
+            if c in self.stats_cols or c == self.bloom_col:
+                raise ValueError(
+                    f"column '{c}' backs the table's stats/bloom pruning; "
+                    "reconfigure those before dropping it"
+                )
+        fields = [f for f in schema.fields if f.name not in set(drop or [])]
+        for name, typ in (add or {}).items():
+            if name in names:
+                raise ValueError(f"column '{name}' already exists")
+            fields.append(StructField(name, _parse_datatype_string(typ), True))
+        return self._commit(
+            snap.files,
+            list(snap.batch_tokens),
+            snap.version,
+            schema=StructType(fields).jsonValue(),
+        )
+
     def _read_files(self, paths: list[str], schema: dict | None) -> DataFrame:
         """Read a file set under a pinned snapshot schema: files written
         before a column existed surface it as NULL, files with columns

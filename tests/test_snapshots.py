@@ -195,6 +195,30 @@ def test_schema_evolution_merge_and_delete_preserve_columns(spark, tmp_dir):
     assert cur.filter(F.col("tag") == "patched").count() == 1
 
 
+def test_alter_schema_metadata_only(spark, tmp_dir):
+    """ALTER TABLE add/drop as a metadata-only commit: same files, new
+    pinned schema; older snapshots still time-travel to their shape."""
+    import pytest
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    s1 = t.append(_batch(spark, 0, 10))
+    s2 = t.alter_schema(add={"tag": "string"}, drop=["v"])
+    assert s2.version == 2 and s2.files == s1.files  # zero files touched
+    cur = t.read()
+    assert cur.columns == ["id", "tag"]
+    assert cur.filter(F.col("tag").isNull()).count() == 10  # unfilled add
+    assert t.read(version=1).columns == ["id", "v"]  # time travel intact
+    # the delta across the alter is empty, not a rewrite
+    assert t.changes(1).count() == 0
+    # guard rails
+    with pytest.raises(ValueError, match="unknown column"):
+        t.alter_schema(drop=["nope"])
+    with pytest.raises(ValueError, match="stats/bloom"):
+        t.alter_schema(drop=["id"])
+    with pytest.raises(ValueError, match="already exists"):
+        t.alter_schema(add={"tag": "string"})
+
+
 def test_append_missing_stats_columns_degrades(spark, tmp_dir):
     """A frame lacking some stats/bloom columns (e.g. a generic writer
     sharing the table root) must append with null stats for the missing
