@@ -593,3 +593,101 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate heavy hitters: count-min sketch (SURVEY §2.4 sketch family)
+# ---------------------------------------------------------------------------
+
+# Sketch geometry: d hash rows × w buckets. The sketch is a FIXED-SIZE
+# (d·w rows) mergeable aggregate no matter the key cardinality — the
+# shuffle carries at most d·w partial-combined groups per task, which
+# is the whole point at 100 TB (an exact groupBy(key) shuffles the key
+# space). Estimates only over-count (bucket collisions), never under.
+CM_D = 4
+CM_W = 256
+CM_TOPK = 20
+
+
+def _cm_bucket_spark(j: int, expr: str) -> str:
+    from ..dedup.portable import hash60_spark
+
+    seeded = "concat('cm" + str(j) + "|', CAST(" + expr + " AS STRING))"
+    return f"({hash60_spark(seeded)} % {CM_W})"
+
+
+def _cm_bucket_duck(j: int, expr: str) -> str:
+    from ..dedup.portable import hash60_duck
+
+    seeded = "'cm" + str(j) + "|' || CAST(" + expr + " AS VARCHAR)"
+    return f"({hash60_duck(seeded)} % {CM_W})"
+
+
+def _cm_oracle() -> str:
+    row_arms = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_bucket_duck(j, 'user_id')} AS bucket FROM events"
+        for j in range(CM_D)
+    )
+    cand_arms = "\n      UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, {_cm_bucket_duck(j, 'user_id')} AS bucket FROM cand"
+        for j in range(CM_D)
+    )
+    return f"""
+    WITH rows_ AS (
+      {row_arms}
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM rows_ GROUP BY j, bucket
+    ),
+    cand AS (SELECT DISTINCT user_id FROM events),
+    crows AS (
+      {cand_arms}
+    ),
+    est AS (
+      SELECT user_id, min(c) AS est_count
+      FROM crows JOIN sketch USING (j, bucket) GROUP BY user_id
+    )
+    SELECT user_id, est_count FROM est
+    ORDER BY est_count DESC, user_id LIMIT {CM_TOPK}
+    """
+
+
+@query("events_heavyhitters_cm", _cm_oracle())
+def events_heavyhitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heaviest users by count-min estimate.
+
+    Build: each event fans out to its d (row, bucket) cells (explode of
+    a d-element array — map-side), then ONE fixed-size groupBy: the
+    shuffle is ≤ d·w combined groups per task regardless of user
+    cardinality. Estimate: candidate keys (here the distinct key set —
+    at 100 TB a sampled/streamed candidate feed) probe the broadcast
+    sketch; est = min over the d cells. The portable hash keeps every
+    bucket bit-identical to the DuckDB oracle."""
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cm_bucket_spark(j, "user_id")).alias("bucket"),
+            )
+            for j in range(CM_D)
+        ]
+    )
+    sketch = (
+        events.select(F.explode(cells).alias("e"))
+        .select("e.j", "e.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = events.select("user_id").distinct()
+    crows = cand.select("user_id", F.explode(cells).alias("e")).select(
+        "user_id", "e.j", "e.bucket"
+    )
+    est = (
+        crows.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), "user_id").limit(CM_TOPK)

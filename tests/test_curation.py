@@ -66,3 +66,30 @@ def test_domain_mix_tracks_target_weights(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in corpus_domain_mix(spark, "/root/testdata/sf0.01").collect())
     assert a == b
+
+
+def test_countmin_never_undercounts(spark):
+    """CM estimates are exact counts plus non-negative collision noise:
+    est >= exact for every key, and the true heaviest user appears in
+    the top-k (it cannot be displaced below keys it truly dominates by
+    more than the collision bound)."""
+    from event_to_lakehouse_spark.operators.events import (
+        events_heavyhitters_cm,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    est = {
+        r.user_id: r.est_count
+        for r in events_heavyhitters_cm(spark, sf).collect()
+    }
+    exact = {
+        r.user_id: r.n
+        for r in load_tables(spark, sf)["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(est[u] >= exact[u] for u in est)
+    top_true = max(exact, key=lambda u: (exact[u], -u))
+    assert top_true in est
