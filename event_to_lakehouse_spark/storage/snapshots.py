@@ -132,6 +132,10 @@ class SnapshotTable:
         # create (conditional PUT on a real store). The pointer mode is
         # a pure O(1)-hint optimization for posix/HDFS deployments.
         self.posix_rename = posix_rename
+        # injectable clock (tests pin it); production uses wall time
+        import time as _time
+
+        self._clock = lambda: int(_time.time())
         self.stats_cols = list(stats_cols) if stats_cols else (
             [stats_col] if stats_col else []
         )
@@ -224,6 +228,10 @@ class SnapshotTable:
                 "bloom_bits": self.bloom_bits,
                 "bloom_k": self.bloom_k,
                 "schema": schema,
+                # wall-clock commit time (epoch seconds) — the basis
+                # for time-based retention (expire_snapshots); advisory
+                # only, never used for ordering (versions order).
+                "committed_at": self._clock(),
             }
         )
         # Exclusive AND atomic manifest creation: the payload is staged
@@ -794,12 +802,42 @@ class SnapshotTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def expire_snapshots(self, older_than_s: int) -> int:
+        """Time-based retention (the Iceberg ``expire_snapshots``
+        shape): drop snapshots whose ``committed_at`` is more than
+        ``older_than_s`` seconds ago — except the LATEST, which is
+        always retained no matter its age — then sweep unreferenced
+        data files. Returns files deleted. Manifests without a
+        ``committed_at`` (pre-retention versions) count as expired."""
+        versions = self.history()
+        if not versions:
+            return 0
+        cutoff = self._clock() - older_than_s
+        keep = {
+            v
+            for v in versions
+            if (
+                json.loads(
+                    (self.root / "meta" / f"v{v}.json").read_text()
+                ).get("committed_at")
+                or 0
+            )
+            >= cutoff
+        }
+        keep.add(versions[-1])
+        return self._sweep(versions, keep)
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Drop manifests older than the newest ``keep_versions`` and
         delete data files referenced by NO retained manifest (orphans
         from aborted commits included). Returns files deleted."""
         versions = self.history()
         keep = set(versions[-keep_versions:])
+        return self._sweep(versions, keep)
+
+    def _sweep(self, versions: list[int], keep: set[int]) -> int:
+        """Delete manifests outside ``keep`` and any data file no
+        retained manifest references (aborted-commit orphans included)."""
         retained: set[str] = set()
         for v in keep:
             retained |= set(self.snapshot(v).paths)  # type: ignore[union-attr]

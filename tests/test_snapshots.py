@@ -562,3 +562,26 @@ def test_merge_and_overwrite_batch_tokens(spark, tmp_dir):
     s2 = t.overwrite(_batch(spark, 0, 4), batch_token="o-1")
     assert t.overwrite(_batch(spark, 0, 4), batch_token="o-1").version == s2.version
     assert t.read().count() == 4
+
+
+def test_expire_snapshots_time_based(spark, tmp_dir):
+    """expire_snapshots drops snapshots committed before the cutoff
+    (latest always survives) and sweeps their unreferenced files."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    clock = [1_000_000]
+    t._clock = lambda: clock[0]
+    t.overwrite(_batch(spark, 0, 10).coalesce(1))     # v1 @ t0, own files
+    clock[0] += 3600
+    t.overwrite(_batch(spark, 10, 10).coalesce(1))    # v2 @ t0+1h
+    clock[0] += 3600
+    t.overwrite(_batch(spark, 20, 10).coalesce(1))    # v3 @ t0+2h
+    # cutoff = 90 min ago: v1 expires, v2 (1h old) + v3 retained
+    removed = t.expire_snapshots(older_than_s=5400)
+    assert removed >= 1
+    assert t.history() == [2, 3]
+    assert t.read(version=2).count() == 10
+    assert t.read().count() == 10
+    # ancient latest still survives an aggressive cutoff
+    assert t.expire_snapshots(older_than_s=0) >= 0
+    assert t.history() == [3]
+    assert t.read().count() == 10

@@ -49,6 +49,10 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "text_enrich",
+    "text_repetition_filter",
+    "corpus_domain_mix",
+    "events_heavyhitters_cm",
+    "dedup_cluster_labels",
     "corpus_curation",
     "ann_lsh_bucketed_topk",
     "dedup_embedding_neardup",
