@@ -93,3 +93,78 @@ def test_countmin_never_undercounts(spark):
     assert all(est[u] >= exact[u] for u in est)
     top_true = max(exact, key=lambda u: (exact[u], -u))
     assert top_true in est
+
+
+def test_portable_hash_cross_engine_exact(spark):
+    """hash60 must agree bit-for-bit between Spark and DuckDB on
+    adversarial inputs: unicode, quotes, backslashes, empty, long."""
+    import duckdb
+
+    from event_to_lakehouse_spark.dedup.portable import (
+        hash60_duck,
+        hash60_spark,
+    )
+
+    samples = [
+        "", " ", "a", "Hello, World!", "naïve café über",
+        "日本語テキスト", "quote'mid", 'double"quote', "back\\slash",
+        "tab\tsep", "x" * 5000, "0", "-1", "mix 'both' \"kinds\"",
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got_spark = [
+        r.h for r in sdf.selectExpr(f"{hash60_spark('s')} AS h").collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.sql(
+            "SELECT " + hash60_duck("?::VARCHAR"), params=[s]
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_duck
+    assert all(0 <= h < (1 << 60) for h in got_spark)
+
+
+def test_countmin_sketch_merges_across_batches(spark):
+    """The CM sketch is a mergeable aggregate: building it per half of
+    the corpus and SUMMING the cells equals building it in one pass —
+    the property that makes it shippable as partial aggregates from
+    1000 executors (and incrementally from micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.operators.events import (
+        CM_D,
+        _cm_bucket_spark,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    events = load_tables(spark, "/root/testdata/sf0.01")["events"]
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cm_bucket_spark(j, "user_id")).alias("bucket"),
+            )
+            for j in range(CM_D)
+        ]
+    )
+
+    def sketch(df):
+        return (
+            df.select(F.explode(cells).alias("e"))
+            .select("e.j", "e.bucket")
+            .groupBy("j", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    full = {(r.j, r.bucket): r.c for r in sketch(events).collect()}
+    lo = sketch(events.filter(F.col("event_id") % 2 == 0))
+    hi = sketch(events.filter(F.col("event_id") % 2 == 1))
+    merged = {
+        (r.j, r.bucket): r.c
+        for r in lo.unionByName(hi)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert merged == full
