@@ -872,3 +872,72 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("anti").alias("kind"), "c_custkey", "c_name"
     )
     return semi.unionByName(anti)
+
+
+ASOF_TOLERANCE_S = 3600  # forward as-of: match must be within 1 hour
+
+
+@query(
+    "join_asof_forward_tolerance",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         cand AS (
+           SELECT e.event_id, c.event_id AS click_id,
+                  (epoch_us(c.ts) - epoch_us(e.ts)) // 1000000 AS gap_s,
+                  row_number() OVER (PARTITION BY e.event_id
+                                     ORDER BY c.ts ASC, c.event_id ASC) AS rn
+           FROM e JOIN c ON e.user_id = c.user_id
+                        AND c.ts >= e.ts
+                        AND epoch_us(c.ts) - epoch_us(e.ts)
+                            <= CAST({ASOF_TOLERANCE_S} AS BIGINT) * 1000000
+         )
+    SELECT event_id, click_id, gap_s FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound: for each error, the
+    next click by the same user within 1 hour (the "what did the user
+    do right after the failure" shape; pandas merge_asof
+    direction='forward' + tolerance). Same composition as the backward
+    flavor — equi join on user, time-bounded predicate, row_number
+    pick — so the candidate set is bounded by the tolerance window
+    instead of the whole future, which is what keeps the join's
+    per-key fan-in flat at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["events"]
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .alias("e")
+    )
+    c = (
+        t["events"]
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .alias("c")
+    )
+    # exact µs arithmetic (floor-div to whole seconds): a difference of
+    # per-timestamp second-casts is off by one when the sub-second
+    # parts straddle, and DuckDB's epoch() rounds where Spark truncates
+    gap_us = F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("e.ts"))
+    gap = F.expr(
+        "(unix_micros(c_ts) - unix_micros(e.ts)) div 1000000"
+    )
+    w = Window.partitionBy("e.event_id").orderBy(F.asc("c_ts"), F.asc("click_id"))
+    return (
+        e.join(
+            c,
+            (F.col("e.user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e.ts"))
+            & (gap_us <= ASOF_TOLERANCE_S * 1_000_000),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "click_id", gap.alias("gap_s"))
+    )

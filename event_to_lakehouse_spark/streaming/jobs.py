@@ -280,3 +280,32 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on, how: str = "left") -> D
     updates without restarting the query; ``F.broadcast`` keeps the
     fact stream shuffle-free at any rate."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def heavyhitters_sketch_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming count-min sketch (the mergeable-sketch streaming twin
+    of ``operators.events.events_heavyhitters_cm``): each arriving
+    event fans out to its d (row, bucket) cells map-side, and the
+    running sketch is ONE bounded stateful aggregation — state is at
+    most d·w cells no matter how many distinct keys the stream ever
+    sees, which is why this runs forever without a watermark. Update
+    mode re-emits only the cells each micro-batch touched; estimates
+    are served by probing the sink table exactly as the batch operator
+    probes its broadcast sketch."""
+    from ..operators.events import CM_D, _cm_bucket_spark
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cm_bucket_spark(j, key)).alias("bucket"),
+            )
+            for j in range(CM_D)
+        ]
+    )
+    return (
+        events.select(F.explode(cells).alias("e"))
+        .select("e.j", "e.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

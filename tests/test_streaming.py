@@ -281,3 +281,48 @@ def test_stream_static_enrichment(spark, tmp_dir):
            spark.sql("SELECT event_id, c_mktsegment FROM enriched_events").collect()}
     assert out[1] is not None      # known customer enriched
     assert out[2] is None          # unknown user -> left join NULL
+
+
+def test_heavyhitters_sketch_stream_equals_batch(spark, tmp_dir):
+    """Drained streaming CM sketch == one-pass batch sketch cell for
+    cell (the mergeability property, exercised through micro-batched
+    arrival), and state stays bounded at <= d*w cells."""
+    from event_to_lakehouse_spark.operators.events import (
+        CM_D,
+        CM_W,
+        _cm_bucket_spark,
+    )
+    from event_to_lakehouse_spark.streaming.jobs import (
+        heavyhitters_sketch_stream,
+        read_event_stream,
+    )
+
+    src = _write_events(f"{tmp_dir}/events", EVENTS)
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    name = f"cm_{uuid.uuid4().hex[:8]}"
+    q = _mem_query(heavyhitters_sketch_stream(stream), name, "complete")
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.bucket): r.c for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert len(got) <= CM_D * CM_W
+
+    batch = spark.read.json(src, schema=stream.schema)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(_cm_bucket_spark(j, "user_id")).alias("bucket"),
+            )
+            for j in range(CM_D)
+        ]
+    )
+    want = {
+        (r.j, r.bucket): r.c
+        for r in batch.select(F.explode(cells).alias("e"))
+        .select("e.j", "e.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
