@@ -281,7 +281,9 @@ class SnapshotTable:
     # parquet reader natively reads a file written at any earlier stage
     # of a chain under the wider pinned type (probed: int32 file under
     # LongType schema, float under double — both read clean).
-    _WIDEN = {"tinyint": 0, "smallint": 1, "integer": 2, "long": 3}
+    # keys are DataType.typeName() values (byte/short, NOT the SQL
+    # names tinyint/smallint — a property test caught that mismatch)
+    _WIDEN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
     _WIDEN_F = {"float": 0, "double": 1}
 
     @classmethod

@@ -116,3 +116,86 @@ def test_deterministic_sample_invariant_under_partitioning(spark):
     }
     assert a == b
     assert 0.15 < len(a) / 5000 < 0.25  # ~20% as designed
+
+
+# --- SnapshotTable._evolve algebra (r4 schema evolution) -------------------
+
+from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+
+class _FakeDF:
+    """Duck-typed stand-in: _evolve only reads .schema."""
+
+    def __init__(self, schema):
+        self.schema = schema
+
+
+_widen_chain = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_widen_f = [T.FloatType(), T.DoubleType()]
+
+
+@given(
+    names=_field_names,
+    extra=_field_names,
+    seed=st.integers(0, 2**16),
+)
+def test_evolve_preserves_parent_fields_in_order(names, extra, seed):
+    import random
+
+    rnd = random.Random(seed)
+    parent = T.StructType(
+        [T.StructField(n, rnd.choice(_TYPES), True) for n in names]
+    )
+    child = T.StructType(
+        [
+            T.StructField(n, rnd.choice(_TYPES), True)
+            for n in extra
+            if n not in set(names)
+        ]
+    )
+    out = T.StructType.fromJson(
+        SnapshotTable._evolve(parent.jsonValue(), _FakeDF(child))
+    )
+    # parent prefix intact (names and order), new fields appended
+    assert [f.name for f in out.fields[: len(parent.fields)]] == [
+        f.name for f in parent.fields
+    ]
+    assert [f.name for f in out.fields[len(parent.fields):]] == [
+        f.name for f in child.fields
+    ]
+
+
+@given(
+    pi=st.integers(0, 3),
+    ci=st.integers(0, 3),
+    flt=st.booleans(),
+)
+def test_evolve_widening_is_monotone_and_idempotent(pi, ci, flt):
+    chain = _widen_f if flt else _widen_chain
+    pi, ci = pi % len(chain), ci % len(chain)
+    parent = T.StructType([T.StructField("x", chain[pi], True)])
+    child = T.StructType([T.StructField("x", chain[ci], True)])
+    out1 = SnapshotTable._evolve(parent.jsonValue(), _FakeDF(child))
+    widened = T.StructType.fromJson(out1).fields[0].dataType
+    assert widened == chain[max(pi, ci)]  # always the wider end
+    # idempotent: evolving again with either input changes nothing
+    assert SnapshotTable._evolve(out1, _FakeDF(child)) == out1
+    assert SnapshotTable._evolve(out1, _FakeDF(parent)) == out1
+
+
+@given(a=st.sampled_from(_TYPES), b=st.sampled_from(_TYPES))
+def test_evolve_rejects_only_chain_incompatible(a, b):
+    parent = T.StructType([T.StructField("x", a, True)])
+    child = T.StructType([T.StructField("x", b, True)])
+    compatible = (
+        a == b
+        or ({a.typeName(), b.typeName()} <= {"byte", "short", "integer", "long"})
+        or ({a.typeName(), b.typeName()} <= {"float", "double"})
+    )
+    if compatible:
+        SnapshotTable._evolve(parent.jsonValue(), _FakeDF(child))
+    else:
+        import pytest
+
+        with pytest.raises(ValueError):
+            SnapshotTable._evolve(parent.jsonValue(), _FakeDF(child))
