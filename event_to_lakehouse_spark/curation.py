@@ -180,3 +180,68 @@ def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- BPE merge step (tokenizer induction primitive) ------------------------
+
+BPE_TOPK = 20
+
+
+@query(
+    "text_bpe_pair_counts",
+    f"""
+    WITH w AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+      )
+      WHERE tok <> '' GROUP BY tok
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                    i -> substr(tok, CAST(i AS INTEGER), 2))) AS pair, n
+      FROM w WHERE length(tok) >= 2
+    ),
+    agg AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_pair FROM pairs GROUP BY pair)
+    SELECT pair, n_pair FROM agg
+    ORDER BY n_pair DESC, pair LIMIT {BPE_TOPK}
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE merge step of BPE tokenizer training: corpus-wide counts of
+    adjacent symbol pairs (here: character bigrams within words),
+    weighted by word frequency — the argmax pair is the next merge a
+    BPE trainer would apply. 100 TB shape: the expensive text pass
+    collapses to a word-frequency table first (the classic BPE-training
+    trick — pair counting then runs over DISTINCT words x their
+    counts, usually 5-6 orders smaller than the corpus); both groupBys
+    are map-side-combinable, and the pair fan-out is an in-row HOF, not
+    a shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        words.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair")
+        .limit(BPE_TOPK)
+    )
