@@ -48,7 +48,14 @@ sibling (q4..q8, q10..q12, q14..q16, q18, q20) and
 ``agg_approx_distinct_users`` (HLL estimate pinned by pytest rtol
 check) are catalog-retired the same way, as are round-3 additions that
 arrived after the cap was full (``dedup_semantic``, ``text_chunks``,
-``text_pack_sequences``, ``corpus_curation`` siblings, ...).
+``text_pack_sequences``, ``corpus_curation`` siblings, ...) and the
+round-4 registry-only entries (``text_repetition_filter``,
+``corpus_domain_mix``, ``events_heavyhitters_cm``,
+``join_asof_forward_tolerance``, ``text_bpe_pair_counts`` — all
+oracle-checked by the judge-run full-registry parity). Round 4 also
+SWAPPED two driver slots: ``dedup_minhash_lsh`` / ``dedup_simhash_pairs``
+(xxhash64, rows-only forever) gave their seats to their ``_portable``
+successors so every driver entry now carries an oracle.
 """
 
 from __future__ import annotations
