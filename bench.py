@@ -24,6 +24,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # The shipped driver-catalog surface (catalog.FINAL_CATALOG names);
 # combos cover the round-1 entries they merged (e.g. events_payload_parse
 # ⊇ events_json_extract, agg_multidim ⊇ agg_rollup_region_nation).
+# dedup_minhash_lsh / dedup_simhash_pairs stay here by their xxhash64
+# names even though the driver catalog now ships the _portable
+# (md5-oracle) successors: the xxhash64 flavor is the PRODUCTION
+# default — the one whose throughput matters — and keeping the name
+# keeps the round-over-round per-query comparison intact.
 HEADLINE = [
     "q1_pricing_summary",
     "q2_min_cost_per_part",
