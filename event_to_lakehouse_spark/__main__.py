@@ -118,6 +118,24 @@ def _cmd_snapshot(args) -> int:
             print(f"v{v}: {len(s.files)} files, {rows} rows")
     elif args.action == "vacuum":
         print(f"removed {t.vacuum(keep_versions=args.keep)} files")
+    elif args.action == "expire":
+        if args.older_than is None:
+            raise SystemExit("expire requires --older-than SECONDS")
+        print(f"removed {t.expire_snapshots(older_than_s=args.older_than)} files")
+    elif args.action == "alter":
+        add = dict(
+            kv.split(":", 1) for kv in args.add.split(",") if kv
+        ) or None
+        drop = [c for c in args.drop.split(",") if c] or None
+        s = t.alter_schema(add=add, drop=drop)
+        print(f"v{s.version}: schema now {[f['name'] for f in s.schema['fields']]}")
+    elif args.action == "schema":
+        snap = t.snapshot(args.version)
+        if snap is None or snap.schema is None:
+            print("no pinned schema")
+        else:
+            for f in snap.schema["fields"]:
+                print(f"{f['name']}\t{f['type']}")
     elif args.action == "count":
         print(t.read(version=args.version).count())
     elif args.action == "prune":
@@ -187,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("snapshot", help="snapshot-table maintenance")
     s.add_argument("action",
-                   choices=["history", "vacuum", "count", "compact", "prune"])
+                   choices=["history", "vacuum", "expire", "count", "compact",
+                            "prune", "alter", "schema"])
     s.add_argument("--root", required=True)
     s.add_argument("--stats-col")
     s.add_argument("--stats-cols", default="",
@@ -202,6 +221,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="lo,hi bounds for a zone-map prune report")
     s.add_argument("--point", default=None,
                    help="key value for a bloom prune report")
+    s.add_argument("--older-than", type=int, default=None,
+                   help="expire: drop snapshots committed more than this many seconds ago")
+    s.add_argument("--add", default="",
+                   help="alter: comma list of name:type columns to add")
+    s.add_argument("--drop", default="",
+                   help="alter: comma list of columns to drop (metadata-only)")
     s.set_defaults(fn=_cmd_snapshot)
 
     args = p.parse_args(argv)

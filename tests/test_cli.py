@@ -136,3 +136,26 @@ def test_snapshot_prune_cli(spark, tmp_dir, capsys):
     assert main(["snapshot", "prune", "--root", root, "--point", "7"]) == 0
     out = capsys.readouterr().out
     assert "bloom [id]:" in out and "/4 files kept" in out
+
+
+def test_snapshot_alter_and_expire_cli(spark, tmp_dir, capsys):
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = f"{tmp_dir}/tbl"
+    t = SnapshotTable(spark, root)
+    t.append(spark.range(5).select(F.col("id")))
+
+    assert main(["snapshot", "alter", "--root", root, "--add", "tag:string"]) == 0
+    assert "tag" in capsys.readouterr().out
+    assert main(["snapshot", "schema", "--root", root]) == 0
+    out = capsys.readouterr().out
+    assert "id" in out and "tag" in out
+
+    # expire with a huge cutoff removes nothing; latest always survives
+    assert main(
+        ["snapshot", "expire", "--root", root, "--older-than", "999999"]
+    ) == 0
+    assert "removed 0 files" in capsys.readouterr().out
+    assert SnapshotTable(spark, root).read().columns == ["id", "tag"]
