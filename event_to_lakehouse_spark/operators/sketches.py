@@ -1,0 +1,220 @@
+"""Portable, oracle-verified sketches (SURVEY §2.4 sketch family).
+
+Spark's own approx aggregates (``approx_count_distinct`` HLL++,
+``approx_percentile`` t-digest) are engine-specific, so their registry
+entries are rows-only with pytest rtol pins. This module adds PORTABLE
+twins whose entire computation — hashing, register math, estimate —
+is deterministic integer/IEEE arithmetic expressible identically in
+DuckDB, so the driver value-checks the whole sketch pipeline:
+
+- ``agg_hll_portable``: a real HyperLogLog (m=64 registers over the
+  60-bit portable hash) whose register sum is computed EXACTLY in
+  integers (sum of 2^(SCALE-rho-bucketbits) as BIGINT — no float pow),
+  so both engines produce the identical estimate to 4 decimals.
+- ``agg_quantile_histogram``: equi-width-histogram quantiles with
+  linear interpolation — the classic two-pass mergeable estimator
+  (bin counts are partial-aggregatable; at 100 TB the shuffle is
+  NB bins per group, not the value space).
+
+Like the count-min sketch (``events.events_heavyhitters_cm``), the
+production path would flip the hash to xxhash64; the portable flavor
+exists so correctness of the DESIGN is machine-checked, not asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.portable import hash60_duck, hash60_spark
+from ..tables import load_tables
+from .relational import query
+
+# --- portable HyperLogLog ---------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+# h is 60 bits: low HLL_P bits pick the register, the remaining W bits
+# feed the rank (leading-zero count). rho in [1, W+1].
+HLL_W = 60 - HLL_P
+# alpha_64 (standard HLL bias constant for m=64)
+HLL_ALPHA = 0.709
+# Exact register sum scale: sum_j 2^(HLL_W + 1 - rho_j) is a BIGINT
+# (rho >= 1, so each term <= 2^W; 64 terms < 2^61 — no overflow).
+
+
+def _rho_sql(w: str) -> str:
+    """rank = leading zeros of the W-bit value + 1 == W+1 - bit_length,
+    as a CASE chain of integer comparisons (exact in any engine; the
+    float log2 alternative is off-by-one at powers of two)."""
+    arms = " ".join(
+        f"WHEN {w} >= {1 << (HLL_W - 1 - k)} THEN {k + 1}"
+        for k in range(HLL_W)
+    )
+    return f"(CASE {arms} ELSE {HLL_W + 1} END)"
+
+
+def _hll_estimate_sql(reg_sum: str, zeros: str, dialect_ln: str) -> str:
+    """Shared estimate formula over the EXACT integer register sum.
+
+    raw = alpha * m^2 / sum_j 2^-rho_j, where the sum is reg_sum / 2^W
+    (reg_sum integer-exact). Small-range correction: if any register is
+    empty and raw <= 2.5m, use linear counting m*ln(m/zeros)."""
+    pow2w = float(1 << (HLL_W + 1))  # the register sum's exact scale
+    raw = f"({HLL_ALPHA} * {HLL_M} * {HLL_M} * {pow2w} / {reg_sum})"
+    lc = f"({HLL_M} * {dialect_ln}({HLL_M}.0 / {zeros}))"
+    return (
+        f"CASE WHEN {zeros} > 0 AND {raw} <= {2.5 * HLL_M} "
+        f"THEN {lc} ELSE {raw} END"
+    )
+
+
+@query(
+    "agg_hll_portable",
+    f"""
+    WITH h AS (
+      SELECT {hash60_duck("'hll|' || CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT CAST(hv % {HLL_M} AS INTEGER) AS bucket,
+             max({_rho_sql(f"(hv // {HLL_M})")}) AS rho
+      FROM h GROUP BY bucket
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - rho)) AS BIGINT)
+               AS reg_sum_present,
+             count(*) AS n_regs
+      FROM regs
+    ),
+    t AS (
+      SELECT reg_sum_present
+               + ({HLL_M} - n_regs) * (CAST(1 AS BIGINT) << {HLL_W + 1})
+               AS reg_sum,
+             {HLL_M} - n_regs AS zeros
+      FROM s
+    )
+    SELECT round({_hll_estimate_sql("reg_sum", "zeros", "ln")}, 4)
+             AS approx_distinct
+    FROM t
+    """,
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users by a fully-verified HyperLogLog. Distributed
+    shape: one groupBy over 64 register ids (map-side combined max —
+    the register table IS the mergeable sketch), then a scalar fold.
+    Empty registers contribute 2^W to the exact integer register sum
+    (2^-0 scaled), added arithmetically from the register count."""
+    events = load_tables(spark, sf_dir)["events"]
+    seeded = "concat('hll|', CAST(user_id AS STRING))"
+    h = events.filter(F.col("user_id").isNotNull()).selectExpr(
+        f"{hash60_spark(seeded)} AS hv"
+    )
+    regs = h.selectExpr(
+        f"CAST(hv % {HLL_M} AS INT) AS bucket",
+        f"{_rho_sql(f'(hv div {HLL_M})')} AS rho",
+    ).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    s = regs.selectExpr(
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - rho) AS term"
+    ).agg(
+        F.sum("term").alias("reg_sum_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    t = s.selectExpr(
+        f"reg_sum_present + ({HLL_M} - n_regs)"
+        f" * shiftleft(CAST(1 AS BIGINT), {HLL_W + 1}) AS reg_sum",
+        f"{HLL_M} - n_regs AS zeros",
+    )
+    return t.selectExpr(
+        f"round({_hll_estimate_sql('reg_sum', 'zeros', 'ln')}, 4)"
+        " AS approx_distinct"
+    )
+
+
+# --- histogram quantiles ----------------------------------------------------
+
+NB = 128  # equi-width bins; the sketch is NB counts per group
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "agg_quantile_histogram",
+    f"""
+    WITH b AS (
+      SELECT min(value) AS mn, max(value) AS mx
+      FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+      SELECT least(CAST(floor((value - b.mn) / (b.mx - b.mn) * {NB}) AS INTEGER),
+                   {NB - 1}) AS bin
+      FROM events, b WHERE value IS NOT NULL
+    ),
+    hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin) AS cum_c,
+             sum(c) OVER () AS total
+      FROM hist
+    ),
+    q AS (
+      SELECT CAST(x AS DOUBLE) AS q
+      FROM (VALUES {", ".join(f"({q})" for q in QUANTILES)}) v(x)
+    ),
+    pick AS (
+      SELECT q.q, min(cum.bin) AS bin
+      FROM q JOIN cum ON cum.cum_c >= q.q * cum.total
+      GROUP BY q.q
+    )
+    SELECT p.q,
+           round(b.mn + (b.mx - b.mn) / {NB} * (
+             p.bin + (p.q * c2.total - (c2.cum_c - c2.c)) / c2.c
+           ), 4) AS est
+    FROM pick p JOIN cum c2 ON p.bin = c2.bin CROSS JOIN b
+    ORDER BY p.q
+    """,
+)
+def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of event value by equi-width-histogram interpolation
+    — the mergeable two-pass quantile sketch (bin counts combine across
+    partitions/executors; only NB counts shuffle). Estimate: first bin
+    whose cumulative count covers the target, linearly interpolated
+    within the bin."""
+    events = load_tables(spark, sf_dir)["events"]
+    v = events.filter(F.col("value").isNotNull()).select("value")
+    b = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = v.crossJoin(F.broadcast(b)).selectExpr(
+        f"least(CAST(floor((value - mn) / (mx - mn) * {NB}) AS INT), {NB - 1})"
+        " AS bin"
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    cum = hist.select(
+        "bin",
+        "c",
+        F.sum("c").over(Window.orderBy("bin")).alias("cum_c"),
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qs = events.sparkSession.createDataFrame(
+        [(q,) for q in QUANTILES], ["q"]
+    )
+    pick = (
+        F.broadcast(qs)
+        .join(cum, F.col("cum_c") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        pick.join(cum, "bin")
+        .crossJoin(F.broadcast(b))
+        .selectExpr(
+            "q",
+            f"round(mn + (mx - mn) / {NB} * ("
+            "bin + (q * total - (cum_c - c)) / c), 4) AS est",
+        )
+    )
+    return est.orderBy("q")

@@ -168,3 +168,28 @@ def test_countmin_sketch_merges_across_batches(spark):
         .collect()
     }
     assert merged == full
+
+
+def test_portable_sketch_accuracy(spark):
+    """The oracle proves cross-engine EQUALITY; these pins prove the
+    estimates are also CLOSE to truth: HLL within the ~3-sigma band of
+    its m=64 standard error, histogram quantiles within 5%."""
+    from event_to_lakehouse_spark.operators.sketches import (
+        agg_hll_portable,
+        agg_quantile_histogram,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    est = agg_hll_portable(spark, sf).first()[0]
+    exact = load_tables(spark, sf)["events"].select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.40  # 3 x 1.04/sqrt(64)
+
+    got = {r.q: r.est for r in agg_quantile_histogram(spark, sf).collect()}
+    true = (
+        load_tables(spark, sf)["events"]
+        .selectExpr("percentile(value, array(0.5, 0.9, 0.99)) AS p")
+        .first()[0]
+    )
+    for q, t in zip((0.5, 0.9, 0.99), true):
+        assert abs(got[q] - t) / abs(t) < 0.05
