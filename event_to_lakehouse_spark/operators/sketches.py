@@ -218,3 +218,80 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.orderBy("q")
+
+
+@query(
+    "agg_hll_portable_merge",
+    f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {hash60_duck("'hll|' || CAST(user_id AS VARCHAR)")} AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    day_regs AS (
+      SELECT day, CAST(hv % {HLL_M} AS INTEGER) AS bucket,
+             max({_rho_sql(f"(hv // {HLL_M})")}) AS rho
+      FROM h GROUP BY day, bucket
+    ),
+    merged AS (
+      SELECT bucket, max(rho) AS rho FROM day_regs GROUP BY bucket
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(1 AS BIGINT) << ({HLL_W + 1} - rho)) AS BIGINT)
+               AS reg_sum_present,
+             count(*) AS n_regs
+      FROM merged
+    ),
+    t AS (
+      SELECT reg_sum_present
+               + ({HLL_M} - n_regs) * (CAST(1 AS BIGINT) << {HLL_W + 1})
+               AS reg_sum,
+             {HLL_M} - n_regs AS zeros
+      FROM s
+    )
+    SELECT CAST((SELECT count(*) FROM day_regs) AS BIGINT) AS n_partials,
+           round({_hll_estimate_sql("reg_sum", "zeros", "ln")}, 4)
+             AS approx_distinct
+    FROM t
+    """,
+)
+def agg_hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY, oracle-verified: per-day register tables
+    (the partial sketches a daily pipeline would persist) max-merged
+    into one register set — the merged estimate is computed by the
+    same fold and must equal the one-pass estimate, which the pytest
+    pin asserts and the DuckDB oracle value-checks. This is the
+    re-aggregatable pattern that lets 365 daily sketches answer
+    "distinct users this year" without touching raw data."""
+    events = load_tables(spark, sf_dir)["events"]
+    seeded = "concat('hll|', CAST(user_id AS STRING))"
+    h = events.filter(F.col("user_id").isNotNull()).selectExpr(
+        "CAST(ts AS DATE) AS day", f"{hash60_spark(seeded)} AS hv"
+    )
+    day_regs = (
+        h.selectExpr(
+            "day",
+            f"CAST(hv % {HLL_M} AS INT) AS bucket",
+            f"{_rho_sql(f'(hv div {HLL_M})')} AS rho",
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = day_regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    s = merged.selectExpr(
+        f"shiftleft(CAST(1 AS BIGINT), {HLL_W + 1} - rho) AS term"
+    ).agg(
+        F.sum("term").alias("reg_sum_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    t = s.selectExpr(
+        f"reg_sum_present + ({HLL_M} - n_regs)"
+        f" * shiftleft(CAST(1 AS BIGINT), {HLL_W + 1}) AS reg_sum",
+        f"{HLL_M} - n_regs AS zeros",
+    )
+    n_p = day_regs.agg(F.count(F.lit(1)).alias("n_partials"))
+    return t.crossJoin(F.broadcast(n_p)).selectExpr(
+        "n_partials",
+        f"round({_hll_estimate_sql('reg_sum', 'zeros', 'ln')}, 4)"
+        " AS approx_distinct",
+    )

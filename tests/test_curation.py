@@ -193,3 +193,19 @@ def test_portable_sketch_accuracy(spark):
     )
     for q, t in zip((0.5, 0.9, 0.99), true):
         assert abs(got[q] - t) / abs(t) < 0.05
+
+
+def test_hll_merge_equals_one_pass(spark):
+    """Max-merging per-day HLL register tables must give the SAME
+    estimate as the one-pass sketch — register-wise max is the HLL
+    merge operator."""
+    from event_to_lakehouse_spark.operators.sketches import (
+        agg_hll_portable,
+        agg_hll_portable_merge,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    one = agg_hll_portable(spark, sf).first()[0]
+    merged = agg_hll_portable_merge(spark, sf).first()
+    assert merged.approx_distinct == one
+    assert merged.n_partials > 64  # really merged multiple days
