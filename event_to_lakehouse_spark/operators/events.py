@@ -691,3 +691,82 @@ def events_heavyhitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), "user_id").limit(CM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Time-series smoothing: truncated EWMA (§2.5 window-family extension)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_K = 8  # lookback truncation: weights below a(1-a)^7 ~ 2.5% dropped
+
+
+def _ewma_weights() -> list[float]:
+    # literal weights embedded in BOTH engines' SQL: same doubles, and
+    # the fold is the same left-to-right sum, so results match bitwise
+    return [
+        round(EWMA_ALPHA * (1 - EWMA_ALPHA) ** i, 10) for i in range(EWMA_K)
+    ]
+
+
+def _ewma_oracle() -> str:
+    w = _ewma_weights()
+    terms = " + ".join(
+        f"CASE WHEN len(win) >= {i + 1} THEN {w[i]} * win[len(win) - {i}] "
+        "ELSE 0.0 END"
+        for i in range(EWMA_K)
+    )
+    norm = " + ".join(
+        f"CASE WHEN len(win) >= {i + 1} THEN {w[i]} ELSE 0.0 END"
+        for i in range(EWMA_K)
+    )
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {EWMA_K - 1} PRECEDING AND CURRENT ROW) AS win
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id, round(({terms}) / ({norm}), 4) AS ewma
+    FROM s
+    """
+
+
+@query("events_ewma_smooth", _ewma_oracle())
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated EWMA of event value — the standard smoothing
+    signal, expressed as ONE window pass: a K-row frame collects the
+    trailing values, a literal-weight fold computes the weighted sum,
+    and the weight mass is renormalized over however many rows exist
+    (so early rows are unbiased). Truncation at K=8 keeps the operator
+    a fixed-width frame — state per series is K values regardless of
+    history length, the property that makes it streamable and cheap at
+    100 TB (the exact recursive EWMA needs an unbounded running
+    product, which neither engine's windows express)."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    e = t["events"].filter(F.col("value").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_K - 1), W.currentRow)
+    )
+    wts = _ewma_weights()
+    win = F.collect_list("value").over(w)
+    # win is oldest-first; weight i applies to the i-th newest element
+    terms = " + ".join(
+        f"CASE WHEN size(win) >= {i + 1} THEN {wts[i]} * element_at(win, "
+        f"size(win) - {i}) ELSE 0.0D END"
+        for i in range(EWMA_K)
+    )
+    norm = " + ".join(
+        f"CASE WHEN size(win) >= {i + 1} THEN {wts[i]} ELSE 0.0D END"
+        for i in range(EWMA_K)
+    )
+    return (
+        e.select("user_id", "event_id", "value", win.alias("win"))
+        .selectExpr(
+            "user_id", "event_id", f"round(({terms}) / ({norm}), 4) AS ewma"
+        )
+    )
