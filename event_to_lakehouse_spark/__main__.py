@@ -123,9 +123,10 @@ def _cmd_snapshot(args) -> int:
             raise SystemExit("expire requires --older-than SECONDS")
         print(f"removed {t.expire_snapshots(older_than_s=args.older_than)} files")
     elif args.action == "alter":
-        add = dict(
-            kv.split(":", 1) for kv in args.add.split(",") if kv
-        ) or None
+        # One --add per column: the type half of name:type may itself
+        # contain commas (decimal(10,2), map<string,int>), so a comma
+        # list cannot be split safely.
+        add = dict(kv.split(":", 1) for kv in (args.add or []) if kv) or None
         drop = [c for c in args.drop.split(",") if c] or None
         s = t.alter_schema(add=add, drop=drop)
         print(f"v{s.version}: schema now {[f['name'] for f in s.schema['fields']]}")
@@ -223,8 +224,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="key value for a bloom prune report")
     s.add_argument("--older-than", type=int, default=None,
                    help="expire: drop snapshots committed more than this many seconds ago")
-    s.add_argument("--add", default="",
-                   help="alter: comma list of name:type columns to add")
+    s.add_argument("--add", action="append", default=[],
+                   metavar="NAME:TYPE",
+                   help="alter: column to add; repeat the flag per column "
+                        "(types may contain commas, e.g. decimal(10,2))")
     s.add_argument("--drop", default="",
                    help="alter: comma list of columns to drop (metadata-only)")
     s.set_defaults(fn=_cmd_snapshot)

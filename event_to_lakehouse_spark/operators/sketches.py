@@ -145,8 +145,10 @@ QUANTILES = (0.5, 0.9, 0.99)
       FROM events WHERE value IS NOT NULL
     ),
     binned AS (
-      SELECT least(CAST(floor((value - b.mn) / (b.mx - b.mn) * {NB}) AS INTEGER),
-                   {NB - 1}) AS bin
+      SELECT CASE WHEN b.mx = b.mn THEN 0
+                  ELSE least(CAST(floor((value - b.mn) / (b.mx - b.mn) * {NB})
+                             AS INTEGER), {NB - 1})
+             END AS bin
       FROM events, b WHERE value IS NOT NULL
     ),
     hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
@@ -182,9 +184,13 @@ def agg_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     v = events.filter(F.col("value").isNotNull()).select("value")
     b = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    # Degenerate range (constant column / single row): (value-mn)/(mx-mn)
+    # is 0/0 — put everything in bin 0 and the mn + (mx-mn)*... estimate
+    # collapses to the constant.
     binned = v.crossJoin(F.broadcast(b)).selectExpr(
+        "CASE WHEN mx = mn THEN 0 ELSE "
         f"least(CAST(floor((value - mn) / (mx - mn) * {NB}) AS INT), {NB - 1})"
-        " AS bin"
+        " END AS bin"
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     from pyspark.sql.window import Window

@@ -837,9 +837,27 @@ class SnapshotTable:
         keep = set(versions[-keep_versions:])
         return self._sweep(versions, keep)
 
+    #: grace period before _sweep deletes stale commit/pointer temp
+    #: files — long enough that no LIVE commit attempt can still own one
+    tmp_grace_s: int = 3600
+
     def _sweep(self, versions: list[int], keep: set[int]) -> int:
         """Delete manifests outside ``keep`` and any data file no
-        retained manifest references (aborted-commit orphans included)."""
+        retained manifest references (aborted-commit orphans included).
+        Also unlinks ``meta/.commit.tmp.*`` / ``meta/_latest.tmp.*``
+        left by writers that crashed between staging and publish —
+        without this they accumulate forever (the happy path unlinks
+        its own temp; only a crash mid-commit orphans one). Temps
+        younger than ``tmp_grace_s`` are spared: they may belong to an
+        in-flight commit."""
+        cutoff = self._clock() - self.tmp_grace_s
+        for pat in (".commit.tmp.*", "_latest.tmp.*"):
+            for tmp in (self.root / "meta").glob(pat):
+                try:
+                    if tmp.stat().st_mtime < cutoff:
+                        tmp.unlink()
+                except FileNotFoundError:
+                    pass  # concurrent sweeper/committer got there first
         retained: set[str] = set()
         for v in keep:
             retained |= set(self.snapshot(v).paths)  # type: ignore[union-attr]

@@ -159,3 +159,27 @@ def test_snapshot_alter_and_expire_cli(spark, tmp_dir, capsys):
     ) == 0
     assert "removed 0 files" in capsys.readouterr().out
     assert SnapshotTable(spark, root).read().columns == ["id", "tag"]
+
+
+def test_snapshot_alter_comma_types_cli(spark, tmp_dir, capsys):
+    """Types whose simpleString contains commas — decimal(10,2),
+    map<string,int> — must survive CLI parsing: one --add flag per
+    column (a comma-separated list would tear the type apart)."""
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = f"{tmp_dir}/tbl"
+    SnapshotTable(spark, root).append(spark.range(3).select(F.col("id")))
+    rc = main(
+        [
+            "snapshot", "alter", "--root", root,
+            "--add", "price:decimal(10,2)",
+            "--add", "attrs:map<string,int>",
+        ]
+    )
+    assert rc == 0
+    assert "price" in capsys.readouterr().out
+    schema = SnapshotTable(spark, root).read().schema
+    assert schema["price"].dataType.simpleString() == "decimal(10,2)"
+    assert schema["attrs"].dataType.simpleString() == "map<string,int>"

@@ -209,3 +209,29 @@ def test_hll_merge_equals_one_pass(spark):
     merged = agg_hll_portable_merge(spark, sf).first()
     assert merged.approx_distinct == one
     assert merged.n_partials > 64  # really merged multiple days
+
+
+def test_quantile_histogram_constant_column(spark, tmp_path):
+    """Degenerate range (ADVICE r4): a constant value column makes
+    (value-mn)/(mx-mn) 0/0 — the guard must put every row in bin 0 and
+    return the constant as every quantile, not NULL/NaN."""
+    import os
+
+    from event_to_lakehouse_spark.operators.sketches import (
+        agg_quantile_histogram,
+    )
+    from event_to_lakehouse_spark.tables import TABLES
+
+    sf = str(tmp_path / "sf_const")
+    os.makedirs(sf)
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        if name != "events":
+            os.symlink(f"{src}/{name}.parquet", f"{sf}/{name}.parquet")
+    spark.range(100).selectExpr(
+        "CAST(id AS BIGINT) AS event_id", "CAST(42.5 AS DOUBLE) AS value"
+    ).write.parquet(f"{sf}/events.parquet")
+
+    rows = agg_quantile_histogram(spark, sf).collect()
+    assert [r.q for r in rows] == [0.5, 0.9, 0.99]
+    assert all(r.est == 42.5 for r in rows)

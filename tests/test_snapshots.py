@@ -585,3 +585,30 @@ def test_expire_snapshots_time_based(spark, tmp_dir):
     assert t.expire_snapshots(older_than_s=0) >= 0
     assert t.history() == [3]
     assert t.read().count() == 10
+
+
+def test_sweep_removes_stale_commit_temp_files(spark, tmp_dir):
+    """A writer that crashes between staging ``.commit.tmp.*`` and the
+    hard-link publish orphans the temp file; vacuum's sweep must remove
+    temps older than the grace period while sparing fresh ones (which
+    may belong to an in-flight commit)."""
+    import os
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    clock = [1_000_000]
+    t._clock = lambda: clock[0]
+    t.append(_batch(spark, 0, 5))
+    meta = t.root / "meta"
+    stale = meta / ".commit.tmp.deadbeef"
+    stale.write_text("{}")
+    os.utime(stale, (clock[0] - 7200, clock[0] - 7200))  # 2h old
+    stale_ptr = meta / "_latest.tmp.deadbeef"
+    stale_ptr.write_text("9")
+    os.utime(stale_ptr, (clock[0] - 7200, clock[0] - 7200))
+    fresh = meta / ".commit.tmp.cafebabe"
+    fresh.write_text("{}")
+    os.utime(fresh, (clock[0] - 10, clock[0] - 10))  # in-flight
+    t.vacuum(keep_versions=1)
+    assert not stale.exists() and not stale_ptr.exists()
+    assert fresh.exists()
+    assert t.read().count() == 5  # table untouched
