@@ -150,6 +150,39 @@ def test_cluster_labels_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cluster_labels_paths_agree(spark):
+    """The size-gated union-find path and the distributed pointer-jump
+    loop must label identically — including a long chain (exercises
+    multi-round convergence in the distributed path) and an isolated
+    pair. small_graph_edges=0 forces the distributed loop."""
+    from event_to_lakehouse_spark.dedup.cluster import cluster_labels
+
+    chain = [(i, i + 1) for i in range(20, 35)]  # diameter-15 chain
+    pairs = spark.createDataFrame(chain + [(1, 2), (50, 51)], ["doc_a", "doc_b"])
+    small = {tuple(r) for r in cluster_labels(pairs).collect()}
+    dist = {tuple(r) for r in cluster_labels(pairs, small_graph_edges=0).collect()}
+    assert small == dist
+    assert {r for r in small if 20 <= r[0] < 50} == {
+        (i, 20) for i in range(20, 36)
+    }
+
+
+def test_cluster_labels_empty_graph(spark):
+    """No pairs -> no labels, correct schema, both paths."""
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.dedup.cluster import cluster_labels
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_a", T.LongType()),
+                          T.StructField("doc_b", T.LongType())])
+    )
+    for gate in (2_000_000, 0):
+        out = cluster_labels(empty, small_graph_edges=gate)
+        assert out.columns == ["doc_id", "cluster_id"]
+        assert out.count() == 0
+
+
 def test_lsh_neardup_recall_planted(spark):
     """Random-projection LSH near-dup on an UNLABELED corpus: plant 40
     (base, base+tiny-noise) pairs among 64-dim vectors; bucket-blocked
