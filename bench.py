@@ -1,25 +1,43 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf", "runs", "sd"}.
+ONE JSON line: {"metric", "value", "unit", "queries", "sf", "runs",
+"sd", "ab": {...}}.
 
 Each query is forced end-to-end with the noop sink (full computation,
 zero driver-side collection) — the number measures the engine, not
 toPandas serialization. $SPARK_GRAFT_BENCH_RUNS (default 3) timed
 passes are averaged; "value" is the mean total, "sd" its standard
 deviation across runs, "queries" the per-query means.
+
+INTERLEAVED A/B (VERDICT r4 #2): two rounds in a row the headline
+round-over-round comparison dissolved into "±25% machine state"
+measured hours apart. So when a baseline ref is available — the most
+recent ``round N:`` driver-artifact commit, or $SPARK_GRAFT_AB_BASELINE
+— the harness also times THAT code's queries in the SAME session,
+alternating full passes A,B,A,B,… so both sides see the same machine
+state minutes (not hours) apart. Baseline code is extracted with ``git
+archive`` (no repo mutation) and hot-swapped per pass via sys.modules;
+"ab" reports per-query medians for both sides and their ratio, so a
+verdict can separate drift (ratio ≈ 1 on untouched queries) from a
+real regression (ratio moves only where code changed) mechanically.
+Set $SPARK_GRAFT_AB=0 to skip. The headline "queries"/"value" numbers
+remain the current code's plain passes, comparable with prior rounds.
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
 
 # The shipped driver-catalog surface (catalog.FINAL_CATALOG names);
 # combos cover the round-1 entries they merged (e.g. events_payload_parse
@@ -74,6 +92,80 @@ HEADLINE = [
     "gold_asset_posture",
 ]
 
+PKG = "event_to_lakehouse_spark"
+
+
+def _baseline_root() -> tuple[str, Path] | None:
+    """Extract the A-side code: $SPARK_GRAFT_AB_BASELINE or the newest
+    ``round N:`` artifact commit (the driver snapshots each round's
+    final code under that message). ``git archive`` into the gitignored
+    .scratch — read-only w.r.t. the repo. None disables A/B."""
+    if os.environ.get("SPARK_GRAFT_AB", "1") in ("0", "false"):
+        return None
+    ref = os.environ.get("SPARK_GRAFT_AB_BASELINE")
+    if not ref:
+        try:
+            out = subprocess.run(
+                ["git", "log", "--grep", r"^round [0-9]*:", "-n", "1",
+                 "--format=%H"],
+                cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception:
+            return None
+        if not out:
+            return None
+        ref = out
+    dest = REPO / ".scratch" / f"ab_baseline_{ref[:12]}"
+    try:
+        if not (dest / PKG).is_dir():
+            dest.mkdir(parents=True, exist_ok=True)
+            tar = subprocess.run(
+                ["git", "archive", ref, PKG],
+                cwd=REPO, capture_output=True, check=True,
+            ).stdout
+            subprocess.run(
+                ["tar", "-x", "-C", str(dest)], input=tar, check=True
+            )
+        return ref, dest
+    except Exception:
+        return None
+
+
+def _load_queries(root: Path):
+    """Import ``catalog.QUERIES`` with ``root`` shadowing the repo,
+    purging any previously-loaded engine modules first — the mechanism
+    that lets two versions of the package alternate in one process
+    (and one JVM/session: DataFrames are plan handles; the swapped-out
+    module's objects keep working until garbage-collected)."""
+    for name in [m for m in sys.modules if m.split(".")[0] == PKG]:
+        del sys.modules[name]
+    sys.path.insert(0, str(root))
+    try:
+        cat = importlib.import_module(f"{PKG}.catalog")
+    finally:
+        sys.path.remove(str(root))
+    return cat.QUERIES
+
+
+def _run_pass(spark, qs, sf_dir: str, acc: dict[str, list[float]]) -> float:
+    """One timed pass over HEADLINE; returns the summed timed seconds.
+    A fresh engine import has an empty table/plan cache, so the pass
+    first replays q1 untimed to repay the per-import parquet-listing
+    cost once, outside the timings."""
+    first = qs.get(HEADLINE[0]) or next(iter(qs.values()))
+    first(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:  # query absent on this side (renamed/new)
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        acc.setdefault(name, []).append(dt)
+        total += dt
+    return total
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,11 +174,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from event_to_lakehouse_spark.session import get_spark
-    from event_to_lakehouse_spark.catalog import QUERIES  # master registry
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = QUERIES
+
+    baseline = _baseline_root()
+    cur_qs = _load_queries(REPO)
 
     # Warmup, not counted: one pass at the smallest SF compiles every
     # whole-stage-codegen class (identical plan shapes), then one pass
@@ -96,24 +189,32 @@ def main() -> None:
     for warm_dir in ("/root/testdata/sf0.001", sf_dir):
         for name in HEADLINE:
             try:
-                qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+                cur_qs[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception:
                 pass  # warmup is best-effort; the timed run reports real errors
 
-    per_query: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    a_times: dict[str, list[float]] = {}
+    b_times: dict[str, list[float]] = {}
     totals: list[float] = []
-    for _ in range(n_runs):
-        run_total = 0.0
-        for name in HEADLINE:
-            fn = qs[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            per_query[name].append(dt)
-            run_total += dt
-        totals.append(run_total)
+    for run in range(n_runs):
+        # Alternate pass order (A,B then B,A) so neither side
+        # systematically rides the other's cache/JIT slipstream.
+        order = ("a", "b") if run % 2 == 0 else ("b", "a")
+        for side in order:
+            if side == "a":
+                if baseline is None:
+                    continue
+                # A-pass: previous round's code, same session, same minute.
+                a_qs = _load_queries(baseline[1])
+                _run_pass(spark, a_qs, sf_dir, a_times)
+            else:
+                # B-pass: current code — these are the headline numbers.
+                cur_qs = _load_queries(REPO)
+                totals.append(_run_pass(spark, cur_qs, sf_dir, b_times))
 
-    timings = {n: round(statistics.mean(v), 3) for n, v in per_query.items()}
+    timings = {n: round(statistics.mean(v), 3) for n, v in b_times.items()}
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(statistics.mean(totals), 3),
@@ -123,6 +224,23 @@ def main() -> None:
         "runs": n_runs,
         "sd": round(statistics.stdev(totals), 3) if n_runs > 1 else 0.0,
     }
+    if baseline is not None and a_times:
+        ab = {}
+        for name, bt in b_times.items():
+            at = a_times.get(name)
+            if not at:
+                continue
+            am, bm = statistics.median(at), statistics.median(bt)
+            ab[name] = {
+                "a": round(am, 3),
+                "b": round(bm, 3),
+                "ratio": round(bm / am, 3) if am > 0 else None,
+            }
+        out["ab"] = ab
+        out["ab_baseline_ref"] = baseline[0][:12]
+        ratios = sorted(v["ratio"] for v in ab.values() if v["ratio"])
+        if ratios:
+            out["ab_median_ratio"] = round(ratios[len(ratios) // 2], 3)
     print(json.dumps(out))
 
 
