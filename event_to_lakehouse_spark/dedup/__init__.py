@@ -1,1 +1,9 @@
-from . import cluster, exact, jaccard, minhash, portable, simhash  # noqa: F401
+from . import (  # noqa: F401
+    cluster,
+    exact,
+    incremental,
+    jaccard,
+    minhash,
+    portable,
+    simhash,
+)

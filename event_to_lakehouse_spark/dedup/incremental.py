@@ -1,0 +1,246 @@
+"""Incremental near-duplicate detection against a PERSISTED LSH index.
+
+The batch flavors (``minhash.py``) re-shingle the whole corpus every
+run — fine for a one-shot dedup, wrong for the 100 TB operating mode,
+where a pipeline ingests batch after batch and must answer "which of these
+docs near-duplicate anything we already hold?" without touching the
+held corpus's text again. This module persists the two artifacts the
+batch pipeline already computes —
+
+- ``<root>/bands``: (doc_id, band_idx, band_hash) LSH band rows
+- ``<root>/sigs``:  (doc_id, sig array<long>) minhash signatures
+
+— into :class:`~..storage.snapshots.SnapshotTable`\\ s (atomic commits,
+exactly-once batch tokens, time travel), and probes each NEW batch
+against them:
+
+1. shingle → signature → band rows for the new docs ONLY,
+2. the new batch's distinct band keys are BROADCAST against the index
+   scan — the index is filtered to probed buckets without a shuffle
+   (its text was never read, its bands never re-hashed),
+3. the hot-bucket guard applies over index∪batch counts per probed
+   bucket (the semi-filtered index retains every row of a probed
+   bucket, so counts equal full-recompute counts),
+4. candidate pairs = bucket join where at least one side is new;
+   signatures for scoring come from one signature-store scan with the
+   (small) pair set broadcast,
+5. the batch's band rows + signatures are appended with an optional
+   ``batch_token`` (replays are storage no-ops and return the same
+   pairs — the batch's own indexed copy never self-pairs).
+
+Per-batch cost therefore scales with the BATCH for all compute stages
+(shingling, hashing, window guard, pair scoring); the corpus enters
+only as two columnar scans of fixed-width band/signature rows probed
+by broadcast hashes — no corpus shuffle, no corpus text I/O
+(``tools/scale_probe.py`` measures the flat probe cost).
+
+Union-equivalence: indexing batches B1..Bn and unioning the returned
+pair sets yields EXACTLY ``candidate_pairs(B1 ∪ .. ∪ Bn)`` — each pair
+is emitted precisely when its later member arrives (pytest-pinned; the
+registry entry's DuckDB oracle checks the probe against the portable
+full-pipeline SQL restricted to pairs touching the new batch). Caveat
+shared with every streaming-LSH design: the hot-bucket guard is
+append-monotone — a bucket that only later exceeds ``max_bucket``
+keeps pairs it emitted while still cold.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..storage.snapshots import SnapshotTable
+from .minhash import (
+    BANDS,
+    MAX_BUCKET,
+    N_HASHES,
+    band_rows,
+    guard_hot_buckets,
+    score_pairs,
+    signatures,
+)
+
+__all__ = ["NearDupIndex"]
+
+_FLAVORS = {"xxhash64", "portable"}
+
+
+class NearDupIndex:
+    """A durable LSH band + signature index for incremental near-dup.
+
+    Geometry (k, bands, hash flavor, …) is pinned in ``<root>/index.json``
+    at creation; reopening with conflicting explicit arguments raises —
+    mixing hash flavors in one index would silently miss every
+    cross-flavor duplicate.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_hashes: int = N_HASHES,
+        bands: int = BANDS,
+        max_bucket: int = MAX_BUCKET,
+        hash_flavor: str = "xxhash64",
+        text_col: str = "text",
+    ):
+        if hash_flavor not in _FLAVORS:
+            raise ValueError(f"hash_flavor must be one of {sorted(_FLAVORS)}")
+        self.spark = spark
+        self.root = Path(root)
+        meta_path = self.root / "index.json"
+        geometry = {
+            "n_hashes": n_hashes,
+            "bands": bands,
+            "max_bucket": max_bucket,
+            "hash_flavor": hash_flavor,
+            "text_col": text_col,
+        }
+        if meta_path.exists():
+            stored = json.loads(meta_path.read_text())
+            if stored != geometry:
+                raise ValueError(
+                    f"index at {root} was built with {stored}, "
+                    f"reopened with {geometry}"
+                )
+        else:
+            self.root.mkdir(parents=True, exist_ok=True)
+            meta_path.write_text(json.dumps(geometry))
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.max_bucket = max_bucket
+        self.hash_flavor = hash_flavor
+        self.text_col = text_col
+        self.bands_table = SnapshotTable(spark, str(self.root / "bands"))
+        self.sigs_table = SnapshotTable(spark, str(self.root / "sigs"))
+
+    # -- internals ----------------------------------------------------------
+
+    def _hash_sql(self):
+        if self.hash_flavor == "portable":
+            from .portable import seeded_hash_spark
+
+            return seeded_hash_spark
+        return None  # minhash default: xxhash64
+
+    def _stored(self, table: SnapshotTable) -> DataFrame | None:
+        try:
+            return table.read()
+        except FileNotFoundError:  # first batch: empty index
+            return None
+
+    # -- API ----------------------------------------------------------------
+
+    def index_batch(
+        self, docs: DataFrame, batch_token: str | None = None
+    ) -> DataFrame:
+        """Probe ``docs`` against the index, append their keys, return
+        (doc_id_a, doc_id_b, jaccard_est) pairs where at least one side
+        is in this batch. See module docstring for the plan shape."""
+        from pyspark import StorageLevel
+
+        new_sigs = signatures(
+            docs, self.text_col, self.n_hashes, self._hash_sql()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_bands = band_rows(
+            new_sigs,
+            self.n_hashes,
+            self.bands,
+            band_concat=self.hash_flavor == "portable",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        idx_bands = self._stored(self.bands_table)
+        if idx_bands is not None:
+            # Broadcast the batch's band keys; the index side is
+            # filtered by hash probe during its scan — never shuffled.
+            keys = new_bands.select("band_idx", "band_hash").distinct()
+            matched = idx_bands.join(
+                F.broadcast(keys), ["band_idx", "band_hash"], "semi"
+            )
+            combined = matched.withColumn("is_new", F.lit(False)).unionByName(
+                new_bands.withColumn("is_new", F.lit(True))
+            )
+        else:
+            combined = new_bands.withColumn("is_new", F.lit(True))
+        # Guard over index∪batch: 'matched' retains every index row of
+        # each probed bucket, so these counts equal full-recompute
+        # counts for exactly the buckets that can produce pairs.
+        # localCheckpoint: both sides of the candidate self-join read
+        # this (probed-buckets-only, so batch-scale) set — without
+        # materialization the index scan + semi probe + window would
+        # execute twice (measured 6.4 s -> 2.5 s at sf0.1).
+        guarded = guard_hot_buckets(combined, self.max_bucket).localCheckpoint()
+        a, b = guarded.alias("a"), guarded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("a.is_new") | F.col("b.is_new")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id_a"),
+                F.col("b.doc_id").alias("doc_id_b"),
+            )
+            .dropDuplicates(["doc_id_a", "doc_id_b"])
+        )
+        idx_sigs = self._stored(self.sigs_table)
+        all_sigs = (
+            new_sigs
+            if idx_sigs is None
+            else new_sigs.unionByName(idx_sigs)
+        )
+        scored = score_pairs(pairs, all_sigs, self.n_hashes, broadcast_pairs=True)
+        # Append AFTER building the probe plan: read() pinned the
+        # pre-append file set, so the returned DataFrame is stable no
+        # matter when the caller executes it.
+        self.bands_table.append(new_bands, batch_token=batch_token)
+        self.sigs_table.append(new_sigs, batch_token=batch_token)
+        return scored
+
+    def doc_count(self) -> int:
+        """Indexed documents (signature rows) — metadata-scale."""
+        sigs = self._stored(self.sigs_table)
+        return 0 if sigs is None else sigs.count()
+
+
+def _incremental_oracle() -> str:
+    """The incremental probe must equal the portable FULL-pipeline
+    pairs restricted to pairs touching the new batch (doc_id % 5 = 0
+    here) — so the oracle is the full-recompute SQL with that filter,
+    checking union-equivalence itself, not just the plumbing."""
+    from .portable import _minhash_oracle
+
+    return f"""
+    SELECT * FROM ({_minhash_oracle()}) p
+    WHERE p.doc_id_a % 5 = 0 OR p.doc_id_b % 5 = 0
+    """
+
+
+from ..operators.relational import query  # noqa: E402
+from ..tables import load_tables  # noqa: E402
+
+
+@query("dedup_incremental", _incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup, driver-checkable end-to-end: index the
+    held corpus (doc_id % 5 != 0) into a fresh on-disk NearDupIndex,
+    then probe the 'newly arrived' batch (doc_id % 5 = 0) against it.
+    The oracle is the full-recompute portable SQL filtered to pairs
+    touching the batch — green means probe == recompute."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    idx = NearDupIndex(
+        spark,
+        tempfile.mkdtemp(prefix="neardup_idx_"),
+        hash_flavor="portable",
+    )
+    idx.index_batch(docs.filter(F.col("doc_id") % 5 != 0), batch_token="held")
+    return idx.index_batch(
+        docs.filter(F.col("doc_id") % 5 == 0), batch_token="new"
+    )

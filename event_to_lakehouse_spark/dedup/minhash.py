@@ -112,13 +112,15 @@ def signatures(
     )
 
 
-def _bands(
+def band_rows(
     sigs: DataFrame,
     n_hashes: int = N_HASHES,
     bands: int = BANDS,
-    max_bucket: int = MAX_BUCKET,
     band_concat: bool = False,
 ) -> DataFrame:
+    """Raw (doc_id, band_idx, band_hash) LSH band rows — UNguarded; the
+    hot-bucket guard is a separate concern so the incremental index can
+    apply it at probe time over index∪batch counts (``incremental.py``)."""
     rows_per_band = n_hashes // bands
 
     def band_key(b: int) -> F.Column:
@@ -132,23 +134,38 @@ def _bands(
         # the band rows fixed-width (2 longs) for the production path.
         return F.concat_ws("|", *elems) if band_concat else F.xxhash64(*elems)
 
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),
     )
-    # Hot-bucket guard: drop band values that are effectively "everyone".
-    # A window count over the bucket key is one shuffle (vs groupBy +
-    # join-back = two), and its (band_idx, band_hash) partitioning is
-    # exactly the downstream self-join key, so the candidate join
-    # reuses it without another exchange.
+
+
+def guard_hot_buckets(banded: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Hot-bucket guard: drop band values that are effectively
+    "everyone". A window count over the bucket key is one shuffle (vs
+    groupBy + join-back = two), and its (band_idx, band_hash)
+    partitioning is exactly the downstream self-join key, so the
+    candidate join reuses it without another exchange."""
     w = Window.partitionBy("band_idx", "band_hash")
     return (
         banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
         .filter(F.col("bucket_n") <= max_bucket)
-        .select("doc_id", "band_idx", "band_hash")
+        .drop("bucket_n")
     )
+
+
+def _bands(
+    sigs: DataFrame,
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+    max_bucket: int = MAX_BUCKET,
+    band_concat: bool = False,
+) -> DataFrame:
+    return guard_hot_buckets(
+        band_rows(sigs, n_hashes, bands, band_concat), max_bucket
+    ).select("doc_id", "band_idx", "band_hash")
 
 
 def candidate_pairs(
@@ -198,6 +215,21 @@ def candidate_pairs(
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+    return score_pairs(pairs, sigs, n_hashes)
+
+
+def score_pairs(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    n_hashes: int = N_HASHES,
+    broadcast_pairs: bool = False,
+) -> DataFrame:
+    """Attach the minhash Jaccard estimate (matching signature
+    components / k) to (doc_id_a, doc_id_b) pairs. ``broadcast_pairs``
+    flips the join strategy for the incremental-index case: the pair
+    set (one batch's findings) is tiny relative to the signature store,
+    so broadcasting it turns both lookups into hash probes over a
+    single signature scan — the store never shuffles."""
     sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
     match_frac = (
@@ -209,6 +241,8 @@ def candidate_pairs(
         ).cast("double")
         / F.lit(float(n_hashes))
     )
+    if broadcast_pairs:
+        pairs = F.broadcast(pairs)
     return (
         pairs.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")

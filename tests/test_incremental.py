@@ -1,0 +1,94 @@
+"""Incremental near-dup index: union-equivalence with full recompute,
+durability across reopen, exactly-once replay, geometry pinning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.dedup.incremental import NearDupIndex
+from event_to_lakehouse_spark.dedup.minhash import candidate_pairs
+from event_to_lakehouse_spark.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_tables(spark, SF)["documents"]
+
+
+def _pairset(df):
+    return {(r.doc_id_a, r.doc_id_b, r.jaccard_est) for r in df.collect()}
+
+
+def test_incremental_equals_full_recompute(spark, tmp_dir):
+    """Indexing three batches and unioning the returned pairs must give
+    EXACTLY candidate_pairs() over the union — every pair is emitted
+    precisely when its later member arrives."""
+    docs = _docs(spark)
+    idx = NearDupIndex(spark, f"{tmp_dir}/idx")
+    got = set()
+    for lo, hi in ((0, 170), (170, 340), (340, 500)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got |= _pairset(idx.index_batch(batch, batch_token=f"b{lo}"))
+    assert got == _pairset(candidate_pairs(docs))
+    assert idx.doc_count() == docs.count()
+
+
+def test_incremental_reopen_continues(spark, tmp_dir):
+    """A NearDupIndex reopened from disk (fresh object, same root)
+    probes against everything earlier objects appended."""
+    docs = _docs(spark)
+    root = f"{tmp_dir}/idx"
+    NearDupIndex(spark, root).index_batch(
+        docs.filter(F.col("doc_id") < 250), batch_token="b1"
+    )
+    got = _pairset(
+        NearDupIndex(spark, root).index_batch(
+            docs.filter(F.col("doc_id") >= 250), batch_token="b2"
+        )
+    )
+    full = _pairset(candidate_pairs(docs))
+    cross = {
+        p for p in full if (p[0] >= 250) or (p[1] >= 250)
+    }  # pairs touching batch 2
+    assert got == cross
+
+
+def test_incremental_replay_idempotent(spark, tmp_dir):
+    """Replaying a batch_token is a storage no-op (same snapshot
+    version) and returns the same pairs — the batch's own indexed copy
+    never self-pairs."""
+    docs = _docs(spark)
+    idx = NearDupIndex(spark, f"{tmp_dir}/idx")
+    idx.index_batch(docs.filter(F.col("doc_id") < 400), batch_token="b1")
+    batch2 = docs.filter(F.col("doc_id") >= 400)
+    first = _pairset(idx.index_batch(batch2, batch_token="b2"))
+    v_bands = idx.bands_table.snapshot().version
+    v_sigs = idx.sigs_table.snapshot().version
+    replay = _pairset(idx.index_batch(batch2, batch_token="b2"))
+    assert idx.bands_table.snapshot().version == v_bands
+    assert idx.sigs_table.snapshot().version == v_sigs
+    assert replay == first
+    assert idx.doc_count() == docs.count()
+
+
+def test_incremental_geometry_pinned(spark, tmp_dir):
+    """Reopening with a different hash flavor / geometry must raise:
+    mixed flavors would silently miss every cross-flavor duplicate."""
+    root = f"{tmp_dir}/idx"
+    NearDupIndex(spark, root, hash_flavor="xxhash64")
+    with pytest.raises(ValueError, match="built with"):
+        NearDupIndex(spark, root, hash_flavor="portable")
+    with pytest.raises(ValueError, match="built with"):
+        NearDupIndex(spark, root, n_hashes=32)
+    NearDupIndex(spark, root)  # matching geometry reopens fine
+
+
+def test_incremental_first_batch_self_pairs(spark, tmp_dir):
+    """With an empty index, the probe must still find within-batch
+    pairs (new-vs-new) — the first batch deduplicates itself."""
+    docs = _docs(spark)
+    idx = NearDupIndex(spark, f"{tmp_dir}/idx")
+    got = _pairset(idx.index_batch(docs))
+    assert got == _pairset(candidate_pairs(docs))
