@@ -323,3 +323,48 @@ def test_write_silver_snapshot_branch(spark, rapid7_bronze, tmp_dir):
     uid = silver.select("asset_uid").first()["asset_uid"]
     t2 = SnapshotTable(spark, root, bloom_col="asset_uid")
     assert t2.read_point(uid).count() == 1
+
+def test_write_silver_v2_real_roundtrip(spark):
+    """The writer_v2 branch executed FOR REAL — not a stub: Spark's
+    built-in JDBCTableCatalog over in-memory Derby (both ship with
+    pyspark) is a genuine DataSource-V2 catalog, so
+    ``df.writeTo(table).append()`` runs the same V2 write path an
+    Iceberg/Delta deployment would (reference
+    bronze_assets_to_silver_assets.py:275-277), and the appended rows
+    read back through ``spark.table``. Complex/nested columns stay out
+    (JDBC type mapping), which is fine: branch selection and the V2
+    call chain are what this pins."""
+    from event_to_lakehouse_spark.pipeline.normalize import (
+        v2_catalog_available,
+        write_silver,
+    )
+
+    confs = {
+        "spark.sql.catalog.testcat":
+            "org.apache.spark.sql.execution.datasources.v2.jdbc."
+            "JDBCTableCatalog",
+        "spark.sql.catalog.testcat.url":
+            "jdbc:derby:memory:writer_v2_test;create=true",
+        "spark.sql.catalog.testcat.driver":
+            "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        assert v2_catalog_available(spark, "testcat.silver_assets")
+        df = spark.range(3).selectExpr(
+            "id", "CAST(id AS STRING) AS asset", "'rapid7' AS source_system"
+        )
+        df.limit(0).writeTo("testcat.silver_assets").create()
+        assert (
+            write_silver(df, spark, table="testcat.silver_assets")
+            == "writer_v2"
+        )
+        assert spark.table("testcat.silver_assets").count() == 3
+        # V2 appends accumulate (snapshot/exactly-once dedup is the
+        # table format's job — SnapshotTable supplies it jar-free)
+        write_silver(df, spark, table="testcat.silver_assets")
+        assert spark.table("testcat.silver_assets").count() == 6
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
