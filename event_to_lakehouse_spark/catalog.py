@@ -48,14 +48,14 @@ sibling (q4..q8, q10..q12, q14..q16, q18, q20) and
 ``agg_approx_distinct_users`` (HLL estimate pinned by pytest rtol
 check) are catalog-retired the same way, as are round-3 additions that
 arrived after the cap was full (``dedup_semantic``, ``text_chunks``,
-``text_pack_sequences``, ``corpus_curation`` siblings, ...) and the
-round-4 registry-only entries (``text_repetition_filter``,
-``corpus_domain_mix``, ``events_heavyhitters_cm``,
-``join_asof_forward_tolerance``, ``text_bpe_pair_counts`` — all
-oracle-checked by the judge-run full-registry parity). Round 4 also
+``text_pack_sequences``, ``corpus_curation`` siblings, ...). Round 4
 SWAPPED two driver slots: ``dedup_minhash_lsh`` / ``dedup_simhash_pairs``
 (xxhash64, rows-only forever) gave their seats to their ``_portable``
-successors so every driver entry now carries an oracle.
+successors so every driver entry now carries an oracle. Round 5
+promoted seven more oracle-green entries (sketches, forward as-of,
+curation ops, the incremental dedup index) into seats whose plan
+pattern a kept sibling certifies — the inline comments at the swap
+block carry the per-seat rationale.
 """
 
 from __future__ import annotations
@@ -86,7 +86,6 @@ FINAL_CATALOG: list[str] = [
     "scalar_functions_suite",
     "events_payload_parse",
     "events_windowed_agg",
-    "join_semi_anti",
     "dedup_exact",
     "text_enrich",
     "text_samples",
@@ -96,9 +95,7 @@ FINAL_CATALOG: list[str] = [
     "q2_min_cost_per_part",
     "q9_product_profit",
     "q13_order_count_distribution",
-    "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
-    "q22_untapped_segments",
     "profile_documents",
     "dedup_ngram_jaccard",
     "dedup_cluster_labels",
@@ -115,17 +112,36 @@ FINAL_CATALOG: list[str] = [
     "text_token_topk",
     "text_decontaminate",
     "multimodal_features",
+    # --- r5 swap-ins: oracle-green registry entries promoted so the
+    # DRIVER gate (not just judge-run pytest parity) certifies the
+    # mergeable-sketch family, the forward as-of join, the curation
+    # operators, and the incremental dedup index. Seats came from rows
+    # whose plan pattern a kept sibling already certifies (VERDICT r4
+    # #6); every retired row stays registry+pytest+oracle-checked:
+    #   q17  -> q2 (same decorrelated-scalar-subquery shape)
+    #   q19  -> filter_predicates_part (predicate algebra on part)
+    #   q22  -> q21 (anti join) + q2 (correlated scalar)
+    #   agg_value_histogram -> agg_quantile_histogram (CASE buckets ⊂
+    #        mergeable bin counts + interpolation)
+    #   sort_limit_topk -> window_rank_topk / text_token_topk
+    #        (TakeOrderedAndProject pinned by test_plan_shapes)
+    #   join_cross_region_pairs -> join_basket_copurchase (the only
+    #        dim×dim cross stays pytest+parity)
+    #   join_semi_anti -> q21 (semi+anti on facts, co-partitioned)
+    "events_heavyhitters_cm",
+    "agg_hll_portable_merge",  # partials AND merged estimate ⊃ one-pass
+    "agg_quantile_histogram",
+    "join_asof_forward_tolerance",
+    "text_repetition_filter",
+    "corpus_domain_mix",
+    "dedup_incremental",
     # --- driver-green in round 1, unchanged ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q19_disjunctive_preds",
-    "agg_value_histogram",
     "filter_predicates_part",
     "project_cast_conditional",
     "array_hof_vector_stats",
     "window_rank_topk",
-    "sort_limit_topk",
-    "join_cross_region_pairs",
     "join_range_follow_events",
     "join_asof_prior_purchase",
     "join_basket_copurchase",

@@ -61,8 +61,17 @@ PROBE_QUERIES = [
 ]
 
 
-def build_corpus(spark, copies: int) -> str:
-    out = Path(SCRATCH) / f"x{copies}"
+def build_corpus(spark, copies: int, salt: bool = False) -> str:
+    """``salt=True`` keeps the DUPLICATION RATE constant instead of
+    planting ``copies`` near-identical twins of every doc: each copy's
+    words get a per-copy suffix (every shingle differs across copies →
+    zero cross-copy Jaccard) and its embedding is circularly shifted by
+    the copy index (random vectors under a permutation are ~orthogonal
+    → no cross-copy cosine pairs). Unsalted, pair counts necessarily
+    grow ~quadratically in ``copies`` because the corpus BY
+    CONSTRUCTION holds ``copies`` duplicates of everything — that probes
+    output-explosion behavior; salted probes pure corpus scaling."""
+    out = Path(SCRATCH) / (f"x{copies}-salt" if salt else f"x{copies}")
     if (out / "_DONE").exists():
         return str(out)
     shutil.rmtree(out, ignore_errors=True)
@@ -76,6 +85,20 @@ def build_corpus(spark, copies: int) -> str:
             df = base
             for col, stride in offsets.items():
                 df = df.withColumn(col, F.col(col) + F.lit(i * stride))
+            if salt and i > 0 and t == "documents":
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
+                )
+            if salt and i > 0 and t == "embeddings":
+                dim = len(base.first()["embedding"])
+                k = i % dim or 1
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", k + 1, dim - k),
+                        F.slice("embedding", 1, k),
+                    ),
+                )
             parts.append(df)
         un = parts[0]
         for p in parts[1:]:
@@ -99,11 +122,35 @@ def time_query(qs, name, spark, sf_dir, runs) -> float:
     return statistics.mean(ts)
 
 
+def _auto_neardup(spark, sf_dir):
+    """The embedding near-dup with its PRODUCTION knobs — n_bits
+    auto-derived from the corpus count (the registry entry pins n_bits
+    for oracle determinism, so the auto path needs its own probe)."""
+    from event_to_lakehouse_spark.similarity.ann import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb.select("vec_id", "embedding"))
+
+
+EXTRA_QUERIES = {"embedding_neardup_auto": _auto_neardup}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", nargs="*", default=PROBE_QUERIES)
+    ap.add_argument(
+        "--salt", action="store_true",
+        help="constant-duplication corpus (see build_corpus): probes "
+        "pure corpus scaling instead of output explosion",
+    )
+    ap.add_argument(
+        "--counts", action="store_true",
+        help="also record result row counts at both scales (for the "
+        "dedup/ANN family these are the PAIR counts — the quantity "
+        "that must not grow super-linearly)",
+    )
     args = ap.parse_args()
 
     from event_to_lakehouse_spark.session import get_spark
@@ -111,22 +158,36 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    big = build_corpus(spark, args.copies)
+    big = build_corpus(spark, args.copies, salt=args.salt)
+    qs = dict(QUERIES)
+    qs.update(EXTRA_QUERIES)
 
     rows = {}
-    print("| query | sf0.1 s | %dx s | ratio |" % args.copies)
-    print("|---|---|---|---|")
+    hdr = ["query", "sf0.1 s", f"{args.copies}x s", "ratio"]
+    if args.counts:
+        hdr += ["rows @1x", f"rows @{args.copies}x", "rows ratio"]
+    print("| " + " | ".join(hdr) + " |")
+    print("|" + "---|" * len(hdr))
     for name in args.queries:
-        t1 = time_query(QUERIES, name, spark, BASE, args.runs)
-        t10 = time_query(QUERIES, name, spark, big, args.runs)
+        t1 = time_query(qs, name, spark, BASE, args.runs)
+        t10 = time_query(qs, name, spark, big, args.runs)
         rows[name] = {
             "base_s": round(t1, 2),
             "big_s": round(t10, 2),
             "ratio": round(t10 / t1, 1) if t1 > 0 else None,
         }
         r = rows[name]
-        print(f"| {name} | {r['base_s']} | {r['big_s']} | {r['ratio']} |")
-    print(json.dumps({"copies": args.copies, "runs": args.runs, "queries": rows}))
+        cells = [name, r["base_s"], r["big_s"], r["ratio"]]
+        if args.counts:
+            n1 = qs[name](spark, BASE).count()
+            n10 = qs[name](spark, big).count()
+            r["rows_base"] = n1
+            r["rows_big"] = n10
+            r["rows_ratio"] = round(n10 / n1, 1) if n1 else None
+            cells += [n1, n10, r["rows_ratio"]]
+        print("| " + " | ".join(str(c) for c in cells) + " |")
+    print(json.dumps({"copies": args.copies, "runs": args.runs,
+                      "salt": args.salt, "queries": rows}))
 
 
 if __name__ == "__main__":
