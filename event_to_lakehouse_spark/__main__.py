@@ -154,6 +154,42 @@ def _cmd_snapshot(args) -> int:
     return 0
 
 
+def _cmd_governance(args) -> int:
+    from pyspark.sql import types as T
+
+    from .registry.governance import Governance
+
+    spark = get_spark("schema-governance")
+    gov = Governance(spark, args.table_root)
+    if args.action == "propose":
+        if args.schema_file:
+            with open(args.schema_file) as f:
+                target = T.StructType.fromJson(json.load(f))
+        else:
+            from .registry.schema_registry import SchemaRegistry
+
+            latest = SchemaRegistry(spark, args.registry).latest_schema(args.topic)
+            if latest is None:
+                raise SystemExit(f"no registered schema for topic {args.topic}")
+            target = T.StructType.fromJson(json.loads(latest))
+        prop = gov.propose(target, actor=args.actor)
+        if prop is None:
+            print("in sync: nothing to propose")
+        else:
+            print(f"[{prop.classification}] {prop.pid}: "
+                  f"+{len(prop.add)} -{len(prop.drop)} pending")
+    elif args.action == "list":
+        for p in gov.list_proposals():
+            print(f"{p.pid}\t{p.status}\t{p.classification}\t{p.created_utc}")
+    elif args.action == "approve":
+        snap = gov.approve(args.id, actor=args.actor, allow_breaking=args.force)
+        print(f"{args.id} applied -> v{snap.version}")
+    elif args.action == "reject":
+        gov.reject(args.id, args.reason or "rejected via cli", actor=args.actor)
+        print(f"{args.id} rejected")
+    return 0
+
+
 def _coerce(v: str):
     for cast in (int, float):
         try:
@@ -231,6 +267,24 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--drop", default="",
                    help="alter: comma list of columns to drop (metadata-only)")
     s.set_defaults(fn=_cmd_snapshot)
+
+    s = sub.add_parser(
+        "governance",
+        help="schema drift proposals: propose/list/approve/reject "
+             "(the reference's human-in-the-loop normalization)",
+    )
+    s.add_argument("action", choices=["propose", "list", "approve", "reject"])
+    s.add_argument("--table-root", required=True)
+    s.add_argument("--registry", help="propose: pull the topic's latest schema")
+    s.add_argument("--topic")
+    s.add_argument("--schema-file",
+                   help="propose: explicit target StructType json")
+    s.add_argument("--id", help="approve/reject: proposal id")
+    s.add_argument("--force", action="store_true",
+                   help="approve a BREAKING proposal (the human gate)")
+    s.add_argument("--reason", help="reject: audit-trail reason")
+    s.add_argument("--actor", default="cli")
+    s.set_defaults(fn=_cmd_governance)
 
     args = p.parse_args(argv)
     return args.fn(args)
