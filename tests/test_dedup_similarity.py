@@ -434,3 +434,55 @@ def test_lsh_topk_capped_probe_budget(spark):
     assert h_capped > h_none, f"margin-directed probes gained nothing ({h_capped} vs {h_none})"
     assert h_capped >= h_full - 2, f"cap lost too much recall ({h_capped} vs {h_full})"
     assert h_capped >= int(0.8 * n_q), f"capped recall too low: {h_capped}/{n_q}"
+
+
+def test_substring_dedup_planted_passage(spark):
+    """Two distinct docs sharing a verbatim 12-token passage: the span
+    is found in BOTH docs at the right token offsets; a unique doc is
+    absent from the span report; identical twins report dup_frac 1.0
+    and fail the keep gate."""
+    from event_to_lakehouse_spark.dedup.substring import (
+        DUP_FRAC_DROP,
+        duplicated_spans,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {passage} gamma delta"),
+            (2, f"one two three four five {passage}"),
+            (3, "entirely unique words nothing repeats here at all ok"),
+            (10, "twin text body repeated verbatim in another document x"),
+            (11, "twin text body repeated verbatim in another document x"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in duplicated_spans(docs, k=8).collect()
+    }
+    # doc 1: passage tokens occupy positions 2..13; doc 2: 5..16
+    assert spans[1] == (2, 13)
+    assert spans[2] == (5, 16)
+    assert 3 not in spans
+    assert spans[10] == (0, 8) and spans[11] == (0, 8)
+    assert DUP_FRAC_DROP <= 1.0  # twins' frac 1.0 -> keep False
+
+
+def test_substring_dedup_overlapping_runs_merge(spark):
+    """Adjacent/overlapping duplicated k-gram starts must merge into
+    ONE maximal span, not a span per gram."""
+    from event_to_lakehouse_spark.dedup.substring import duplicated_spans
+
+    long_shared = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"pre {long_shared} post"), (2, f"{long_shared} tail words")],
+        ["doc_id", "text"],
+    )
+    rows = duplicated_spans(docs, k=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 1 and len(per_doc[2]) == 1
+    assert per_doc[1][0].span_tokens == 20
+    assert per_doc[2][0].span_tokens == 20

@@ -193,10 +193,12 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
     from event_to_lakehouse_spark.catalog import driver_queries
 
     BNLJ_ALLOWED = {
-        "q22_untapped_segments",    # scalar-subquery broadcast-NL (1-row side)
         "ann_bruteforce_topk",      # corpus × broadcast query set (the algorithm)
         "ann_ivf_topk",             # corpus × broadcast centroid set (assignment)
-        "join_cross_region_pairs",  # explicit dim×dim cross join
+        # r5 promotions — scalar/tiny broadcast-NL is the intended plan:
+        "agg_quantile_histogram",   # rows × broadcast 1-row (mn,mx) bounds
+        "agg_hll_portable_merge",   # register sum × broadcast 1-row partial count
+        "corpus_domain_mix",        # corpus × broadcast per-domain rate table
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():
