@@ -309,3 +309,43 @@ def heavyhitters_sketch_stream(events: DataFrame, key: str = "user_id") -> DataF
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def neardup_index_stream(
+    docs,
+    index_root: str,
+    pairs_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming incremental near-dup — the production topology of
+    ``dedup.incremental.NearDupIndex``: each micro-batch of arriving
+    documents is probed against the persisted LSH band index (held text
+    never re-read), its pairs land under ``pairs_path``, and its band
+    rows + signatures append to the index with ``batch_id`` as the
+    exactly-once token. Replayed micro-batches are storage no-ops on
+    the index (token dedup) AND on the pairs sink (batch-subdir
+    overwrite, the same idempotence pattern as
+    ``foreach_batch_writer``), and a replayed probe returns the same
+    pairs — the batch's own indexed copy never self-pairs.
+
+    State is the on-disk index, not the state store, so the query needs
+    no watermark and restarts resume wherever the source checkpoint
+    says — the cross-batch dedup guarantee is union-equivalence:
+    unioning all emitted pair batches equals a full batch recompute
+    over everything ever indexed (pytest-pinned)."""
+    from ..dedup.incremental import NearDupIndex
+
+    def _write(batch_df, batch_id: int) -> None:
+        idx = NearDupIndex(batch_df.sparkSession, index_root)
+        pairs = idx.index_batch(batch_df, batch_token=f"b{batch_id}")
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -326,3 +326,91 @@ def test_heavyhitters_sketch_stream_equals_batch(spark, tmp_dir):
         .collect()
     }
     assert got == want
+
+
+def test_neardup_index_stream_union_equals_batch(spark, tmp_dir):
+    """The streaming incremental near-dup topology: two micro-batches
+    of docs (near-dup pairs CROSSING the batch boundary), driven with
+    maxFilesPerTrigger=1 so they really arrive as separate batches.
+    Union of emitted pair batches == full batch recompute over all
+    docs; a checkpointed re-run processes nothing new (index versions
+    and pairs unchanged)."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.dedup.incremental import NearDupIndex
+    from event_to_lakehouse_spark.dedup.minhash import candidate_pairs
+    from event_to_lakehouse_spark.streaming.jobs import neardup_index_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill tonight"
+    )
+    batch1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "unrelated words about columnar engines and storage"},
+    ]
+    batch2 = [
+        {"doc_id": 11, "text": base.replace("warm", "cold")},  # cross-batch dup
+        {"doc_id": 12, "text": base},                           # cross-batch exact
+        {"doc_id": 13, "text": "more unrelated text on schedulers and shuffles"},
+    ]
+    src = Path(tmp_dir) / "docs"
+    src.mkdir()
+    for i, batch in enumerate((batch1, batch2)):
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in batch)
+        )
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    q = neardup_index_stream(
+        stream,
+        index_root=f"{tmp_dir}/idx",
+        pairs_path=f"{tmp_dir}/pairs",
+        checkpoint=f"{tmp_dir}/ckpt",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard_est)
+        for r in spark.read.parquet(f"{tmp_dir}/pairs").collect()
+    }
+    all_docs = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard_est)
+        for r in candidate_pairs(all_docs).collect()
+    }
+    assert got == want
+    assert (1, 12, 1.0) in got  # cross-batch exact pair really found
+    idx = NearDupIndex(spark, f"{tmp_dir}/idx")
+    assert idx.doc_count() == 5
+    v = idx.bands_table.snapshot().version
+
+    # checkpointed restart: the source has nothing new -> no-op
+    stream2 = (
+        spark.readStream.format("json").schema(schema).load(str(src))
+    )
+    q2 = neardup_index_stream(
+        stream2,
+        index_root=f"{tmp_dir}/idx",
+        pairs_path=f"{tmp_dir}/pairs",
+        checkpoint=f"{tmp_dir}/ckpt",
+    )
+    q2.awaitTermination(120)
+    assert NearDupIndex(spark, f"{tmp_dir}/idx").bands_table.snapshot().version == v
+    assert {
+        (r.doc_id_a, r.doc_id_b, r.jaccard_est)
+        for r in spark.read.parquet(f"{tmp_dir}/pairs").collect()
+    } == want
