@@ -63,7 +63,7 @@ from .minhash import (
     signatures,
 )
 
-__all__ = ["NearDupIndex"]
+__all__ = ["NearDupIndex", "ExactDedupIndex"]
 
 _FLAVORS = {"xxhash64", "portable"}
 
@@ -244,3 +244,127 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.index_batch(
         docs.filter(F.col("doc_id") % 5 == 0), batch_token="new"
     )
+
+
+class ExactDedupIndex:
+    """The EXACT twin of :class:`NearDupIndex`: a durable fingerprint
+    index for first-arrival-wins content dedup. The SnapshotTable holds
+    one (fp, doc_id) row per distinct content ever seen — the canonical
+    survivor — and a new batch resolves each doc to:
+
+    - ``is_new_unique``: content never held before AND this doc is the
+      batch's own min-id holder of it (it becomes the canonical copy),
+    - ``dup_of``: the canonical doc this one duplicates (a HELD doc for
+      re-crawled content — first arrival stays canonical, which is what
+      an ingest pipeline wants — else the within-batch survivor), NULL
+      for the survivor itself.
+
+    Probe shape mirrors the near-dup index: the batch's distinct
+    fingerprints broadcast against the index scan (32-byte keys; the
+    index never shuffles); only new-unique rows append, so the index
+    stays one row per distinct content forever. Replays (same
+    ``batch_token``) are storage no-ops and return the SAME frame: a
+    doc finding ITSELF as the held survivor reports exactly what its
+    first run reported.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, text_col: str = "text"):
+        self.spark = spark
+        self.text_col = text_col
+        self.table = SnapshotTable(spark, root)
+
+    def _stored(self) -> DataFrame | None:
+        try:
+            return self.table.read()
+        except FileNotFoundError:
+            return None
+
+    def index_batch(
+        self, docs: DataFrame, batch_token: str | None = None
+    ) -> DataFrame:
+        from ..functions.text import fingerprint
+
+        fps = docs.select("doc_id", fingerprint(self.text_col).alias("fp"))
+        bm = fps.groupBy("fp").agg(F.min("doc_id").alias("batch_survivor"))
+        per = fps.join(bm, "fp")
+        held = self._stored()
+        if held is not None:
+            keys = fps.select("fp").distinct()
+            matched = held.join(F.broadcast(keys), "fp", "semi").select(
+                "fp", F.col("doc_id").alias("held_survivor")
+            )
+            per = per.join(matched, "fp", "left")
+        else:
+            per = per.withColumn("held_survivor", F.lit(None).cast("long"))
+        # held_survivor == doc_id happens only on replay (the doc's own
+        # indexed row): report it exactly as the first run did.
+        self_held = F.col("held_survivor") == F.col("doc_id")
+        out = per.select(
+            "doc_id",
+            (
+                (F.col("held_survivor").isNull() | self_held)
+                & (F.col("doc_id") == F.col("batch_survivor"))
+            ).alias("is_new_unique"),
+            F.when(
+                F.col("held_survivor").isNotNull() & ~self_held,
+                F.col("held_survivor"),
+            )
+            .when(
+                F.col("doc_id") != F.col("batch_survivor"),
+                F.col("batch_survivor"),
+            )
+            .alias("dup_of"),
+        )
+        new_uniques = per.filter(
+            F.col("held_survivor").isNull()
+            & (F.col("doc_id") == F.col("batch_survivor"))
+        ).select("fp", "doc_id")
+        self.table.append(new_uniques, batch_token=batch_token)
+        return out
+
+    def doc_count(self) -> int:
+        """Distinct contents held — metadata-scale."""
+        held = self._stored()
+        return 0 if held is None else held.count()
+
+
+def _exact_incremental_oracle() -> str:
+    from .exact import FINGERPRINT_SQL
+
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, {FINGERPRINT_SQL} AS fp FROM documents
+    ),
+    held AS (
+      SELECT fp, min(doc_id) AS held_survivor
+      FROM fp WHERE doc_id % 5 != 0 GROUP BY fp
+    ),
+    batch AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+    bm AS (SELECT fp, min(doc_id) AS batch_survivor FROM batch GROUP BY fp)
+    SELECT b.doc_id,
+           (h.held_survivor IS NULL AND b.doc_id = bm.batch_survivor)
+             AS is_new_unique,
+           CASE WHEN h.held_survivor IS NOT NULL THEN h.held_survivor
+                WHEN b.doc_id <> bm.batch_survivor THEN bm.batch_survivor
+                ELSE NULL END AS dup_of
+    FROM batch b
+    LEFT JOIN held h ON b.fp = h.fp
+    JOIN bm ON b.fp = bm.fp
+    ORDER BY b.doc_id
+    """
+
+
+@query("dedup_exact_incremental", _exact_incremental_oracle())
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup, driver-checkable: index the held corpus
+    (doc_id % 5 != 0), probe the arriving batch (doc_id % 5 = 0). The
+    oracle computes the same first-arrival-wins resolution in SQL over
+    the union — green means probe == recompute."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    idx = ExactDedupIndex(spark, tempfile.mkdtemp(prefix="exact_idx_"))
+    idx.index_batch(docs.filter(F.col("doc_id") % 5 != 0), batch_token="held")
+    return idx.index_batch(
+        docs.filter(F.col("doc_id") % 5 == 0), batch_token="new"
+    ).orderBy("doc_id")

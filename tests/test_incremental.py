@@ -92,3 +92,44 @@ def test_incremental_first_batch_self_pairs(spark, tmp_dir):
     idx = NearDupIndex(spark, f"{tmp_dir}/idx")
     got = _pairset(idx.index_batch(docs))
     assert got == _pairset(candidate_pairs(docs))
+
+
+def test_exact_incremental_first_arrival_wins(spark, tmp_dir):
+    """ExactDedupIndex: batches arriving out of id order keep the FIRST
+    arrival canonical; within-batch dups resolve to the batch survivor;
+    replay returns the identical frame with no storage change."""
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    idx = ExactDedupIndex(spark, f"{tmp_dir}/idx")
+    b1 = spark.createDataFrame(
+        [(10, "shared content"), (11, "only in batch one"),
+         (12, "shared content")],  # within-batch dup
+        schema,
+    )
+    r1 = {r.doc_id: (r.is_new_unique, r.dup_of) for r in idx.index_batch(b1, "b1").collect()}
+    assert r1 == {10: (True, None), 11: (True, None), 12: (False, 10)}
+
+    # doc 3 has a SMALLER id but arrives later: 10 stays canonical
+    b2 = spark.createDataFrame(
+        [(3, "shared content"), (4, "fresh text here")], schema
+    )
+    r2 = {r.doc_id: (r.is_new_unique, r.dup_of) for r in idx.index_batch(b2, "b2").collect()}
+    assert r2 == {3: (False, 10), 4: (True, None)}
+    assert idx.doc_count() == 3  # three distinct contents held
+
+    # replay b2: storage no-op, identical frame
+    v = idx.table.snapshot().version
+    replay = {r.doc_id: (r.is_new_unique, r.dup_of) for r in idx.index_batch(b2, "b2").collect()}
+    assert replay == r2
+    assert idx.table.snapshot().version == v
+
+    # reopen from disk continues
+    again = ExactDedupIndex(spark, f"{tmp_dir}/idx")
+    b3 = spark.createDataFrame([(99, "fresh text here")], schema)
+    r3 = {r.doc_id: (r.is_new_unique, r.dup_of) for r in again.index_batch(b3, "b3").collect()}
+    assert r3 == {99: (False, 4)}
