@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup.portable import hash60_duck, hash60_spark
+from .functions.hashing import hash60_duck, hash60_spark
 from .operators.relational import _r4, query
 from .tables import load_tables
 

@@ -46,24 +46,16 @@ P_BAND_BITS = 15
 P_MAX_HAMMING = 8
 
 
-def hash60_spark(expr: str) -> str:
-    """Spark SQL: portable 60-bit hash of a string expression."""
-    return (
-        f"CAST(conv(substr(md5(CAST({expr} AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
-    )
-
-
-def hash60_duck(expr: str) -> str:
-    """DuckDB SQL: the same 60-bit hash, bit-identical."""
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-
-
-def seeded_hash_spark(seed: int, col: str) -> str:
-    return hash60_spark(f"concat('{seed}:', {col})")
-
-
-def seeded_hash_duck(seed: int, col: str) -> str:
-    return hash60_duck(f"'{seed}:' || {col}")
+# The hash builders live in the LEAF module functions.hashing (shared
+# with operators.events/sketches and curation without creating an
+# import cycle through this package); re-exported here because this is
+# their documented home in the dedup story.
+from ..functions.hashing import (  # noqa: F401
+    hash60_duck,
+    hash60_spark,
+    seeded_hash_duck,
+    seeded_hash_spark,
+)
 
 
 # DuckDB mirror of functions.text.normalize_text (lower, trim, strip

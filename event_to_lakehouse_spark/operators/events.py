@@ -610,14 +610,14 @@ CM_TOPK = 20
 
 
 def _cm_bucket_spark(j: int, expr: str) -> str:
-    from ..dedup.portable import hash60_spark
+    from ..functions.hashing import hash60_spark
 
     seeded = "concat('cm" + str(j) + "|', CAST(" + expr + " AS STRING))"
     return f"({hash60_spark(seeded)} % {CM_W})"
 
 
 def _cm_bucket_duck(j: int, expr: str) -> str:
-    from ..dedup.portable import hash60_duck
+    from ..functions.hashing import hash60_duck
 
     seeded = "'cm" + str(j) + "|' || CAST(" + expr + " AS VARCHAR)"
     return f"({hash60_duck(seeded)} % {CM_W})"

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..dedup.portable import hash60_duck, hash60_spark
+from ..functions.hashing import hash60_duck, hash60_spark
 from ..tables import load_tables
 from .relational import query
 

@@ -1,1 +1,1 @@
-from . import ann  # noqa: F401
+from . import ann, ivf_index  # noqa: F401

@@ -133,3 +133,77 @@ def test_exact_incremental_first_arrival_wins(spark, tmp_dir):
     b3 = spark.createDataFrame([(99, "fresh text here")], schema)
     r3 = {r.doc_id: (r.is_new_unique, r.dup_of) for r in again.index_batch(b3, "b3").collect()}
     assert r3 == {99: (False, 4)}
+
+
+def test_ivf_index_full_probe_equals_bruteforce(spark, tmp_dir):
+    """Durable IVF index, exactness escape hatch: with n_probe >=
+    n_centroids every cell is probed, so the persisted-index query must
+    equal brute-force top-k EXACTLY (no approximation tolerance)."""
+    from event_to_lakehouse_spark.similarity.ann import brute_force_topk
+    from event_to_lakehouse_spark.similarity.ivf_index import IVFIndex
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = IVFIndex.build(spark, f"{tmp_dir}/ivf", emb, cent_stride=50)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in idx.query(queries, k=10, n_probe=idx.n_centroids).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assert got == want
+
+
+def test_ivf_index_incremental_add_and_reopen(spark, tmp_dir):
+    """Vectors added in a later batch (and via a reopened index object)
+    are found by queries; replayed batch tokens are storage no-ops."""
+    from event_to_lakehouse_spark.similarity.ann import brute_force_topk
+    from event_to_lakehouse_spark.similarity.ivf_index import IVFIndex
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    held = emb.filter(F.col("vec_id") % 3 != 0)
+    late = emb.filter(F.col("vec_id") % 3 == 0)
+    IVFIndex.build(spark, f"{tmp_dir}/ivf", held, cent_stride=50)
+
+    idx = IVFIndex(spark, f"{tmp_dir}/ivf")  # reopen from disk
+    idx.add_batch(late, batch_token="late")
+    v = idx.assign_table.snapshot().version
+    idx.add_batch(late, batch_token="late")  # replay: no-op
+    assert idx.assign_table.snapshot().version == v
+    assert idx.vec_count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in idx.query(queries, k=10, n_probe=idx.n_centroids).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assert got == want  # late-batch vectors fully queryable
+
+
+def test_ivf_index_probe_recall(spark, tmp_dir):
+    """The approximate operating point: probing half the cells recovers
+    most true neighbors (>=60% recall@10 on this corpus — stride-sample
+    centroids over synthetic embeddings cluster poorly, so this pins
+    the recall/NPROBE tradeoff direction, not production recall) at a
+    fraction of the scan."""
+    from event_to_lakehouse_spark.similarity.ann import brute_force_topk
+    from event_to_lakehouse_spark.similarity.ivf_index import IVFIndex
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = IVFIndex.build(spark, f"{tmp_dir}/ivf", emb, cent_stride=50)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in idx.query(queries, k=10, n_probe=5).collect()
+    }
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6
