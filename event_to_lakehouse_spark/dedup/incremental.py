@@ -207,6 +207,28 @@ class NearDupIndex:
         sigs = self._stored(self.sigs_table)
         return 0 if sigs is None else sigs.count()
 
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Index housekeeping: every batch commit lands its own small
+        files, so a long-lived index accretes a small-file problem. One
+        atomic bin-packed rewrite per table — bands CLUSTERED by
+        (band_idx, band_hash) so each probed bucket lives in few files
+        and the refreshed zone maps prune the probe scan — then vacuum.
+        Batch-token chains survive (token-preserving overwrite), so a
+        replay straddling maintenance is still a no-op. Returns files
+        removed by vacuum."""
+        from ..storage.compaction import compact_snapshot
+
+        compact_snapshot(
+            self.bands_table, target_file_bytes,
+            sort_cols=["band_idx", "band_hash"],
+        )
+        compact_snapshot(self.sigs_table, target_file_bytes, sort_cols=["doc_id"])
+        return self.bands_table.vacuum(keep_versions) + self.sigs_table.vacuum(
+            keep_versions
+        )
+
 
 def _incremental_oracle() -> str:
     """The incremental probe must equal the portable FULL-pipeline
@@ -326,6 +348,17 @@ class ExactDedupIndex:
         """Distinct contents held — metadata-scale."""
         held = self._stored()
         return 0 if held is None else held.count()
+
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Bin-pack the fingerprint table (clustered by fp so the
+        broadcast probe prunes on refreshed stats) and vacuum; batch
+        tokens survive. Returns files removed."""
+        from ..storage.compaction import compact_snapshot
+
+        compact_snapshot(self.table, target_file_bytes, sort_cols=["fp"])
+        return self.table.vacuum(keep_versions)
 
 
 def _exact_incremental_oracle() -> str:

@@ -184,6 +184,21 @@ class IVFIndex:
         except FileNotFoundError:
             return 0
 
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Bin-pack the assignment table CLUSTERED BY cent_id — each
+        cell's vectors land contiguously, so a probe of n_probe cells
+        touches few files and refreshed zone maps prune the rest — then
+        vacuum old snapshots. Batch tokens survive. Returns files
+        removed."""
+        from ..storage.compaction import compact_snapshot
+
+        compact_snapshot(
+            self.assign_table, target_file_bytes, sort_cols=["cent_id"]
+        )
+        return self.assign_table.vacuum(keep_versions)
+
 
 def _persisted_oracle() -> str:
     # Full probe == brute force EXACTLY, so the strict brute-force SQL

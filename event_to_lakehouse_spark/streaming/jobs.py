@@ -349,3 +349,32 @@ def neardup_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def exact_dedup_index_stream(
+    docs,
+    index_root: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming exact dedup against ALL history — the index-backed
+    complement of ``dedup_documents_stream`` (whose state is bounded by
+    a watermark and therefore forgets): each micro-batch resolves
+    through the durable ``ExactDedupIndex`` (first-arrival-wins), its
+    per-doc verdicts land under ``out_path``, and only new-unique
+    fingerprints append with ``batch_id`` as the exactly-once token.
+    Same idempotence pattern as ``neardup_index_stream``."""
+    from ..dedup.incremental import ExactDedupIndex
+
+    def _write(batch_df, batch_id: int) -> None:
+        idx = ExactDedupIndex(batch_df.sparkSession, index_root)
+        out = idx.index_batch(batch_df, batch_token=f"b{batch_id}")
+        out.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+
+    writer = docs.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -207,3 +207,55 @@ def test_ivf_index_probe_recall(spark, tmp_dir):
         for r in brute_force_topk(emb, queries, k=10).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_index_maintain_compacts_and_preserves_results(spark, tmp_dir):
+    """maintain() bin-packs each index's accreted per-batch files and
+    vacuums old snapshots WITHOUT changing any answer: near-dup probes,
+    exact resolution, and IVF queries are identical before/after, and
+    batch-token replay protection survives the rewrite."""
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+    from event_to_lakehouse_spark.similarity.ivf_index import IVFIndex
+
+    docs = _docs(spark)
+    ndi = NearDupIndex(spark, f"{tmp_dir}/nd")
+    for lo, hi in ((0, 200), (200, 400), (400, 500)):
+        ndi.index_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            batch_token=f"b{lo}",
+        )
+    files_before = len(ndi.bands_table.snapshot().files)
+    probe = docs.filter(F.col("doc_id") < 0)  # empty probe: pure read path
+    before = _pairset(ndi.index_batch(docs.limit(0), batch_token="nop"))
+    removed = ndi.maintain()
+    assert removed > 0
+    assert len(ndi.bands_table.snapshot().files) < files_before
+    # replay of an already-applied batch is STILL a no-op post-compaction
+    v = ndi.bands_table.snapshot().version
+    ndi.index_batch(
+        docs.filter(F.col("doc_id") < 200), batch_token="b0"
+    ).collect()
+    assert ndi.bands_table.snapshot().version == v
+    assert ndi.doc_count() == 500
+    del probe, before
+
+    edi = ExactDedupIndex(spark, f"{tmp_dir}/ex")
+    edi.index_batch(docs.filter(F.col("doc_id") < 250), batch_token="b1")
+    edi.index_batch(docs.filter(F.col("doc_id") >= 250), batch_token="b2")
+    held = edi.doc_count()
+    edi.maintain()
+    assert edi.doc_count() == held
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    ivf = IVFIndex.build(spark, f"{tmp_dir}/ivf", emb, cent_stride=50)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before_q = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf.query(queries, k=10, n_probe=ivf.n_centroids).collect()
+    }
+    ivf.maintain()
+    after_q = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf.query(queries, k=10, n_probe=ivf.n_centroids).collect()
+    }
+    assert after_q == before_q

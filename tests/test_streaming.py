@@ -414,3 +414,59 @@ def test_neardup_index_stream_union_equals_batch(spark, tmp_dir):
         (r.doc_id_a, r.doc_id_b, r.jaccard_est)
         for r in spark.read.parquet(f"{tmp_dir}/pairs").collect()
     } == want
+
+
+def test_exact_dedup_index_stream_cross_batch(spark, tmp_dir):
+    """Index-backed streaming exact dedup remembers across micro-batches
+    with no watermark: a doc re-crawled in a LATER batch resolves to the
+    held canonical copy."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+    from event_to_lakehouse_spark.streaming.jobs import exact_dedup_index_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = Path(tmp_dir) / "docs"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [{"doc_id": 1, "text": "alpha beta"},
+                      {"doc_id": 2, "text": "gamma delta"}]
+        )
+    )
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 9, "text": "alpha beta"})  # re-crawl of doc 1
+    )
+    # the file source orders micro-batches by mtime: pin b0 strictly
+    # older so "first arrival" is deterministic
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    q = exact_dedup_index_stream(
+        stream,
+        index_root=f"{tmp_dir}/idx",
+        out_path=f"{tmp_dir}/out",
+        checkpoint=f"{tmp_dir}/ckpt",
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.is_new_unique, r.dup_of)
+        for r in spark.read.parquet(f"{tmp_dir}/out").collect()
+    }
+    assert got == {1: (True, None), 2: (True, None), 9: (False, 1)}
+    assert ExactDedupIndex(spark, f"{tmp_dir}/idx").doc_count() == 2
