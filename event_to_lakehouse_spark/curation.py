@@ -245,3 +245,75 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "pair")
         .limit(BPE_TOPK)
     )
+
+
+# --- leakage-safe train/val/test split --------------------------------------
+
+SPLIT_TRAIN = 80  # buckets 0-79 -> train
+SPLIT_VAL = 90    # 80-89 -> val, 90-99 -> test
+
+
+def _split_oracle() -> str:
+    """The whole chain in one oracle: near-dup clusters (recursive-CTE
+    transitive closure, reused from the cluster-labels oracle) → one
+    split decision PER CLUSTER via the portable hash."""
+    from .dedup import cluster  # noqa: F401 — registers the label oracle
+    from .operators.relational import ORACLES
+
+    labels = ORACLES["dedup_cluster_labels"]
+    bucket = hash60_duck("'split|' || CAST(split_key AS VARCHAR)") + " % 100"
+    return f"""
+    WITH labels AS ({labels}),
+    keyed AS (
+      SELECT d.doc_id,
+             CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS split_key
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    b AS (SELECT doc_id, split_key, {bucket} AS bucket FROM keyed)
+    SELECT doc_id, split_key,
+           CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """
+
+
+@query("corpus_leakage_safe_split", _split_oracle())
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment that CANNOT leak
+    near-duplicates across splits: the split key is the doc's near-dup
+    CLUSTER id (its own id when unpaired), so an entire duplicate
+    cluster hashes to one split — the guard naive per-doc hash splits
+    silently violate (a test doc's near-twin lands in train and the
+    eval is contaminated). 80/10/10 by portable hash: stable under
+    re-runs, corpus growth, and engine choice.
+
+    Scale shape: reuses the near-dup pair pipeline + size-adaptive
+    clustering; the split itself is one broadcast join (labeled docs ≪
+    corpus) and a scan-local hash — no extra corpus shuffle."""
+    from .dedup.cluster import cluster_labels
+    from .dedup.jaccard import dedup_ngram_jaccard
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    labels = cluster_labels(dedup_ngram_jaccard(spark, sf_dir))
+    keyed = (
+        docs.select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").cast("long").alias("split_key"),
+        )
+    )
+    bucket = hash60_spark(
+        "concat('split|', CAST(split_key AS STRING))"
+    ) + " % 100"
+    return (
+        keyed.selectExpr("doc_id", "split_key", f"{bucket} AS bucket")
+        .selectExpr(
+            "doc_id",
+            "split_key",
+            f"CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train' "
+            f"WHEN bucket < {SPLIT_VAL} THEN 'val' ELSE 'test' END AS split",
+        )
+        .orderBy("doc_id")
+    )

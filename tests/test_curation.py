@@ -235,3 +235,35 @@ def test_quantile_histogram_constant_column(spark, tmp_path):
     rows = agg_quantile_histogram(spark, sf).collect()
     assert [r.q for r in rows] == [0.5, 0.9, 0.99]
     assert all(r.est == 42.5 for r in rows)
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark):
+    """THE guard: no near-dup pair may straddle splits (a test doc's
+    near-twin in train contaminates the eval). Also: deterministic
+    across calls, covers every doc exactly once, and the hash split
+    lands within loose 80/10/10 bounds."""
+    from event_to_lakehouse_spark.curation import corpus_leakage_safe_split
+    from event_to_lakehouse_spark.dedup.jaccard import dedup_ngram_jaccard
+    from event_to_lakehouse_spark.tables import load_tables
+
+    sf = "/root/testdata/sf0.01"
+    split = {r.doc_id: r.split for r in corpus_leakage_safe_split(spark, sf).collect()}
+    pairs = dedup_ngram_jaccard(spark, sf).collect()
+    assert pairs, "corpus has near-dup pairs to guard"
+    straddle = [
+        (p.doc_a, p.doc_b)
+        for p in pairs
+        if split[p.doc_a] != split[p.doc_b]
+    ]
+    assert straddle == []
+    n = load_tables(spark, sf)["documents"].count()
+    assert len(split) == n
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(split.values()).items()}
+    assert 0.65 <= frac.get("train", 0) <= 0.95
+    assert frac.get("val", 0) <= 0.25 and frac.get("test", 0) <= 0.25
+    again = {
+        r.doc_id: r.split for r in corpus_leakage_safe_split(spark, sf).collect()
+    }
+    assert again == split
