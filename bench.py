@@ -235,6 +235,8 @@ def main() -> None:
                 "a": round(am, 3),
                 "b": round(bm, 3),
                 "ratio": round(bm / am, 3) if am > 0 else None,
+                "a_sd": round(statistics.stdev(at), 3) if len(at) > 1 else 0.0,
+                "b_sd": round(statistics.stdev(bt), 3) if len(bt) > 1 else 0.0,
             }
         out["ab"] = ab
         out["ab_baseline_ref"] = baseline[0][:12]
