@@ -209,3 +209,38 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
             cartesian.append(name)
     assert offenders == [], f"unexpected nested-loop joins: {offenders}"
     assert cartesian == [], f"cartesian products: {cartesian}"
+
+
+def test_incremental_index_probes_never_shuffle_the_index(spark, tmp_dir):
+    """The durable-index probe contract, pinned at the plan level: the
+    held index enters each probe as a broadcast-probed scan — zero
+    SortMergeJoin anywhere, every join broadcast-built; the only
+    shuffles belong to BATCH-side aggregation/ranking. A regression
+    that makes the index ride a shuffle fails here."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+    from event_to_lakehouse_spark.similarity.ivf_index import IVFIndex
+    from event_to_lakehouse_spark.tables import load_tables
+
+    docs = load_tables(spark, SF_DIR)["documents"]
+    edi = ExactDedupIndex(spark, f"{tmp_dir}/ex")
+    edi.index_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_token="held")
+    probe = edi.index_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), batch_token="new"
+    )
+    a = audit_plan(probe)
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 1  # the fp semi-probe + resolution
+    assert a.shuffle_exchanges <= 2  # batch-side fp groupBy only
+
+    emb = load_tables(spark, SF_DIR)["embeddings"].select("vec_id", "embedding")
+    ivf = IVFIndex.build(spark, f"{tmp_dir}/ivf", emb, cent_stride=50)
+    q = ivf.query(emb.filter(F.col("vec_id") < 5), k=10, n_probe=3)
+    a = audit_plan(q)
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 1  # cell semi-probe + qcells join
+    # every shuffle is QUERY-side (query-affinity window, distinct
+    # probed cells, pair dedup, final rank) — bounded by the query set,
+    # never by the index
+    assert a.shuffle_exchanges <= 6
