@@ -199,3 +199,45 @@ def test_evolve_rejects_only_chain_incompatible(a, b):
 
         with pytest.raises(ValueError):
             SnapshotTable._evolve(parent.jsonValue(), _FakeDF(child))
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        max_size=120,
+    )
+)
+def test_unionfind_labels_match_bfs_reference(edges):
+    """The driver-local union-find (the small-graph path of
+    cluster_labels) must assign every vertex the MIN id of its
+    connected component — checked against an independent BFS over
+    arbitrary graphs, including self-loops, duplicates, and both edge
+    orientations."""
+    from collections import deque
+
+    from event_to_lakehouse_spark.dedup.cluster import _unionfind_labels
+
+    got = dict(_unionfind_labels(list(edges)))
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            v = q.popleft()
+            comp.append(v)
+            for n in adj[v]:
+                if n not in seen:
+                    seen.add(n)
+                    q.append(n)
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert got == want
