@@ -770,3 +770,83 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", f"round(({terms}) / ({norm}), 4) AS ewma"
         )
     )
+
+
+ZS_LOOKBACK = 24  # trailing observed hours in the baseline window
+ZS_THRESHOLD = 3.0
+
+
+@query(
+    "events_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+      SELECT event_type, hour, n,
+             avg(n) OVER w AS mu,
+             stddev_samp(n) OVER w AS sigma,
+             count(*) OVER w AS n_base
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {ZS_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, n,
+           round(CASE WHEN n_base >= 2 AND sigma > 0
+                      THEN (n - mu) / sigma END, 4) AS zscore,
+           (n_base >= 2 AND CASE
+              WHEN sigma > 0 THEN abs((n - mu) / sigma) > {ZS_THRESHOLD}
+              ELSE n <> mu END) AS is_anomaly
+    FROM stats
+    ORDER BY event_type, hour
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection — the observability query every event
+    pipeline runs: hourly counts per event type scored against the
+    TRAILING 24-observed-hour baseline (mean/sample-std,
+    current hour excluded so a spike can't mask itself); |z| > 3
+    flags. Baselines with under 2 trailing hours score NULL and never
+    flag; a ZERO-VARIANCE baseline (perfectly steady series) can't
+    quantify a z-score (NULL) but ANY deviation from it flags — a
+    constant series jumping is the clearest anomaly there is.
+
+    Scale shape: ONE shuffle for the hourly rollup (map-side combined
+    counts), whose (event_type) partitioning the analytic window then
+    reuses; frames are bounded rows, so state per series is O(24)
+    regardless of history length — the same fixed-frame property that
+    makes the EWMA operator streamable."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ZS_LOOKBACK, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_base"),
+    )
+    base_ok = F.col("n_base") >= 2
+    var_ok = F.col("sigma") > 0
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return stats.select(
+        "event_type",
+        "hour",
+        "n",
+        F.round(F.when(base_ok & var_ok, z), 4).alias("zscore"),
+        (
+            base_ok
+            & F.when(var_ok, F.abs(z) > ZS_THRESHOLD).otherwise(
+                F.col("n") != F.col("mu")
+            )
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")

@@ -267,3 +267,37 @@ def test_leakage_safe_split_no_straddling_pairs(spark):
         r.doc_id: r.split for r in corpus_leakage_safe_split(spark, sf).collect()
     }
     assert again == split
+
+
+def test_anomaly_zscore_planted_spike(spark, tmp_path):
+    """A 10x volume spike after a steady baseline must flag (and ONLY
+    it); the first hours with <2 trailing observations score NULL."""
+    import os
+
+    from event_to_lakehouse_spark.operators.events import events_anomaly_zscore
+    from event_to_lakehouse_spark.tables import TABLES
+
+    sf = str(tmp_path / "sf_spike")
+    os.makedirs(sf)
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        if name != "events":
+            os.symlink(f"{src}/{name}.parquet", f"{sf}/{name}.parquet")
+    rows = []
+    eid = 0
+    for h in range(30):
+        per_hour = 50 if h == 27 else 5  # steady 5/h, spike at hour 27
+        for _ in range(per_hour):
+            rows.append((eid, h))
+            eid += 1
+    spark.createDataFrame(rows, ["event_id", "h"]).selectExpr(
+        "event_id",
+        "timestamp'2024-03-01 00:00:17' + make_interval(0,0,0,0,h) AS ts",
+        "'click' AS event_type",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    out = events_anomaly_zscore(spark, sf).collect()
+    flagged = [r for r in out if r.is_anomaly]
+    assert len(flagged) == 1 and flagged[0].n == 50
+    assert out[0].zscore is None  # no trailing baseline yet
+    assert all(not r.is_anomaly for r in out if r.n == 5)
