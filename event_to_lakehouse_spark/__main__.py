@@ -139,6 +139,19 @@ def _cmd_snapshot(args) -> int:
                 print(f"{f['name']}\t{f['type']}")
     elif args.action == "count":
         print(t.read(version=args.version).count())
+    elif args.action == "tag":
+        if not args.name:
+            raise SystemExit("tag requires --name")
+        v = t.tag(args.name, version=args.version)
+        print(f"tag {args.name} -> v{v}")
+    elif args.action == "tags":
+        for name, v in sorted(t.tags().items()):
+            print(f"{name}\tv{v}")
+    elif args.action == "drop-tag":
+        if not args.name:
+            raise SystemExit("drop-tag requires --name")
+        t.drop_tag(args.name)
+        print(f"dropped {args.name}")
     elif args.action == "prune":
         snap = t.snapshot()
         files = snap.files
@@ -243,7 +256,8 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("snapshot", help="snapshot-table maintenance")
     s.add_argument("action",
                    choices=["history", "vacuum", "expire", "count", "compact",
-                            "prune", "alter", "schema"])
+                            "prune", "alter", "schema", "tag", "tags",
+                            "drop-tag"])
     s.add_argument("--root", required=True)
     s.add_argument("--stats-col")
     s.add_argument("--stats-cols", default="",
@@ -258,6 +272,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="lo,hi bounds for a zone-map prune report")
     s.add_argument("--point", default=None,
                    help="key value for a bloom prune report")
+    s.add_argument("--name", help="tag/drop-tag: the ref name")
     s.add_argument("--older-than", type=int, default=None,
                    help="expire: drop snapshots committed more than this many seconds ago")
     s.add_argument("--add", action="append", default=[],

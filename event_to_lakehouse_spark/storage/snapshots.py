@@ -562,6 +562,50 @@ class SnapshotTable:
             self._file_entries(commit_dir), tokens, schema=df.schema.jsonValue()
         )
 
+    # -- tags (named refs) --------------------------------------------------
+
+    _TAG_RE = r"[A-Za-z0-9._-]+"
+
+    def _tag_path(self, name: str) -> Path:
+        import re
+
+        if not re.fullmatch(self._TAG_RE, name):
+            raise ValueError(f"tag name must match {self._TAG_RE}: {name!r}")
+        return self.root / "meta" / f"tag_{name}.json"
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Name a snapshot (Iceberg's tag ref): ``read(tag=name)`` time-
+        travels to it and ``vacuum``/``expire_snapshots`` RETAIN it
+        until ``drop_tag`` — how a training run pins the exact corpus
+        snapshot it consumed. Re-tagging moves the name (atomic
+        replace: temp + rename locally, a full-object PUT on a store).
+        Defaults to the latest version; tagging a version with no
+        manifest raises."""
+        v = self._latest_version() if version is None else version
+        if not (self.root / "meta" / f"v{v}.json").exists():
+            raise FileNotFoundError(f"no snapshot v{v} to tag")
+        path = self._tag_path(name)
+        tmp = path.with_name(f".{path.name}.tmp.{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps({"version": v, "tagged_at": self._clock()}))
+        tmp.rename(path)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """name → version for every live tag."""
+        out = {}
+        for p in (self.root / "meta").glob("tag_*.json"):
+            out[p.stem[len("tag_"):]] = json.loads(p.read_text())["version"]
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        self._tag_path(name).unlink()
+
+    def _tag_version(self, name: str) -> int:
+        try:
+            return json.loads(self._tag_path(name).read_text())["version"]
+        except FileNotFoundError:
+            raise KeyError(f"no such tag: {name}") from None
+
     # -- reads --------------------------------------------------------------
 
     def read(
@@ -569,6 +613,7 @@ class SnapshotTable:
         version: int | None = None,
         between: tuple | None = None,
         where: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """DataFrame over one snapshot's file set. ``between=(lo, hi)``
         skips files whose [min, max] of the primary stats column cannot
@@ -577,7 +622,12 @@ class SnapshotTable:
         subset of ``stats_cols``: a file is kept only when EVERY bound
         overlaps its per-column range. The residual filters still apply
         row-level, so pruning is a pure optimization — results are
-        identical with or without it."""
+        identical with or without it. ``tag`` resolves a named ref to
+        its pinned version (exclusive with ``version``)."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self._tag_version(tag)
         snap = self.snapshot(version)
         if snap is None or not snap.files:
             raise FileNotFoundError(f"no snapshot at {self.root}")
@@ -827,6 +877,7 @@ class SnapshotTable:
             >= cutoff
         }
         keep.add(versions[-1])
+        keep |= set(self.tags().values())  # tagged snapshots never expire
         return self._sweep(versions, keep)
 
     def vacuum(self, keep_versions: int = 1) -> int:
@@ -835,6 +886,7 @@ class SnapshotTable:
         from aborted commits included). Returns files deleted."""
         versions = self.history()
         keep = set(versions[-keep_versions:])
+        keep |= set(self.tags().values())  # tagged snapshots survive vacuum
         return self._sweep(versions, keep)
 
     #: grace period before _sweep deletes stale commit/pointer temp
@@ -851,7 +903,7 @@ class SnapshotTable:
         younger than ``tmp_grace_s`` are spared: they may belong to an
         in-flight commit."""
         cutoff = self._clock() - self.tmp_grace_s
-        for pat in (".commit.tmp.*", "_latest.tmp.*"):
+        for pat in (".commit.tmp.*", "_latest.tmp.*", ".tag_*.tmp.*"):
             for tmp in (self.root / "meta").glob(pat):
                 try:
                     if tmp.stat().st_mtime < cutoff:

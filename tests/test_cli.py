@@ -183,3 +183,21 @@ def test_snapshot_alter_comma_types_cli(spark, tmp_dir, capsys):
     schema = SnapshotTable(spark, root).read().schema
     assert schema["price"].dataType.simpleString() == "decimal(10,2)"
     assert schema["attrs"].dataType.simpleString() == "map<string,int>"
+
+
+def test_snapshot_tag_cli(spark, tmp_dir, capsys):
+    import pyspark.sql.functions as F
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = f"{tmp_dir}/tbl"
+    t = SnapshotTable(spark, root)
+    t.append(spark.range(4).select(F.col("id")))
+    assert main(["snapshot", "tag", "--root", root, "--name", "baseline"]) == 0
+    assert "baseline -> v1" in capsys.readouterr().out
+    t.append(spark.range(4, 10).select(F.col("id")))
+    assert main(["snapshot", "tags", "--root", root]) == 0
+    assert "baseline\tv1" in capsys.readouterr().out
+    assert SnapshotTable(spark, root).read(tag="baseline").count() == 4
+    assert main(["snapshot", "drop-tag", "--root", root, "--name", "baseline"]) == 0
+    assert SnapshotTable(spark, root).tags() == {}

@@ -612,3 +612,45 @@ def test_sweep_removes_stale_commit_temp_files(spark, tmp_dir):
     assert not stale.exists() and not stale_ptr.exists()
     assert fresh.exists()
     assert t.read().count() == 5  # table untouched
+
+
+def test_tags_time_travel_and_pin_retention(spark, tmp_dir):
+    """Named refs (Iceberg tags): read(tag=) time-travels; vacuum and
+    expire_snapshots RETAIN tagged snapshots until drop_tag — how a
+    training run pins the exact corpus snapshot it consumed."""
+    import pytest
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    clock = [1_000_000]
+    t._clock = lambda: clock[0]
+    t.overwrite(_batch(spark, 0, 10).coalesce(1))
+    t.tag("train-run-1")  # pins v1
+    clock[0] += 3600
+    t.overwrite(_batch(spark, 10, 20).coalesce(1))
+    clock[0] += 3600
+    t.overwrite(_batch(spark, 30, 5).coalesce(1))
+
+    assert t.tags() == {"train-run-1": 1}
+    assert t.read(tag="train-run-1").count() == 10
+    assert t.read().count() == 5
+
+    # vacuum keeps the tagged v1 alongside the latest
+    t.vacuum(keep_versions=1)
+    assert set(t.history()) == {1, 3}
+    assert t.read(tag="train-run-1").count() == 10
+    # aggressive time-based expiry also spares it
+    t.expire_snapshots(older_than_s=0)
+    assert set(t.history()) == {1, 3}
+
+    # re-tagging moves the name; dropped tag releases retention
+    assert t.tag("train-run-1") == 3
+    t.vacuum(keep_versions=1)
+    assert t.history() == [3]
+    t.drop_tag("train-run-1")
+    assert t.tags() == {}
+    with pytest.raises(KeyError):
+        t.read(tag="train-run-1")
+    with pytest.raises(ValueError):
+        t.tag("bad name with spaces")
+    with pytest.raises(ValueError):
+        t.read(version=3, tag="x")
