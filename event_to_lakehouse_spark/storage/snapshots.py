@@ -562,6 +562,96 @@ class SnapshotTable:
             self._file_entries(commit_dir), tokens, schema=df.schema.jsonValue()
         )
 
+    # -- write-audit-publish (staged commits) --------------------------------
+
+    def stage(self, df: DataFrame, batch_token: str | None = None) -> str:
+        """WRITE step of write-audit-publish: land ``df``'s data files
+        and a STAGED manifest OUTSIDE the snapshot chain — no reader
+        sees a staged row. Returns the stage id for ``read_staged``
+        (audit), ``publish`` (append it atomically), or ``discard``."""
+        stage_id = uuid.uuid4().hex[:12]
+        commit_dir = self.root / "data" / stage_id
+        df.write.mode("overwrite").parquet(str(commit_dir))
+        doc = {
+            "files": self._file_entries(commit_dir),
+            "batch_token": batch_token,
+            "schema": df.schema.jsonValue(),
+            "staged_at": self._clock(),
+        }
+        path = self.root / "meta" / f"staged_{stage_id}.json"
+        tmp = path.with_name(f".{path.name}.tmp.{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps(doc))
+        tmp.rename(path)
+        return stage_id
+
+    def _staged_doc(self, stage_id: str) -> dict:
+        try:
+            return json.loads(
+                (self.root / "meta" / f"staged_{stage_id}.json").read_text()
+            )
+        except FileNotFoundError:
+            raise KeyError(f"no staged commit {stage_id}") from None
+
+    def staged(self) -> list[str]:
+        """Pending stage ids (oldest path order)."""
+        return sorted(
+            p.stem[len("staged_"):]
+            for p in (self.root / "meta").glob("staged_*.json")
+        )
+
+    def read_staged(self, stage_id: str) -> DataFrame:
+        """AUDIT step: the staged rows, readable in isolation — run
+        quality gates here before anything is published."""
+        doc = self._staged_doc(stage_id)
+        return self._read_files([f["path"] for f in doc["files"]], doc["schema"])
+
+    def publish(self, stage_id: str, max_retries: int = 5) -> Snapshot:
+        """PUBLISH step: append the staged files to the live chain —
+        same optimistic retry, token dedup, and schema evolution as
+        ``append`` (the staged schema evolves the pinned one; an
+        incompatible stage is rejected HERE, with nothing published).
+        The staged manifest is consumed; replaying publish on a
+        consumed id raises KeyError, and a staged batch_token already
+        in the chain is a no-op that still consumes the stage."""
+        from pyspark.sql.types import StructType
+
+        doc = self._staged_doc(stage_id)
+        token = doc.get("batch_token")
+
+        class _Shim:  # _evolve only touches .schema
+            schema = StructType.fromJson(doc["schema"])
+
+        path = self.root / "meta" / f"staged_{stage_id}.json"
+        for _ in range(max_retries):
+            parent = self.snapshot()
+            tokens = list(parent.batch_tokens) if parent else []
+            if token is not None and token in tokens:
+                path.unlink()
+                return parent  # replayed batch: exactly-once, no-op
+            if token is not None:
+                tokens.append(token)
+            try:
+                snap = self._commit(
+                    (parent.files if parent else []) + doc["files"],
+                    tokens,
+                    parent.version if parent else 0,
+                    schema=self._evolve(
+                        parent.schema if parent else None, _Shim()
+                    ),
+                )
+            except FileExistsError:
+                continue  # racing writer took the version; re-resolve
+            path.unlink()
+            return snap
+        raise RuntimeError(
+            f"publish lost the commit race {max_retries} times at {self.root}"
+        )
+
+    def discard(self, stage_id: str) -> None:
+        """Drop a staged commit: the manifest goes now; its data files
+        are orphans until ``vacuum`` sweeps them."""
+        (self.root / "meta" / f"staged_{stage_id}.json").unlink()
+
     # -- tags (named refs) --------------------------------------------------
 
     _TAG_RE = r"[A-Za-z0-9._-]+"
@@ -903,7 +993,8 @@ class SnapshotTable:
         younger than ``tmp_grace_s`` are spared: they may belong to an
         in-flight commit."""
         cutoff = self._clock() - self.tmp_grace_s
-        for pat in (".commit.tmp.*", "_latest.tmp.*", ".tag_*.tmp.*"):
+        for pat in (".commit.tmp.*", "_latest.tmp.*", ".tag_*.tmp.*",
+                    ".staged_*.tmp.*"):
             for tmp in (self.root / "meta").glob(pat):
                 try:
                     if tmp.stat().st_mtime < cutoff:
@@ -913,6 +1004,10 @@ class SnapshotTable:
         retained: set[str] = set()
         for v in keep:
             retained |= set(self.snapshot(v).paths)  # type: ignore[union-attr]
+        # PENDING staged commits are outside the chain but not orphans:
+        # their files must survive until publish/discard decides.
+        for sid in self.staged():
+            retained |= {f["path"] for f in self._staged_doc(sid)["files"]}
         removed = 0
         for d in (self.root / "data").iterdir():
             live = any(str(p).startswith(str(d)) for p in retained)

@@ -654,3 +654,62 @@ def test_tags_time_travel_and_pin_retention(spark, tmp_dir):
         t.tag("bad name with spaces")
     with pytest.raises(ValueError):
         t.read(version=3, tag="x")
+
+
+def test_write_audit_publish(spark, tmp_dir):
+    """WAP: staged rows are invisible until publish; the audit read
+    sees exactly the staged frame; publish appends atomically with
+    token dedup; discard + vacuum leaves no trace; vacuum SPARES a
+    pending stage's files."""
+    import pytest
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 10))
+
+    sid = t.stage(_batch(spark, 10, 5), batch_token="wap-1")
+    assert t.staged() == [sid]
+    assert t.read().count() == 10  # invisible pre-publish
+    assert t.read_staged(sid).count() == 5  # the audit view
+    # vacuum while pending must NOT sweep the staged files
+    t.vacuum(keep_versions=1)
+    assert t.read_staged(sid).count() == 5
+
+    snap = t.publish(sid)
+    assert t.read().count() == 15
+    assert "wap-1" in snap.batch_tokens
+    assert t.staged() == []
+    with pytest.raises(KeyError):
+        t.publish(sid)  # consumed
+
+    # a stage whose token is already applied publishes as a no-op
+    sid2 = t.stage(_batch(spark, 10, 5), batch_token="wap-1")
+    assert t.publish(sid2).version == snap.version
+    assert t.read().count() == 15
+
+    # discard: manifest gone now, files swept by the next vacuum
+    sid3 = t.stage(_batch(spark, 99, 3))
+    t.discard(sid3)
+    assert t.staged() == []
+    assert t.vacuum(keep_versions=1) >= 1  # the orphaned stage files
+    assert t.read().count() == 15
+
+
+def test_staged_schema_evolves_or_rejects_on_publish(spark, tmp_dir):
+    """Publishing a staged frame with an extra nullable column evolves
+    the pinned schema (same rules as append); an incompatible staged
+    type is rejected AT PUBLISH with nothing landed."""
+    import pytest
+
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    t.append(_batch(spark, 0, 4))
+    wider = _batch(spark, 4, 2).withColumn("note", F.lit("x"))
+    t.publish(t.stage(wider))
+    assert t.read().columns == ["id", "v", "note"]
+    assert t.read().filter(F.col("note").isNull()).count() == 4
+
+    bad = _batch(spark, 9, 1).withColumn("note", F.lit(1.5))  # string->double
+    sid = t.stage(bad)
+    v = t.snapshot().version
+    with pytest.raises(ValueError):
+        t.publish(sid)
+    assert t.snapshot().version == v  # nothing published
