@@ -41,13 +41,41 @@ def main() -> None:
 
     spark = get_spark("incremental-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    big = build_corpus(spark, args.copies)
+    # salted: copies are NOT duplicates of each other, so both indexes
+    # genuinely hold copies× more entries (unsalted, the exact index
+    # collapses to the base distinct-content count by design)
+    big = build_corpus(spark, args.copies, salt=True)
 
     # The "newly arrived" batch: the base documents shifted far past
     # every indexed id — same batch, same text, probed at both scales.
     batch = spark.read.parquet(f"{BASE}/documents.parquet").withColumn(
         "doc_id", F.col("doc_id") + F.lit(900_000_000)
     )
+
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+
+    exact = {}
+    for tag, src in (("1x", BASE), (f"{args.copies}x", big)):
+        root = Path(SCRATCH) / f"exact-{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        eidx = ExactDedupIndex(spark, str(root))
+        eidx.index_batch(
+            spark.read.parquet(f"{src}/documents.parquet"), batch_token="corpus"
+        ).write.format("noop").mode("overwrite").save()
+        ts = []
+        for run in range(args.runs):
+            b = batch.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(run * 1_000_000)
+            )
+            t0 = time.time()
+            eidx.index_batch(b, batch_token=f"probe-{run}").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            ts.append(time.time() - t0)
+        exact[tag] = {
+            "indexed": eidx.doc_count(),
+            "probe_s": round(statistics.mean(ts), 2),
+        }
 
     results = {}
     for tag, src in (("1x", BASE), (f"{args.copies}x", big)):
@@ -85,9 +113,15 @@ def main() -> None:
             f"| {tag} | {r['indexed_docs']} | {r['index_build_s']} "
             f"| {r['probe_s']} ± {r['probe_sd']} |"
         )
+    print("| corpus | exact-index docs | exact probe s |")
+    print("|---|---|---|")
+    for tag, r in exact.items():
+        print(f"| {tag} | {r['indexed']} | {r['probe_s']} |")
     flat = results[f"{args.copies}x"]["probe_s"] / results["1x"]["probe_s"]
+    eflat = exact[f"{args.copies}x"]["probe_s"] / exact["1x"]["probe_s"]
     print(json.dumps({"copies": args.copies, "probe_ratio": round(flat, 2),
-                      "results": results}))
+                      "exact_probe_ratio": round(eflat, 2),
+                      "results": results, "exact": exact}))
 
 
 if __name__ == "__main__":
