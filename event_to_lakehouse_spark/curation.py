@@ -317,3 +317,96 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- unigram LM perplexity (CCNet-style quality signal) ----------------------
+
+PPL_KEEP_MAX = 600.0  # corpus-tuned cut; production uses a held-out LM
+
+
+@query(
+    "text_unigram_perplexity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(regexp_replace(
+               lower(trim(text)),
+               '[\\.,,;:!\\?''"()\\[\\]{{}}-]', '', 'g'), '\\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents
+    ),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks2 GROUP BY tok
+    ),
+    consts AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id, ln((vocab.c + 1) / (consts.n + consts.v)) AS lp
+      FROM toks2 t JOIN vocab ON t.tok = vocab.tok CROSS JOIN consts
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             -avg(lp) AS h
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(h, 4) AS cross_entropy,
+           round(exp(h), 4) AS perplexity,
+           exp(h) <= {PPL_KEEP_MAX} AS keep
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, degenerate-LM edition: score
+    every document's cross-entropy under an add-one-smoothed UNIGRAM
+    model fit on the corpus itself — gibberish/byte-noise docs (rare
+    tokens throughout) score high and fail the keep gate, natural text
+    scores low. Production swaps in a held-out KenLM; the relational
+    shape is identical: token table → count table → probability join →
+    per-doc aggregate.
+
+    Scale shape: the vocab groupBy is partial-aggregated (zipfian keys
+    combine hard map-side); the probability lookup is a hash join on
+    the token — at 100 TB the vocab side is the small one (vocabulary
+    grows ~log of corpus), so AQE broadcasts it and the token stream
+    never shuffles; the per-doc aggregate reuses the token table's
+    layout. The two scalar constants (N, V) ride a broadcast-scalar
+    cross join."""
+    from .functions.text import normalize_text
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    consts = vocab.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.avg("lp")).alias("h"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round("h", 4).alias("cross_entropy"),
+        F.round(F.exp("h"), 4).alias("perplexity"),
+        (F.exp("h") <= PPL_KEEP_MAX).alias("keep"),
+    ).orderBy("doc_id")

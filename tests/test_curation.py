@@ -301,3 +301,33 @@ def test_anomaly_zscore_planted_spike(spark, tmp_path):
     assert len(flagged) == 1 and flagged[0].n == 50
     assert out[0].zscore is None  # no trailing baseline yet
     assert all(not r.is_anomaly for r in out if r.n == 5)
+
+
+def test_unigram_perplexity_flags_gibberish(spark, tmp_path):
+    """A byte-noise document must score far higher perplexity than
+    repetitive natural text drawn from the corpus distribution — and
+    fail the keep gate while the natural docs pass."""
+    import os
+
+    from event_to_lakehouse_spark.curation import text_unigram_perplexity
+    from event_to_lakehouse_spark.tables import TABLES
+
+    sf = str(tmp_path / "sf_ppl")
+    os.makedirs(sf)
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{src}/{name}.parquet", f"{sf}/{name}.parquet")
+    common = "the quick brown fox jumps over the lazy dog " * 30
+    gibberish = " ".join(f"zq{i}xv{i * 7}j" for i in range(200))
+    rows = [(i, common, "en", "web", len(common)) for i in range(20)]
+    rows.append((99, gibberish, "xx", "noise", len(gibberish)))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    out = {r.doc_id: r for r in text_unigram_perplexity(spark, sf).collect()}
+    natural_ppl = out[0].perplexity
+    assert out[99].perplexity > 10 * natural_ppl
+    assert not out[99].keep
+    assert all(out[i].keep for i in range(20))
