@@ -410,3 +410,78 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("h"), 4).alias("perplexity"),
         (F.exp("h") <= PPL_KEEP_MAX).alias("keep"),
     ).orderBy("doc_id")
+
+
+# --- per-document curation scorecard -----------------------------------------
+
+
+def _scorecard_oracle() -> str:
+    """Composed oracle: each signal's REGISTERED SQL becomes a CTE and
+    the joins mirror the Spark side exactly — the scorecard is
+    value-checked as one unit, not assembled from assumed-green parts."""
+    from .dedup import substring  # noqa: F401 — registers its oracle
+    from .operators.relational import ORACLES
+
+    rep = ORACLES["text_repetition_filter"]
+    ppl = ORACLES["text_unigram_perplexity"]
+    sub = ORACLES["text_substring_dedup"]
+    split = ORACLES["corpus_leakage_safe_split"]
+    return f"""
+    WITH rep AS ({rep}), ppl AS ({ppl}), sub AS ({sub}), sp AS ({split})
+    SELECT rep.doc_id,
+           rep.dup_ngram_frac, rep.top_word_frac,
+           ppl.perplexity,
+           coalesce(sub.dup_frac, 0.0) AS substr_dup_frac,
+           sp.split,
+           (rep.keep AND ppl.keep AND coalesce(sub.keep, TRUE)) AS keep
+    FROM rep
+    JOIN ppl ON rep.doc_id = ppl.doc_id
+    LEFT JOIN sub ON rep.doc_id = sub.doc_id
+    JOIN sp ON rep.doc_id = sp.doc_id
+    ORDER BY rep.doc_id
+    """
+
+
+@query("corpus_scorecard", _scorecard_oracle())
+def corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row per document with every curation verdict a training-data
+    pipeline needs to act: repetition signals (Gopher), unigram
+    perplexity (CCNet), duplicated-substring fraction, the leakage-safe
+    split assignment, and the combined keep gate. Each signal is its
+    own oracle-checked operator; this composes their RESULTS (a
+    three-way join on doc_id — docs without duplicated substrings
+    left-join as clean), so the scorecard inherits each signal's plan
+    shape instead of recomputing anything differently."""
+    from .dedup.substring import text_substring_dedup
+
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", "dup_ngram_frac", "top_word_frac",
+        F.col("keep").alias("rep_keep"),
+    )
+    ppl = text_unigram_perplexity(spark, sf_dir).select(
+        "doc_id", "perplexity", F.col("keep").alias("ppl_keep")
+    )
+    sub = text_substring_dedup(spark, sf_dir).select(
+        "doc_id", F.col("dup_frac").alias("substr_dup_frac"),
+        F.col("keep").alias("sub_keep"),
+    )
+    sp = corpus_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        rep.join(ppl, "doc_id")
+        .join(F.broadcast(sub), "doc_id", "left")
+        .join(sp, "doc_id")
+        .select(
+            "doc_id",
+            "dup_ngram_frac",
+            "top_word_frac",
+            "perplexity",
+            F.coalesce("substr_dup_frac", F.lit(0.0)).alias("substr_dup_frac"),
+            "split",
+            (
+                F.col("rep_keep")
+                & F.col("ppl_keep")
+                & F.coalesce("sub_keep", F.lit(True))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
