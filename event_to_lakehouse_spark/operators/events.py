@@ -850,3 +850,176 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_anomaly"),
     ).orderBy("event_type", "hour")
+
+
+# --- interval islands (gaps-and-islands over derived intervals) ------------
+#
+# Each event opens an activity interval [ts, ts + dur] where dur is the
+# event's `value` clamped to [0, IV_MAX_S] seconds (NULL -> 0). Islands
+# are the connected unions of OVERLAPPING intervals per user — distinct
+# from sessionization (events_sessionize), which chains on inter-EVENT
+# gaps; interval union instead asks "how much wall-clock was covered",
+# the primitive behind utilization / active-time / SLA-coverage rollups.
+IV_MAX_S = 600
+
+
+@query(
+    "events_interval_islands",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(round(least(greatest(coalesce(value, 0), 0), {IV_MAX_S}))
+                      AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    labeled AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           min(s) AS island_start, max(e) AS island_end,
+           CAST(max(e) - min(s) AS BIGINT) AS covered_s,
+           count(*) AS n_events
+    FROM labeled
+    GROUP BY user_id, island_id
+    ORDER BY user_id, island_id
+    """,
+)
+def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-event activity intervals into islands
+    (classic gaps-and-islands): an island breaks where an interval
+    starts strictly after the running max end of everything before it.
+
+    Scale shape: ONE shuffle on user_id; both windows are running
+    accumulations over the same (user_id, s) ordering, so they fuse
+    into one Window exec with bounded state — streamable, and the
+    final groupBy on (user_id, island_id) partial-aggregates map-side.
+    Epoch-second BIGINTs keep the arithmetic engine-portable."""
+    events = load_tables(spark, sf_dir)["events"]
+    dur = F.round(
+        F.least(F.greatest(F.coalesce(F.col("value"), F.lit(0.0)), F.lit(0.0)),
+                F.lit(float(IV_MAX_S)))
+    ).cast("long")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + dur).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    labeled = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    return (
+        labeled.groupBy("user_id", F.col("island_id").cast("long").alias("island_id"))
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            (F.max("e") - F.min("s")).cast("long").alias("covered_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "island_id")
+    )
+
+
+@query(
+    "events_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_low,
+           CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_high,
+           round(b.p05, 4) AS p05,
+           round(b.p95, 4) AS p95,
+           round(avg(e.value), 4) AS mean_raw,
+           round(avg(least(greatest(e.value, b.p05), b.p95)), 4)
+             AS mean_winsorized
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, b.p05, b.p95
+    ORDER BY e.event_type
+    """,
+)
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp the metric to its own group's
+    exact [p05, p95] band and report raw-vs-winsorized means plus clamp
+    counts — the outlier-robustification step that precedes any mean /
+    regression over heavy-tailed telemetry.
+
+    Scale shape: pass 1 aggregates exact per-type percentiles (group
+    count is the event-type cardinality — tiny), which then BROADCAST
+    back onto the fact, so pass 2 is a map-side clamp + one partial-
+    aggregated shuffle. At 100 TB the exact percentile pass is the cost
+    driver; swap it for approx_percentile partials (same broadcast
+    shape) when the per-group row count no longer sorts in memory."""
+    events = load_tables(spark, sf_dir)["events"].filter(F.col("value").isNotNull())
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clamped = events.join(F.broadcast(bounds), "event_type").withColumn(
+        "w_value", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return (
+        clamped.groupBy("event_type", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("p05")).cast("long")).alias("n_clamped_low"),
+            F.sum((F.col("value") > F.col("p95")).cast("long")).alias(
+                "n_clamped_high"
+            ),
+            _r4(F.avg("value")).alias("mean_raw"),
+            _r4(F.avg("w_value")).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clamped_low",
+            "n_clamped_high",
+            _r4(F.col("p05")).alias("p05"),
+            _r4(F.col("p95")).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+        .orderBy("event_type")
+    )

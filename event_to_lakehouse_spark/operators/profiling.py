@@ -101,3 +101,96 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nullable double column for null-spike gating)."""
     t = load_tables(spark, sf_dir)
     return profile(t["events"], _EVENTS_PROFILE_COLS)
+
+
+# --- declarative data-quality constraint suite (Deequ-style) ---------------
+#
+# A 100 TB ingestion gate wants named pass/fail constraints, not raw
+# profiles: completeness, key uniqueness, value-range compliance,
+# pattern conformance, and referential integrity, all computed in ONE
+# pass over the fact (the dimension side of the RI check rides a
+# broadcast join, so the fact is still scanned exactly once).
+_QC = [
+    # (constraint_name, metric_col, threshold)
+    ("completeness:o_custkey", "m_completeness", 1.0),
+    ("compliance:o_totalprice_range", "m_compliance", 0.99),
+    ("pattern:o_orderpriority", "m_pattern", 1.0),
+    ("referential:o_custkey->customer", "m_ri", 1.0),
+    ("uniqueness:o_orderkey", "m_uniqueness", 1.0),
+]
+
+_QC_ORACLE = """
+WITH j AS (
+  SELECT o.*, c.c_custkey AS ref_custkey
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+), m AS (
+  SELECT avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           AS m_completeness,
+         CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*)
+           AS m_uniqueness,
+         avg(CASE WHEN o_totalprice > 0 AND o_totalprice <= 600000
+                  THEN 1.0 ELSE 0.0 END) AS m_compliance,
+         avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1.0 ELSE 0.0 END) AS m_pattern,
+         avg(CASE WHEN ref_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           AS m_ri
+  FROM j
+)
+SELECT * FROM (
+{unions}
+) ORDER BY constraint_name
+""".format(
+    unions="  UNION ALL ".join(
+        f"SELECT '{name}' AS constraint_name, round({m}, 6) AS metric, "
+        f"CAST({thr} AS DOUBLE) AS threshold, {m} >= {thr} AS passed FROM m\n"
+        for name, m, thr in _QC
+    )
+)
+
+
+@query("quality_constraints", _QC_ORACLE)
+def quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint verification suite over the orders fact: every
+    metric is an aggregate of the SAME single scan (customer rides in
+    as a broadcast for the referential check), so the whole report
+    costs one fact pass + a 1-row shuffle regardless of table size.
+    ``passed`` is computed on the unrounded metric; the displayed
+    metric rounds to 6 places for cross-engine hash stability."""
+    t = load_tables(spark, sf_dir)
+    orders, customer = t["orders"], t["customer"]
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left",
+    )
+    one = joined.agg(
+        F.avg(F.col("o_custkey").isNotNull().cast("double")).alias("m_completeness"),
+        (
+            F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1))
+        ).alias("m_uniqueness"),
+        F.avg(
+            (
+                (F.col("o_totalprice") > 0) & (F.col("o_totalprice") <= 600000)
+            ).cast("double")
+        ).alias("m_compliance"),
+        F.avg(F.col("o_orderpriority").rlike("^[1-5]-").cast("double")).alias(
+            "m_pattern"
+        ),
+        F.avg(F.col("c_custkey").isNotNull().cast("double")).alias("m_ri"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint_name"),
+                F.round(F.col(m), 6).alias("metric"),
+                F.lit(float(thr)).alias("threshold"),
+                (F.col(m) >= F.lit(float(thr))).alias("passed"),
+            )
+            for name, m, thr in _QC
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("c"))
+        .select("c.*")
+        .orderBy("constraint_name")
+    )

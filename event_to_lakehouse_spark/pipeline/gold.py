@@ -353,3 +353,69 @@ def gold_asset_posture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver-facing catalog: ≤50 names, previously-unverified-first order
 # (hedges a time-capped driver; a count-capped driver fits either way).
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "gold_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id AS asset_uid, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT asset_uid, state, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> state
+    )
+    SELECT asset_uid, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY asset_uid
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY asset_uid
+                                  ORDER BY valid_from, event_id) IS NULL
+             AS is_current,
+           CAST(row_number() OVER (PARTITION BY asset_uid
+                                   ORDER BY valid_from, event_id) AS INTEGER)
+             AS version
+    FROM changes
+    ORDER BY asset_uid, version
+    """,
+)
+def gold_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from the event
+    log: consecutive same-state observations collapse, each state
+    CHANGE opens a version row with [valid_from, valid_to) effectivity
+    and an is_current flag on the open tail. This is the history twin
+    of ``gold_current_assets`` (latest-wins state) — the reference's
+    silver layer only keeps current state (bronze_assets_to_silver_
+    assets.py latest-wins upsert); a lakehouse gold layer needs the
+    as-was view for point-in-time joins and audit.
+
+    Scale shape: ONE shuffle on the dimension key; the change-detect
+    lag, the valid_to lead, and the version row_number all share the
+    (asset_uid, time) sort so Catalyst fuses them into two Window
+    execs over one exchange. Output size is change-count, not
+    event-count — the dimension stays small relative to the fact."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.col("user_id").alias("asset_uid"),
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("asset_uid", "state", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("asset_uid").orderBy("valid_from", "event_id")
+    versioned = changes.select(
+        "asset_uid",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("int").alias("version"),
+    )
+    return versioned.orderBy("asset_uid", "version")
