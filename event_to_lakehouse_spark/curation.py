@@ -485,3 +485,111 @@ def corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- cross-source shingle overlap matrix -----------------------------------
+#
+# Which sources share content? Distinct (source, word-3-gram) sets
+# compared pairwise via an equi self-join on the shingle — the corpus-
+# composition diagnostic run before mixing sources into a training
+# blend (high containment ⇒ one source is a subset/mirror of another
+# and double-counts under naive mixture weights).
+OVL_NGRAM = 3
+OVL_MIN_COMMON = 5
+
+
+@query(
+    "corpus_source_overlap",
+    f"""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+      FROM t, unnest(range(1, len(w) - {OVL_NGRAM - 2})) AS r(i)
+      WHERE len(w) >= {OVL_NGRAM}
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_common,
+           round(p.n_common / least(sa.n, sb.n), 4) AS containment,
+           round(p.n_common / (sa.n + sb.n - p.n_common), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.source = p.source_a
+    JOIN sizes sb ON sb.source = p.source_b
+    WHERE p.n_common >= {OVL_MIN_COMMON}
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap on distinct word-3-gram sets:
+    containment (|A∩B| / min size — catches subset mirrors) and
+    Jaccard, for every source pair sharing ≥ OVL_MIN_COMMON shingles.
+
+    Scale shape: the distinct (source, gram) set is ONE partial-
+    aggregated shuffle off the token stream; the pair join is an EQUI
+    join on the gram (hash-partitioned, never all-pairs) whose output
+    is source-pair-bounded — at 20 sources that is ≤190 rows out of the
+    final rollup no matter the corpus size. Per-source set sizes are a
+    source-cardinality table, broadcast into the final projection. A
+    million-source corpus would swap the gram join for minhash
+    signatures per source (dedup/minhash.py) — same shape, sketch-
+    sized."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("source", F.split(F.lower("text"), " ").alias("w")).filter(
+        F.size("w") >= OVL_NGRAM
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (OVL_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i),
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+        ),
+    )
+    grams = (
+        toks.select("source", F.explode(gram).alias("gram")).distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= OVL_MIN_COMMON)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("source_a") == F.col("sa.source"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.least(F.col("sa.n"), F.col("sb.n")), 4
+            ).alias("containment"),
+            F.round(
+                F.col("n_common")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

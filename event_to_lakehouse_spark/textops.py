@@ -900,3 +900,90 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # current state + posture rollup (the reference's promised-but-unbuilt
 # gold layer, driver-checked).
 # ---------------------------------------------------------------------------
+
+
+# --- TF-IDF characteristic terms per source --------------------------------
+TFIDF_TOPK = 5
+TFIDF_MIN_LEN = 2
+
+
+@query(
+    "text_tfidf_topterms",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, count(*) AS tf
+      FROM tok WHERE length(term) >= {TFIDF_MIN_LEN}
+      GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((1.0 + n.n_sources) / (1.0 + df.df)) + 1.0), 4)
+               AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT source, term, tf, CAST(df AS BIGINT) AS df, tfidf,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT source, term, tf, df, tfidf, rank
+    FROM ranked WHERE rank <= {TFIDF_TOPK}
+    ORDER BY source, rank
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source: smoothed TF-IDF
+    (tf · (ln((1+N)/(1+df)) + 1), sklearn's smooth-idf) with top-k
+    terms per source — the corpus-exploration query behind domain
+    tagging and mixture design.
+
+    Scale shape: explode → (source, term) partial-aggregated groupBy is
+    the only fact-sized shuffle; the document-frequency table and the
+    scalar source count are term/1-row-scale and BROADCAST back; the
+    per-source top-k is a bounded-partition window over the tiny scored
+    table. Token text never rides a shuffle wider than (source, term)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") >= TFIDF_MIN_LEN)
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_sources = docs.agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n_sources")) / (1.0 + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("source", "term", "tf", "df", "tfidf", "rank")
+        .orderBy("source", "rank")
+    )
