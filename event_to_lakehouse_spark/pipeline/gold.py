@@ -419,3 +419,144 @@ def gold_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w2).cast("int").alias("version"),
     )
     return versioned.orderBy("asset_uid", "version")
+
+
+# --- incremental SCD2 maintenance ------------------------------------------
+#
+# ``gold_scd2_history`` recomputes the full dimension from all events;
+# at 100 TB the operating mode is INCREMENTAL: each micro-batch closes
+# the affected open versions and appends new ones, touching only the
+# keys present in the batch. Storage rides SnapshotTable.merge (COW,
+# exactly-once batch tokens): each history row carries a surrogate
+# ``hist_key`` = (asset_uid, version) and a ``closed`` ordinal, so
+# "close the open row" is a latest-wins merge where the closed copy
+# (closed=1) beats the stored open copy (closed=0) — no row-level
+# UPDATE primitive needed.
+
+_SCD2_COLS = [
+    "asset_uid", "state", "valid_from", "valid_to", "is_current", "version",
+]
+
+
+def _scd2_finish(versions: DataFrame) -> DataFrame:
+    """Stamp the storage columns (hist_key surrogate + closed ordinal)
+    onto computed version rows."""
+    return versions.select(
+        *_SCD2_COLS,
+        F.concat_ws(":", F.col("asset_uid"), F.col("version")).alias("hist_key"),
+        (~F.col("is_current")).cast("int").alias("closed"),
+    )
+
+
+def scd2_apply_batch(table, batch: DataFrame, batch_token: str | None = None) -> dict:
+    """Apply one event batch (asset_uid, state, ts, event_id) to the
+    SCD2 history held in ``table`` (a SnapshotTable).
+
+    Batches must be time-ordered per key: an event older than its key's
+    open-version ``valid_from`` is LATE — counted, dropped, reported
+    (rewriting closed history needs a backfill recompute, not a merge).
+    Within that contract the result equals ``gold_scd2_history`` over
+    the union of all applied batches (pytest-pinned).
+
+    Scale shape: the open-row lookup is a key-co-partitioned join
+    against an is_current filter (on Iceberg/Delta this is the
+    current-partition scan); change detection is the same one-shuffle
+    lag/lead/row_number stack as the full recompute, but over
+    |batch| + |touched keys| rows only; the merge rewrites only files
+    whose stats overlap the touched hist_keys. Cost tracks batch size,
+    not history size."""
+    events = batch.select(
+        "asset_uid", "state", "ts", F.col("event_id").cast("long").alias("event_id")
+    )
+    snap = table.snapshot()
+    if snap is None:
+        open_info = None
+    else:
+        keys = events.select("asset_uid").distinct()
+        open_info = (
+            table.read()
+            .filter(F.col("is_current"))
+            .join(keys, "asset_uid")
+            .select(
+                "asset_uid",
+                F.col("state").alias("_open_state"),
+                F.col("valid_from").alias("_vf"),
+                F.col("version").alias("_base_version"),
+            )
+        )
+
+    if open_info is not None:
+        joined = events.join(open_info, "asset_uid", "left")
+        late = joined.filter(
+            F.col("_vf").isNotNull() & (F.col("ts") < F.col("_vf"))
+        )
+        n_late = late.count()
+        ok = joined.filter(F.col("_vf").isNull() | (F.col("ts") >= F.col("_vf")))
+        # seed: the open version as a pseudo-event ordered BEFORE any
+        # batch event at the same timestamp (event_id -1)
+        seed = open_info.select(
+            "asset_uid",
+            F.col("_open_state").alias("state"),
+            F.col("_vf").alias("ts"),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(1).alias("_is_seed"),
+            "_base_version",
+        )
+        stream = ok.select(
+            "asset_uid", "state", "ts", "event_id",
+            F.lit(0).alias("_is_seed"), "_base_version",
+        ).unionByName(seed)
+    else:
+        n_late = 0
+        stream = events.select(
+            "asset_uid", "state", "ts", "event_id",
+            F.lit(0).alias("_is_seed"),
+            F.lit(None).cast("int").alias("_base_version"),
+        )
+
+    w = Window.partitionBy("asset_uid").orderBy("ts", "event_id")
+    flagged = stream.select(
+        "asset_uid", "state", "ts", "event_id", "_is_seed", "_base_version",
+        F.lag("state").over(w).alias("_prev"),
+    )
+    changes = flagged.filter(
+        (F.col("_is_seed") == 0)
+        & (F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+    ).select(
+        "asset_uid", "state", F.col("ts").alias("valid_from"),
+        "event_id", "_base_version",
+    )
+    w2 = Window.partitionBy("asset_uid").orderBy("valid_from", "event_id")
+    new_versions = changes.select(
+        "asset_uid",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        (
+            F.coalesce(F.col("_base_version"), F.lit(0))
+            + F.row_number().over(w2)
+        ).cast("int").alias("version"),
+    )
+
+    updates = _scd2_finish(new_versions)
+    if open_info is not None:
+        # close the formerly-open row of every key the batch changed
+        first_change = changes.groupBy("asset_uid").agg(
+            F.min("valid_from").alias("_close_ts")
+        )
+        closures = open_info.join(first_change, "asset_uid").select(
+            "asset_uid",
+            F.col("_open_state").alias("state"),
+            F.col("_vf").alias("valid_from"),
+            F.col("_close_ts").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+            F.col("_base_version").alias("version"),
+        )
+        updates = updates.unionByName(_scd2_finish(closures))
+
+    n_new = updates.filter(F.col("is_current")).count()
+    snap = table.merge(
+        updates, key="hist_key", order_col="closed", batch_token=batch_token
+    )
+    return {"snapshot": snap, "n_late_dropped": n_late, "n_open_after": n_new}

@@ -868,6 +868,17 @@ class SnapshotTable:
             return self.append(updates, batch_token=batch_token)
         if batch_token is not None and batch_token in snap.batch_tokens:
             return snap
+        if updates.isEmpty():
+            # An empty update batch changes no rows; still record its
+            # token (the replay contract) as a files-unchanged commit.
+            if batch_token is None:
+                return snap
+            return self._commit(
+                snap.files,
+                list(snap.batch_tokens) + [batch_token],
+                snap.version,
+                schema=snap.schema,
+            )
         touched, untouched = snap.files, []
         if self.stats_col == key:
             bounds = updates.agg(

@@ -222,3 +222,80 @@ def test_incremental_gold_matches_full_rebuild(
     refresh_current_assets_incremental(st, gt)
     assert_mart_matches()
     assert gt.read().filter(F.col("asset_uid") == uid).count() == 0
+
+
+# --- incremental SCD2 -------------------------------------------------------
+
+
+def _scd2_batches(spark, n=3):
+    from event_to_lakehouse_spark.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001")["events"].select(
+        F.col("user_id").alias("asset_uid"),
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+    )
+    # time-ordered split: equal-ts rows can never straddle a boundary
+    cuts = ev.approxQuantile("event_id", [i / n for i in range(1, n)], 0)
+    bounds = (
+        ev.select(F.expr(
+            "percentile(cast(unix_micros(ts) as double), array("
+            + ",".join(str(i / n) for i in range(1, n))
+            + "))"
+        ).alias("p")).first()["p"]
+    )
+    batches = []
+    lo = None
+    for hi in list(bounds) + [None]:
+        cond = F.lit(True)
+        us = F.unix_micros(F.col("ts")).cast("double")
+        if lo is not None:
+            cond = cond & (us >= lo)
+        if hi is not None:
+            cond = cond & (us < hi)
+        batches.append(ev.filter(cond))
+        lo = hi
+    return ev, batches
+
+
+def test_scd2_incremental_equals_full_recompute(spark, tmp_dir):
+    from event_to_lakehouse_spark.pipeline.gold import (
+        gold_scd2_history,
+        scd2_apply_batch,
+    )
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    ev, batches = _scd2_batches(spark, n=3)
+    table = SnapshotTable(spark, f"{tmp_dir}/scd2", stats_col="hist_key")
+    for i, b in enumerate(batches):
+        res = scd2_apply_batch(table, b, batch_token=f"b{i}")
+        assert res["n_late_dropped"] == 0
+
+    cols = ["asset_uid", "state", "valid_from", "valid_to", "is_current", "version"]
+    got = table.read().select(*cols).toPandas()
+    want = gold_scd2_history(spark, "/root/testdata/sf0.001").select(*cols).toPandas()
+    got = got.sort_values(["asset_uid", "version"]).reset_index(drop=True)
+    want = want.sort_values(["asset_uid", "version"]).reset_index(drop=True)
+    assert got.equals(want), "incremental SCD2 != full recompute"
+
+
+def test_scd2_incremental_replay_and_late(spark, tmp_dir):
+    from event_to_lakehouse_spark.pipeline.gold import scd2_apply_batch
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    ev, batches = _scd2_batches(spark, n=2)
+    table = SnapshotTable(spark, f"{tmp_dir}/scd2", stats_col="hist_key")
+    scd2_apply_batch(table, batches[0], batch_token="b0")
+    v1 = table.snapshot().version
+    # replaying the same token is a no-op
+    scd2_apply_batch(table, batches[0], batch_token="b0")
+    assert table.snapshot().version == v1
+    before = table.read().count()
+    # a batch entirely older than the open versions: all rows late-drop
+    res = scd2_apply_batch(table, batches[0], batch_token="late0")
+    # every non-first-arrival event of batch 0 is late; first-arrival
+    # duplicates collapse against the identical seed state, so nothing
+    # changes
+    assert res["n_late_dropped"] > 0
+    assert table.read().count() == before
