@@ -90,6 +90,17 @@ HEADLINE = [
     "profile_documents",
     "gold_current_assets",
     "gold_asset_posture",
+    # round-5 consolidation batch (absent on the A side of the first
+    # A/B round that includes them; "value_shared" keeps the
+    # round-over-round total comparable). corpus_source_overlap is
+    # probed in SCALING.md instead — its gram self-join would dominate
+    # the headline total without adding plan-shape signal.
+    "events_interval_islands",
+    "gold_scd2_history",
+    "events_winsorize",
+    "quality_constraints",
+    "text_tfidf_topterms",
+    "ann_hard_negatives",
 ]
 
 PKG = "event_to_lakehouse_spark"
@@ -243,6 +254,12 @@ def main() -> None:
         ratios = sorted(v["ratio"] for v in ab.values() if v["ratio"])
         if ratios:
             out["ab_median_ratio"] = round(ratios[len(ratios) // 2], 3)
+        # Total over only the queries BOTH sides ran — the number to
+        # compare against the previous round's total when HEADLINE
+        # gained entries this round (the raw "value" would inflate).
+        out["value_shared"] = round(
+            sum(statistics.mean(b_times[n]) for n in ab), 3
+        )
     print(json.dumps(out))
 
 

@@ -54,8 +54,11 @@ SWAPPED two driver slots: ``dedup_minhash_lsh`` / ``dedup_simhash_pairs``
 successors so every driver entry now carries an oracle. Round 5
 promoted seven more oracle-green entries (sketches, forward as-of,
 curation ops, the incremental dedup index) into seats whose plan
-pattern a kept sibling certifies — the inline comments at the swap
-block carry the per-seat rationale.
+pattern a kept sibling certifies, then five more in the consolidation
+pass (hard negatives, interval islands, SCD2 history, the constraint
+suite, TF-IDF) where each promoted plan strictly contains the plan of
+the seat it takes — the inline comments at the two swap blocks carry
+the per-seat rationale.
 """
 
 from __future__ import annotations
@@ -90,13 +93,11 @@ FINAL_CATALOG: list[str] = [
     "text_enrich",
     "text_samples",
     "multimodal_transform",
-    "gold_current_assets",
     "gold_asset_posture",
     "q2_min_cost_per_part",
     "q9_product_profit",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
-    "profile_documents",
     "dedup_ngram_jaccard",
     "dedup_cluster_labels",
     # r4: portable-hash successors of dedup_minhash_lsh /
@@ -106,10 +107,8 @@ FINAL_CATALOG: list[str] = [
     "dedup_minhash_lsh_portable",
     "dedup_simhash_pairs_portable",
     "dedup_embedding_neardup",
-    "ann_bruteforce_topk",
     "ann_lsh_bucketed_topk",
     "ann_ivf_topk",
-    "text_token_topk",
     "text_decontaminate",
     "multimodal_features",
     # --- r5 swap-ins: oracle-green registry entries promoted so the
@@ -135,6 +134,27 @@ FINAL_CATALOG: list[str] = [
     "text_repetition_filter",
     "corpus_domain_mix",
     "dedup_incremental",
+    # --- r5 consolidation swap-ins: each promoted entry's plan is a
+    # strict SUPERSET of the seat it takes, so the retired pattern
+    # stays driver-certified through the successor (and the retired
+    # entry itself stays registry+pytest+oracle-green):
+    #   ann_bruteforce_topk -> ann_hard_negatives (same broadcast-
+    #        anchor scan + rank; adds the label-mismatch filter)
+    #   events_sessionize -> events_interval_islands (lag-gap flag ⊂
+    #        running-max overlap flag + island rollup; sessionize also
+    #        stays streaming-certified via session_windows pytest)
+    #   gold_current_assets -> gold_scd2_history (latest-per-key rn=1
+    #        ⊂ lag/lead/row_number SCD2 stack; latest_per_key itself
+    #        stays driver-certified inside gold_asset_posture)
+    #   profile_documents -> quality_constraints (one-scan agg + melt
+    #        ⊂ same melt + broadcast referential join + verdicts)
+    #   text_token_topk -> text_tfidf_topterms (explode+agg+topk ⊂
+    #        tf×df weighting + per-group window topk)
+    "ann_hard_negatives",
+    "events_interval_islands",
+    "gold_scd2_history",
+    "quality_constraints",
+    "text_tfidf_topterms",
     # --- driver-green in round 1, unchanged ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -145,7 +165,6 @@ FINAL_CATALOG: list[str] = [
     "join_range_follow_events",
     "join_asof_prior_purchase",
     "join_basket_copurchase",
-    "events_sessionize",
     "events_normalized_contract",
     "events_retention_cohorts",
     "events_funnel_conversion",
