@@ -392,15 +392,18 @@ def gold_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets.py latest-wins upsert); a lakehouse gold layer needs the
     as-was view for point-in-time joins and audit.
 
-    Scale shape: ONE shuffle on the dimension key; the change-detect
-    lag, the valid_to lead, and the version row_number all share the
-    (asset_uid, time) sort so Catalyst fuses them into two Window
-    execs over one exchange. Output size is change-count, not
-    event-count — the dimension stays small relative to the fact."""
+    Scale shape: ONE hash shuffle on the dimension key: both windows
+    share the (user_id, ts, event_id) partitioning+sort, so the lead/
+    row_number Window rides the lag Window's exchange. The key/time
+    columns keep their ORIGINAL names until the final projection —
+    renaming them between the windows breaks Catalyst's alias-aware
+    partitioning propagation and costs a second full shuffle (measured:
+    2 hash exchanges with the mid-pipeline rename, 1 without). Output
+    size is change-count, not event-count."""
     events = load_tables(spark, sf_dir)["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = events.select(
-        F.col("user_id").alias("asset_uid"),
+        "user_id",
         F.col("event_type").alias("state"),
         "ts",
         "event_id",
@@ -408,14 +411,14 @@ def gold_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = ordered.filter(
         F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
-    ).select("asset_uid", "state", F.col("ts").alias("valid_from"), "event_id")
-    w2 = Window.partitionBy("asset_uid").orderBy("valid_from", "event_id")
+    ).select("user_id", "state", "ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     versioned = changes.select(
-        "asset_uid",
+        F.col("user_id").alias("asset_uid"),
         "state",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).cast("int").alias("version"),
     )
     return versioned.orderBy("asset_uid", "version")
@@ -519,20 +522,20 @@ def scd2_apply_batch(table, batch: DataFrame, batch_token: str | None = None) ->
         "asset_uid", "state", "ts", "event_id", "_is_seed", "_base_version",
         F.lag("state").over(w).alias("_prev"),
     )
+    # `ts` keeps its name through the second window — renaming it here
+    # would break alias-aware partitioning propagation and re-shuffle
+    # (see gold_scd2_history's scale note).
     changes = flagged.filter(
         (F.col("_is_seed") == 0)
         & (F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
-    ).select(
-        "asset_uid", "state", F.col("ts").alias("valid_from"),
-        "event_id", "_base_version",
-    )
-    w2 = Window.partitionBy("asset_uid").orderBy("valid_from", "event_id")
+    ).select("asset_uid", "state", "ts", "event_id", "_base_version")
+    w2 = Window.partitionBy("asset_uid").orderBy("ts", "event_id")
     new_versions = changes.select(
         "asset_uid",
         "state",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
         (
             F.coalesce(F.col("_base_version"), F.lit(0))
             + F.row_number().over(w2)
@@ -543,7 +546,7 @@ def scd2_apply_batch(table, batch: DataFrame, batch_token: str | None = None) ->
     if open_info is not None:
         # close the formerly-open row of every key the batch changed
         first_change = changes.groupBy("asset_uid").agg(
-            F.min("valid_from").alias("_close_ts")
+            F.min("ts").alias("_close_ts")
         )
         closures = open_info.join(first_change, "asset_uid").select(
             "asset_uid",
