@@ -378,3 +378,41 @@ def exact_dedup_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def scd2_history_stream(
+    events,
+    table_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming SCD2 maintenance — the production topology of
+    ``pipeline.gold.scd2_apply_batch``: each micro-batch of state
+    observations (asset_uid, state, ts, event_id) closes the open
+    versions it changes and appends the new ones to the SnapshotTable
+    at ``table_root``, with ``batch_id`` as the exactly-once token
+    (replayed micro-batches no-op at the storage layer, including the
+    all-rows-late case, which commits token-only).
+
+    Like the index streams, state lives in the versioned table — no
+    state store, no watermark; a restart resumes from the source
+    checkpoint and the already-applied tokens make overlap harmless.
+    Micro-batch ordering IS the time ordering contract: file streams
+    deliver in arrival order, so late-vs-open-version events are
+    counted and dropped by the batch apply (its documented late-data
+    semantics)."""
+    from ..pipeline.gold import scd2_apply_batch
+    from ..storage.snapshots import SnapshotTable
+
+    def _write(batch_df, batch_id: int) -> None:
+        table = SnapshotTable(
+            batch_df.sparkSession, table_root, stats_col="hist_key"
+        )
+        scd2_apply_batch(table, batch_df, batch_token=f"b{batch_id}")
+
+    writer = events.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

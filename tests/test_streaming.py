@@ -470,3 +470,90 @@ def test_exact_dedup_index_stream_cross_batch(spark, tmp_dir):
     }
     assert got == {1: (True, None), 2: (True, None), 9: (False, 1)}
     assert ExactDedupIndex(spark, f"{tmp_dir}/idx").doc_count() == 2
+
+
+def test_scd2_history_stream_equals_batch(spark, tmp_dir):
+    """Streaming SCD2 topology: state observations arriving as two
+    micro-batches (file stream, maxFilesPerTrigger=1) maintain the same
+    history table a full batch recompute would produce; a checkpointed
+    re-run changes nothing (token no-op)."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import scd2_history_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_uid", T.LongType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    b1 = [
+        {"asset_uid": 1, "state": "new", "ts": "2024-01-01T00:00:00", "event_id": 1},
+        {"asset_uid": 1, "state": "active", "ts": "2024-01-02T00:00:00", "event_id": 2},
+        {"asset_uid": 2, "state": "new", "ts": "2024-01-01T12:00:00", "event_id": 3},
+    ]
+    b2 = [
+        # asset 1 changes again; asset 2 repeats (collapses); asset 3 appears
+        {"asset_uid": 1, "state": "retired", "ts": "2024-01-05T00:00:00", "event_id": 4},
+        {"asset_uid": 2, "state": "new", "ts": "2024-01-03T00:00:00", "event_id": 5},
+        {"asset_uid": 3, "state": "new", "ts": "2024-01-04T00:00:00", "event_id": 6},
+    ]
+    src = Path(tmp_dir) / "obs"
+    src.mkdir()
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate((b1, b2)):
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(_json.dumps(r) for r in batch))
+        # distinct mtimes pin micro-batch ORDER (the file source sorts
+        # by modification time; a same-millisecond tie would deliver
+        # the batches in arbitrary order — and ordering is the
+        # contract scd2_history_stream documents)
+        _os.utime(f, (now + i * 10, now + i * 10))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    q = scd2_history_stream(
+        stream, table_root=f"{tmp_dir}/scd2", checkpoint=f"{tmp_dir}/ckpt"
+    )
+    q.awaitTermination(120)
+
+    got = (
+        SnapshotTable(spark, f"{tmp_dir}/scd2", stats_col="hist_key")
+        .read()
+        .select("asset_uid", "state", "is_current", "version")
+        .orderBy("asset_uid", "version")
+        .collect()
+    )
+    rows = [(r.asset_uid, r.state, r.is_current, r.version) for r in got]
+    assert rows == [
+        (1, "new", False, 1),
+        (1, "active", False, 2),
+        (1, "retired", True, 3),
+        (2, "new", True, 1),
+        (3, "new", True, 1),
+    ]
+
+    # checkpointed re-run: nothing new to process, table untouched
+    v_before = SnapshotTable(spark, f"{tmp_dir}/scd2", stats_col="hist_key").snapshot().version
+    q2 = scd2_history_stream(
+        stream, table_root=f"{tmp_dir}/scd2", checkpoint=f"{tmp_dir}/ckpt"
+    )
+    q2.awaitTermination(60)
+    assert (
+        SnapshotTable(spark, f"{tmp_dir}/scd2", stats_col="hist_key").snapshot().version
+        == v_before
+    )
