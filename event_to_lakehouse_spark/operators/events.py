@@ -1023,3 +1023,84 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_rollup_cascade",
+    """
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             count(*) AS n, sum(value) AS sv,
+             sum(value * value) AS svv, max(value) AS mx
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_events, sum_value,
+           sum_value / n_events AS avg_value,
+           CASE WHEN n_events > 1 THEN
+             sqrt((sq_value - sum_value * sum_value / n_events)
+                  / (n_events - 1)) END AS std_value,
+           max_value
+    FROM (
+      SELECT event_type, CAST(date_trunc('day', hour) AS TIMESTAMP) AS day,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             round(sum(sv), 4) AS sum_value,
+             round(sum(svv), 4) AS sq_value,
+             max(mx) AS max_value
+      FROM hourly
+      GROUP BY event_type, date_trunc('day', hour)
+    )
+    ORDER BY event_type, day
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup CASCADE (the hypertable / continuous-
+    aggregate pattern): the daily tier is re-aggregated FROM the hourly
+    tier's mergeable partials — (n, Σv, Σv², max) — never from the raw
+    facts, including avg and sample-std reconstructed from the moment
+    sums. This is the oracle-checked proof that the partial set is
+    sufficient: at 100 TB the raw scan happens once for the finest
+    tier, and every coarser resolution (day/month/year) is a rollup of
+    the previous tier's partials — shuffles shrink with each tier.
+
+    Spark side mirrors it literally: the daily agg consumes the hourly
+    DataFrame, so the physical plan is two chained partial-aggregated
+    shuffles, the second over hour-cardinality rows."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(
+        "event_type", F.window("ts", "1 hour").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+        F.max("value").alias("mx"),
+    )
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("w.start")).alias("day")
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        # avg/std derive from the ROUNDED moment sums (not the raw
+        # accumulators): the raw double sums can differ from the
+        # oracle's by an ulp of accumulation order, and a derived
+        # quotient landing on a .00005 boundary then rounds apart —
+        # deriving from the rounded, already-hash-matched sums makes
+        # the downstream arithmetic bit-deterministic cross-engine.
+        _r4(F.sum("sv")).alias("sum_value"),
+        _r4(F.sum("svv")).alias("sq_value"),
+        F.max("mx").alias("max_value"),
+    )
+    n, s, q = F.col("n_events"), F.col("sum_value"), F.col("sq_value")
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        "sum_value",
+        # UNROUNDED on purpose: both engines derive these from the
+        # bit-identical rounded sums, so the IEEE quotient/sqrt are
+        # bit-identical too — while round(q, 4) would re-introduce the
+        # engines' half-tie semantic gap (decimal-string HALF_UP vs
+        # binary round-half-away) exactly at .00005 boundaries, which
+        # quotients of 4-decimal sums by small counts hit routinely.
+        (s / n).alias("avg_value"),
+        F.when(n > 1, F.sqrt((q - s * s / n) / (n - 1))).alias("std_value"),
+        "max_value",
+    ).orderBy("event_type", "day")
