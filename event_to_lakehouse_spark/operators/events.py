@@ -875,7 +875,7 @@ IV_MAX_S = 600
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, s, e, event_id,
              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        >= s
@@ -884,7 +884,8 @@ IV_MAX_S = 600
     ),
     labeled AS (
       SELECT user_id, s, e,
-             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             sum(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY s, e, event_id
                                    ROWS UNBOUNDED PRECEDING) AS island_id
       FROM flagged
     )
@@ -918,6 +919,15 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("s"),
         (F.unix_timestamp("ts") + dur).alias("e"),
     )
+    return interval_islands(iv).orderBy("user_id", "island_id")
+
+
+def interval_islands(iv: DataFrame) -> DataFrame:
+    """Core gaps-and-islands merge over (user_id, event_id, s, e)
+    interval rows (epoch-second bounds, s <= e): one island per maximal
+    run of overlapping-or-touching intervals per user. Randomized-
+    vs-reference pytest (`test_properties`) pins the merge semantics
+    independently of the oracle."""
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("s", "e", "event_id")
@@ -927,13 +937,18 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
         .otherwise(F.lit(1))
         .alias("new_island"),
     )
+    # the running sum MUST share the flag window's full (s, e,
+    # event_id) tiebreak: under a bare (s, e) ordering, two identical
+    # intervals could interleave across the flag row and split one
+    # island's tied rows into two labels nondeterministically
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     labeled = flagged.select(
@@ -942,15 +957,13 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e",
         F.sum("new_island").over(w_run).alias("island_id"),
     )
-    return (
-        labeled.groupBy("user_id", F.col("island_id").cast("long").alias("island_id"))
-        .agg(
-            F.min("s").alias("island_start"),
-            F.max("e").alias("island_end"),
-            (F.max("e") - F.min("s")).cast("long").alias("covered_s"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("user_id", "island_id")
+    return labeled.groupBy(
+        "user_id", F.col("island_id").cast("long").alias("island_id")
+    ).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        (F.max("e") - F.min("s")).cast("long").alias("covered_s"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 

@@ -241,3 +241,59 @@ def test_unionfind_labels_match_bfs_reference(edges):
         for v in comp:
             want[v] = m
     assert got == want
+
+
+def test_interval_islands_match_sweep_reference(spark):
+    """The distributed gaps-and-islands merge must equal a classic
+    single-threaded sweep-line merge on randomized interval sets —
+    including exact duplicates, touching endpoints, zero-length
+    intervals, and nested containment (seeded RNG: deterministic)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.operators.events import interval_islands
+
+    rng = random.Random(20240814)
+    rows = []
+    eid = 0
+    for user in range(12):
+        for _ in range(rng.randint(0, 40)):
+            s = rng.randint(0, 200)
+            e = s + rng.choice([0, 0, 1, 2, 5, 30, rng.randint(0, 80)])
+            rows.append((user, eid, s, e))
+            eid += 1
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("e", T.LongType()),
+        ]
+    )
+    got = {
+        (r.user_id, r.island_start, r.island_end, r.covered_s, r.n_events)
+        for r in interval_islands(
+            spark.createDataFrame(rows, schema).repartition(7)
+        ).collect()
+    }
+
+    want = set()
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, _, s, e in rows:
+        by_user.setdefault(u, []).append((s, e))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in ivs:
+            if cur_s is None:
+                cur_s, cur_e, n = s, e, 1
+            elif s <= cur_e:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                want.add((u, cur_s, cur_e, cur_e - cur_s, n))
+                cur_s, cur_e, n = s, e, 1
+        if cur_s is not None:
+            want.add((u, cur_s, cur_e, cur_e - cur_s, n))
+
+    assert got == want
