@@ -563,3 +563,92 @@ def scd2_apply_batch(table, batch: DataFrame, batch_token: str | None = None) ->
         updates, key="hist_key", order_col="closed", batch_token=batch_token
     )
     return {"snapshot": snap, "n_late_dropped": n_late, "n_open_after": n_new}
+
+
+@query(
+    "join_point_in_time_scd2",
+    """
+    WITH hist AS (
+      SELECT user_id AS asset_uid, event_type AS state, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT asset_uid, state, ts AS valid_from, event_id
+      FROM hist WHERE prev_state IS NULL OR prev_state <> state
+    ),
+    scd2 AS (
+      SELECT asset_uid, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY asset_uid
+                                    ORDER BY valid_from, event_id)
+               AS valid_to
+      FROM changes
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts, round(value, 4) AS value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.value,
+           s.state AS state_at_purchase,
+           s.valid_from
+    FROM probes p JOIN scd2 s
+      ON p.user_id = s.asset_uid
+     AND p.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    ORDER BY p.event_id
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each probe row is enriched with
+    the SCD2 version whose [valid_from, valid_to) effectivity interval
+    contains the probe's event time — the as-was lookup that makes the
+    history dimension useful (training-data labeling without leakage,
+    audit reconstruction). Each probe matches EXACTLY one version
+    (intervals partition the key's timeline from its first
+    observation, and probes are drawn from the same event log, so
+    none precede it).
+
+    Scale shape: equi-join on the dimension key with the interval
+    predicate as a residual filter — co-partitioned fact-fact join,
+    NOT an interval cross-product: rows pair only within a key, and a
+    key's version count is small by construction (change-count). The
+    SCD2 side here is derived inline (registry queries are
+    self-contained); production points this at the maintained
+    SnapshotTable (scd2_apply_batch), where file skipping on hist_key
+    prunes the dimension scan."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = hist.filter(
+        F.col("prev_state").isNull() | (F.col("prev_state") != F.col("state"))
+    ).select("user_id", "state", "ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd2 = changes.select(
+        F.col("user_id").alias("asset_uid"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    probes = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), _r4("value").alias("value")
+    )
+    joined = probes.join(
+        scd2,
+        (probes["user_id"] == scd2["asset_uid"])
+        & (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("state").alias("state_at_purchase"),
+        "valid_from",
+    ).orderBy("event_id")
