@@ -1117,3 +1117,51 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n > 1, F.sqrt((q - s * s / n) / (n - 1))).alias("std_value"),
         "max_value",
     ).orderBy("event_type", "day")
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur AS from_state, nxt AS to_state, n,
+           round(n / sum(n) OVER (PARTITION BY cur), 4) AS p
+    FROM pairs
+    ORDER BY from_state, to_state
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the behavioral-model
+    summary behind journey analysis and anomalous-sequence detection.
+
+    Scale shape: ONE fact shuffle (user_id window) feeding a partial-
+    aggregated (cur, nxt) rollup whose cardinality is event-type²; the
+    row-normalizing window then runs on that tiny matrix. The sequence
+    pairing is lead() — no self-join of the fact against itself."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w_norm = Window.partitionBy("cur")
+    return (
+        pairs.select(
+            F.col("cur").alias("from_state"),
+            F.col("nxt").alias("to_state"),
+            "n",
+            _r4(F.col("n") / F.sum("n").over(w_norm)).alias("p"),
+        )
+        .orderBy("from_state", "to_state")
+    )

@@ -987,3 +987,115 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", "tf", "df", "tfidf", "rank")
         .orderBy("source", "rank")
     )
+
+
+# --- BM25 lexical search ---------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERY = ["merge", "window", "stream"]  # fixed query for the oracle
+
+
+@query(
+    "text_bm25_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+             ) AS score,
+             count(*) AS n_terms_hit
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score,
+           CAST(n_terms_hit AS INTEGER) AS n_terms_hit,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson-Sparck Jones idf, k1/b length
+    normalization) for a fixed query term set — the sparse complement
+    of the ANN dense retrievers; production parameterizes the query and
+    materializes the (doc_id, term, tf) posting table once.
+
+    Scale shape: the posting build is the familiar explode + partial-
+    aggregated (doc_id, term) shuffle; doc lengths reuse that table
+    keyed on doc_id; the query-term df table and the 1-row corpus
+    stats BROADCAST into the scoring join, so scoring scans only the
+    postings of the query's terms (Catalyst pushes `term IN (...)`
+    into the posting scan). Top-k is TakeOrderedAndProject — no global
+    sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df = (
+        tf.filter(F.col("term").isin(BM25_QUERY))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / norm
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            "n_terms_hit",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= BM25_TOPK)
+        .orderBy("rank")
+    )
