@@ -299,3 +299,45 @@ def test_scd2_incremental_replay_and_late(spark, tmp_dir):
     # changes
     assert res["n_late_dropped"] > 0
     assert table.read().count() == before
+
+
+def test_scd2_point_lookup_prunes_files(spark, tmp_dir):
+    """The maintained SCD2 dimension supports file-pruned point
+    lookups: with a bloom filter on asset_uid, fetching one key's
+    version chain reads a subset of the table's files (the
+    join_point_in_time_scd2 docstring's production claim)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.pipeline.gold import scd2_apply_batch
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_uid", T.LongType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    table = SnapshotTable(
+        spark, f"{tmp_dir}/scd2", stats_col="hist_key", bloom_col="asset_uid"
+    )
+    eid = 0
+    # three batches over key ranges disjoint even under hist_key's
+    # LEXICAL ordering (same digit count), so the COW merge's stats
+    # pruning leaves earlier files untouched and the table keeps one
+    # file per batch, each with its own bloom filter
+    for b, uids in enumerate([range(100, 140), range(200, 240), range(300, 340)]):
+        rows = []
+        for u in uids:
+            rows.append((u, "new", dt.datetime(2024, 1, 1 + b), eid))
+            eid += 1
+        scd2_apply_batch(table, spark.createDataFrame(rows, schema), f"b{b}")
+
+    snap = table.snapshot()
+    assert len(snap.files) >= 3
+    hit = table.read_point(205)
+    assert [r.asset_uid for r in hit.collect()] == [205]
+    assert len(hit.inputFiles()) < len(snap.files)
