@@ -131,3 +131,55 @@ def test_hard_negatives_labels_differ(spark):
         assert len(g) <= HN_TOP_K
         assert qid < N_QUERIES
         assert (g.label != emb.loc[qid]).all()
+
+
+def test_rollup_cascade_equals_direct_daily(spark):
+    """The tiered rollup's defining property: the daily tier computed
+    FROM hourly partials equals aggregating the raw facts straight to
+    daily (count/sum/max exactly; avg/std to float tolerance)."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.operators.events import events_rollup_cascade
+    from event_to_lakehouse_spark.tables import load_tables
+
+    got = events_rollup_cascade(spark, SF_SMALL).toPandas()
+    ev = load_tables(spark, SF_SMALL)["events"]
+    direct = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+            F.stddev_samp("value").alias("std_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    key = ["event_type", "day"]
+    got = got.sort_values(key).reset_index(drop=True)
+    direct = direct.sort_values(key).reset_index(drop=True)
+    assert (got.n_events.values == direct.n_events.values).all()
+    assert (got.max_value.values == direct.max_value.values).all()
+    assert abs(got.sum_value.values - direct.sum_value.values).max() < 1e-2
+    assert abs(got.avg_value.values - direct.avg_value.values).max() < 1e-4
+    assert abs(got.std_value.values - direct.std_value.values).max() < 1e-3
+
+
+def test_markov_rows_normalize(spark):
+    from event_to_lakehouse_spark.operators.events import events_markov_transitions
+
+    df = events_markov_transitions(spark, SF_SMALL).toPandas()
+    assert len(df) > 0
+    sums = df.groupby("from_state")["p"].sum()
+    assert ((sums - 1.0).abs() < 0.01).all()  # rows sum to 1 (4-dp rounding)
+    assert (df.n > 0).all()
+
+
+def test_bm25_ranking_sane(spark):
+    from event_to_lakehouse_spark.textops import BM25_TOPK, text_bm25_search
+
+    df = text_bm25_search(spark, SF_SMALL).toPandas()
+    assert 0 < len(df) <= BM25_TOPK
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+    assert (df.score.diff().dropna() <= 1e-9).all()  # non-increasing
+    assert (df.score > 0).all() and (df.n_terms_hit >= 1).all()
