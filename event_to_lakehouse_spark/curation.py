@@ -593,3 +593,106 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- full BPE tokenizer training loop --------------------------------------
+#
+# ``text_bpe_pair_counts`` is ONE step; this is the whole Sennrich
+# training loop. All heavy work stays distributed: per iteration the
+# pair-count aggregate runs over the word-frequency table and exactly
+# ONE row (the argmax pair) is collected; the chosen merge is then
+# applied to every word's symbol array as a Catalyst fold expression.
+# At 100 TB the word table (distinct words × counts) is orders of
+# magnitude smaller than the corpus and the per-iteration cost is two
+# small shuffles — the corpus itself is scanned exactly once, to build
+# the word table.
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, n) word-frequency table — the single corpus pass BPE
+    training runs on."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of merge (a, b) to a symbol
+    array, as a pure Catalyst fold: the accumulator is the partially
+    rebuilt array; a step either fuses the incoming symbol with the
+    accumulator's tail (tail == a AND incoming == b) or appends it.
+    Matching is on EXACT symbol strings, so a freshly fused "ab" can
+    never spuriously re-match an "a" rule — the same greedy semantics
+    as the reference BPE implementation."""
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Train ``n_merges`` BPE merges on a (tok, n) word-frequency
+    table. Returns (ordered merge list, final segmented words
+    DataFrame with a ``symbols`` array column).
+
+    Ties on pair count break by pair string ascending — deterministic
+    and mirrored by the pure-Python reference in the pytest. Only the
+    argmax pair row crosses the driver per iteration; the symbol table
+    is localCheckpointed every few merges to keep the fold lineage
+    shallow (same discipline as dedup.cluster's iterate loop)."""
+    seg = words.select(
+        "tok", "n", F.split("tok", "").alias("symbols")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pair_counts = (
+            seg.filter(F.size("symbols") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda j: F.struct(
+                            F.element_at("symbols", j).alias("a"),
+                            F.element_at("symbols", j + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("n_pair"))
+        )
+        top = pair_counts.orderBy(F.desc("n_pair"), "a", "b").limit(1).collect()
+        if not top or top[0]["n_pair"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        seg = seg.withColumn("symbols", _apply_merge(F.col("symbols"), a, b))
+        if (i + 1) % 4 == 0:
+            seg = seg.localCheckpoint()
+    return merges, seg
+
+
+def bpe_encode(words: DataFrame, merges: list[tuple[str, str]], tok_col: str = "tok") -> DataFrame:
+    """Segment words with an already-trained merge list (the inference
+    side): apply each merge in training order — the standard BPE
+    encode. Adds a ``symbols`` array column."""
+    seg = words.withColumn("symbols", F.split(F.col(tok_col), ""))
+    for i, (a, b) in enumerate(merges):
+        seg = seg.withColumn("symbols", _apply_merge(F.col("symbols"), a, b))
+        if (i + 1) % 4 == 0:
+            seg = seg.localCheckpoint()
+    return seg

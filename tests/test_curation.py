@@ -331,3 +331,58 @@ def test_unigram_perplexity_flags_gibberish(spark, tmp_path):
     assert out[99].perplexity > 10 * natural_ppl
     assert not out[99].keep
     assert all(out[i].keep for i in range(20))
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed BPE trainer must reproduce the classic Sennrich
+    reference algorithm exactly — merge sequence AND final
+    segmentation — on a corpus with overlap traps (aaa under an (a,a)
+    merge, fused symbols that must not re-match their parts)."""
+    from collections import Counter
+
+    from event_to_lakehouse_spark.curation import bpe_encode, bpe_train
+
+    freqs = {
+        "lower": 6, "lowest": 3, "newer": 8, "newest": 5,
+        "wider": 2, "aaa": 4, "banana": 3, "low": 7,
+    }
+    words = spark.createDataFrame(list(freqs.items()), "tok string, n long")
+    n_merges = 8
+    merges, seg = bpe_train(words, n_merges)
+
+    # --- pure-Python reference (Sennrich greedy, same tie-break) ---
+    ref = {w: list(w) for w in freqs}
+    ref_merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, syms in ref.items():
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] += freqs[w]
+        if not counts:
+            break
+        # tie-break: highest count, then lexicographically smallest (a, b)
+        top_n = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top_n)
+        if counts[best] < 2:
+            break
+        ref_merges.append(best)
+        a, b = best
+        for w, syms in ref.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            ref[w] = out
+    assert merges == ref_merges
+
+    got = {r.tok: list(r.symbols) for r in seg.collect()}
+    assert got == ref
+
+    # encode with the trained merges reproduces the training segmentation
+    enc = bpe_encode(words, merges)
+    got_enc = {r.tok: list(r.symbols) for r in enc.collect()}
+    assert got_enc == ref
