@@ -199,6 +199,9 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
         "agg_quantile_histogram",   # rows × broadcast 1-row (mn,mx) bounds
         "agg_hll_portable_merge",   # register sum × broadcast 1-row partial count
         "corpus_domain_mix",        # corpus × broadcast per-domain rate table
+        # r5 consolidation promotions — same intended patterns:
+        "ann_hard_negatives",       # corpus × broadcast anchor set (as bruteforce)
+        "text_tfidf_topterms",      # tf rows × broadcast 1-row source count
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():
