@@ -25,6 +25,7 @@ from .functions.text import (
     token_count,
 )
 from .dedup.exact import FINGERPRINT_SQL
+from .functions.hashing import hash60_duck, hash60_spark
 from .operators.relational import _r4, query
 from .tables import load_tables
 
@@ -1098,4 +1099,63 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= BM25_TOPK)
         .orderBy("rank")
+    )
+
+
+# --- exact-k weighted sampling without replacement (A-ES keys) -------------
+AES_K = 20
+
+
+@query(
+    "text_sample_weighted_topk",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             pow({hash60_duck("'aes|' || CAST(doc_id AS VARCHAR)")} / 1152921504606846976.0,
+                 1.0 / n_chars) AS aes_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, round(aes_key, 6) AS aes_key,
+           CAST(row_number() OVER (ORDER BY aes_key DESC, doc_id)
+                AS INTEGER) AS rank
+    FROM keyed
+    ORDER BY aes_key DESC, doc_id
+    LIMIT {AES_K}
+    """,
+)
+def text_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each doc draws u = portable-hash uniform in (0,1)
+    and competes with key u^(1/w), w = its weight (n_chars here; any
+    positive quality score works). The top-k keys ARE a weighted
+    sample without replacement — unlike the Bernoulli keep-probability
+    sampler (text_sample_weighted), the output size is exactly k.
+
+    Scale shape: the key is a scan-local projection (deterministic
+    hash, no RNG state), and top-k is TakeOrderedAndProject — per-
+    partition heaps of k rows, then a k-row merge on the driver side
+    of the exchange; nothing global ever sorts. Deterministic and
+    shard-parallel by construction: re-partitioning cannot change the
+    sample (same property pinned for the deterministic sampler in
+    test_properties)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    u = F.expr(hash60_spark("concat('aes|', CAST(doc_id AS STRING))")) / F.lit(
+        float(2**60)
+    )
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pow(u, 1.0 / F.col("n_chars")).alias("aes_key"),
+    )
+    top = keyed.orderBy(F.desc("aes_key"), "doc_id").limit(AES_K)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("aes_key"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("aes_key", 6).alias("aes_key"),
+        F.row_number().over(w).cast("int").alias("rank"),
     )
