@@ -1,1 +1,1 @@
-from . import advanced, events, profiling, relational, sketches, skew, tpch_full  # noqa: F401
+from . import advanced, events, graph, profiling, relational, sketches, skew, stats, tpch_full  # noqa: F401

@@ -1,0 +1,298 @@
+"""Relational graph analytics over the co-purchase graph, plus fuzzy
+entity resolution (SURVEY §2 "beyond the reference" tier — the graph /
+record-linkage operators a training-data pipeline runs on entity
+tables).
+
+The graph is derived, not stored: nodes are parts, and an (undirected)
+edge connects two parts that co-occur in at least one order — the same
+derivation ``join_basket_copurchase`` uses, kept as plain relational
+algebra so Catalyst plans it (hash join on ``l_orderkey``, distinct
+for edge dedup).
+
+Operators:
+
+- ``graph_pagerank_parts`` — PageRank, FIXED iteration count (3),
+  damping 0.85. The loop is Python building ONE logical plan per
+  round over a ``localCheckpoint``-ed edge list (the iterative-
+  algorithm lineage pattern proven by ``dedup/cluster.py``); each
+  round is join + groupBy-sum — the textbook relational PageRank
+  (contributions = rank/out-degree flowing over edges). Because a
+  fixed iteration count is just a chained plan, the DuckDB oracle is
+  three chained CTEs — the WHOLE iterative computation is value-
+  checked, not asserted. The symmetrized graph has no dangling nodes
+  (every node has out-degree ≥ 1), so no dangling-mass redistribution
+  term is needed.
+- ``graph_triangle_count`` — per-node triangle counts via the
+  degree-ordered orientation (edges point from the (degree, id)-
+  smaller endpoint to the larger). This is the standard O(m^1.5)
+  enumeration: orientation caps effective out-degree at ~sqrt(2m), so
+  the wedge join never explodes on hub nodes — the same reason the
+  algorithm survives power-law graphs at 100 TB. Counts are exact
+  integers → bit-identical across engines.
+- ``er_fuzzy_part_matches`` — entity resolution over the dirty name
+  vocabulary: blocking (shared head noun) → pairwise Levenshtein →
+  threshold. The classic blocked record-linkage shape: candidate
+  pairs come from an equi-join on the blocking key (never all-pairs),
+  and the edit distance runs only inside blocks. Both engines ship a
+  byte-identical ``levenshtein``.
+
+Scale notes (100 TB posture):
+
+- Edge derivation shuffles lineitem once on ``l_orderkey`` (its
+  natural key); the distinct is a hash agg on (src, dst). PageRank
+  rounds shuffle the rank table on ``src``/``dst`` — node-cardinality,
+  not fact-cardinality. A production run would bucket the edge table
+  by src so every round's join is exchange-free; the
+  ``storage/bucketing.py`` machinery pins that plan shape.
+- Triangle counting's orientation step is why this scales: without
+  it, a single hub of degree d contributes d^2 wedges; with it,
+  out-degree is bounded by ~sqrt(2m) regardless of skew.
+- The ER block join is skew-safe the same way all our blocked joins
+  are: blocks are vocabulary-scale, and a hot block degrades to
+  block_size^2 pairs, never corpus^2. (For name vocabularies that
+  are themselves huge, swap the blocking key for the minhash band
+  machinery in ``dedup/`` — same plan shape.)
+
+Reference parity: the reference (a 2-script event ETL,
+``bronze_assets_to_silver_assets.py``) has no graph or linkage
+operators; this module is part of the ABSENT-category fill mandated
+by SURVEY §2's "large-scale training-data pipeline" tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from .relational import query
+
+DAMPING = 0.85
+PR_ITERS = 3
+ER_MAX_DIST = 2
+
+# Shared DuckDB CTE: distinct directed co-purchase edges (both
+# directions), so every node has out-degree >= 1 by construction.
+_EDGES_CTE = """
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed (src, dst) co-purchase edges, symmetrized."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def _pr_round_sql(prev: str, cur: str) -> str:
+    """One PageRank round as a CTE body (DuckDB oracle)."""
+    return f"""
+    {cur} AS (
+        SELECT p.dst AS node,
+               0.15 / max(n.n) + 0.85 * sum({prev}.pr / d.deg) AS pr
+        FROM pairs p
+        JOIN deg d ON d.src = p.src
+        JOIN {prev} ON {prev}.node = p.src
+        CROSS JOIN n
+        GROUP BY p.dst
+    )"""
+
+
+@query(
+    "graph_pagerank_parts",
+    f"""
+    WITH {_EDGES_CTE},
+    r0 AS (SELECT deg.src AS node, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+    {_pr_round_sql('r0', 'r1')},
+    {_pr_round_sql('r1', 'r2')},
+    {_pr_round_sql('r2', 'r3')}
+    SELECT r3.node AS p_partkey,
+           round(r3.pr * n.n, 4) AS pr_scaled,
+           deg.deg AS degree
+    FROM r3 JOIN deg ON deg.src = r3.node CROSS JOIN n
+    """,
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the co-purchase part graph.
+
+    The Python loop only chains the plan; data never reaches the
+    driver except the node count (one scalar). ``links`` (edges ⋈
+    out-degree) is localCheckpoint-ed once so the three rounds reuse
+    the materialized edge list instead of re-deriving it from
+    lineitem per round (and so the final plan is O(iters), not
+    O(iters × edge-derivation)). ``pr_scaled`` = pr × N — the
+    size-independent relative importance, stable to round(4) across
+    engines because each round is the same IEEE join/sum arithmetic.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    links = edges.join(deg, "src").localCheckpoint(eager=False)
+    n = links.select("src").distinct().count()
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
+    for _ in range(PR_ITERS):
+        ranks = (
+            links.join(ranks, links.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (F.lit(0.15 / n) + F.lit(DAMPING) * F.sum(F.col("pr") / F.col("deg"))).alias("pr")
+            )
+        )
+    return (
+        ranks.join(deg, ranks.node == deg.src)
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.round(F.col("pr") * n, 4).alias("pr_scaled"),
+            F.col("deg").alias("degree"),
+        )
+    )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY src),
+    oriented AS (
+        SELECT p.src, p.dst
+        FROM pairs p
+        JOIN deg ds ON ds.node = p.src
+        JOIN deg dd ON dd.node = p.dst
+        WHERE (ds.deg, ds.node) < (dd.deg, dd.node)
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e2.src = e1.dst
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pernode AS (
+        SELECT node, count(*) AS triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    )
+    SELECT p.node AS p_partkey, p.triangles, d.deg AS degree
+    FROM pernode p JOIN deg d ON d.node = p.node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts, degree-ordered orientation.
+
+    Each undirected edge is kept once, pointing from its (degree, id)-
+    smaller endpoint to the larger — a total order, so every triangle
+    is enumerated exactly once as a < b < c in orientation order and
+    the wedge join's fan-out is bounded by ~sqrt(2m) per node even on
+    hot hubs. Counts are exact integers; no float compare risk.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
+    oriented = (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .where(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return pernode.join(deg, "node").select(
+        F.col("node").alias("p_partkey"), "triangles", F.col("deg").alias("degree")
+    )
+
+
+@query(
+    "er_fuzzy_part_matches",
+    f"""
+    WITH names AS (
+        SELECT p_name,
+               split_part(p_name, ' ', 2) AS blk,
+               count(*) AS n_parts,
+               min(p_partkey) AS canon_key
+        FROM part
+        GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts AS parts_a, b.n_parts AS parts_b,
+           a.canon_key AS canon_a, b.canon_key AS canon_b
+    FROM names a
+    JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_DIST}
+    """,
+)
+def er_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the part-name vocabulary.
+
+    Shape: aggregate to the name vocabulary (the ER universe is
+    distinct surface forms, not rows), equi-join on the blocking key
+    (head noun), Levenshtein ≤ 2 inside blocks only. The survivor
+    key (min partkey per name) makes the output directly usable as a
+    merge map. At 100 TB the vocabulary aggregation is the only
+    fact-sized shuffle; the pair join is vocabulary × block-local.
+    """
+    p = load_tables(spark, sf_dir)["part"]
+    names = p.groupBy(
+        F.col("p_name"), F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk")
+    ).agg(
+        F.count("*").alias("n_parts"),
+        F.min("p_partkey").alias("canon_key"),
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("blk"),
+        F.col("n_parts").alias("parts_a"),
+        F.col("canon_key").alias("canon_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("blk"),
+        F.col("n_parts").alias("parts_b"),
+        F.col("canon_key").alias("canon_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .where(F.col("edit_dist") <= ER_MAX_DIST)
+        .select(
+            "name_a", "name_b", "edit_dist",
+            "parts_a", "parts_b", "canon_a", "canon_b",
+        )
+    )

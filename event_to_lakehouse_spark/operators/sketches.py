@@ -23,7 +23,7 @@ exists so correctness of the DESIGN is machine-checked, not asserted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60_duck, hash60_spark
@@ -301,3 +301,157 @@ def agg_hll_portable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_hll_estimate_sql('reg_sum', 'zeros', 'ln')}, 4)"
         " AS approx_distinct",
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch with set operations ------------
+
+KMV_K = 16
+#: (K-1) * 2^60 — exactly representable in a double (4-bit mantissa ×
+#: power of two), so the literal is bit-identical in both engines.
+_KMV_NUM = float((KMV_K - 1) << 60)
+_KMV_A, _KMV_B = "click", "purchase"
+
+
+@query(
+    "agg_kmv_setops",
+    f"""
+    WITH m AS (
+        SELECT event_type, user_id FROM events
+        WHERE event_type IN ('{_KMV_A}', '{_KMV_B}') AND user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    h AS (
+        SELECT event_type,
+               {hash60_duck("'kmv|' || CAST(user_id AS VARCHAR)")} AS hv
+        FROM m
+    ),
+    perset AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM h
+    ),
+    est_ab AS (
+        SELECT event_type AS measure,
+               CASE WHEN max(cnt) < {KMV_K} THEN CAST(max(cnt) AS DOUBLE)
+                    ELSE {_KMV_NUM!r}
+                         / CAST(max(CASE WHEN rn = {KMV_K} THEN hv END) AS DOUBLE)
+               END AS est,
+               CAST(max(cnt) AS DOUBLE) AS exact_v
+        FROM perset GROUP BY event_type
+    ),
+    u AS (SELECT hv, count(*) AS sides FROM h GROUP BY hv),
+    ru AS (
+        SELECT hv, sides,
+               row_number() OVER (ORDER BY hv) AS rn,
+               count(*) OVER () AS cnt
+        FROM u
+    ),
+    est_u AS (
+        SELECT CASE WHEN max(cnt) < {KMV_K} THEN CAST(max(cnt) AS DOUBLE)
+                    ELSE {_KMV_NUM!r}
+                         / CAST(max(CASE WHEN rn = {KMV_K} THEN hv END) AS DOUBLE)
+               END AS est_union,
+               CAST(max(cnt) AS DOUBLE) AS exact_union,
+               CAST(sum(CASE WHEN rn <= {KMV_K} AND sides = 2 THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                 / CAST(least({KMV_K}, max(cnt)) AS DOUBLE) AS rho,
+               CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS exact_inter
+        FROM ru
+    )
+    SELECT measure, round(est, 4) AS est, round(exact_v, 4) AS exact_v
+    FROM est_ab
+    UNION ALL
+    SELECT 'union', round(est_union, 4), round(exact_union, 4) FROM est_u
+    UNION ALL
+    SELECT 'intersection', round(rho * est_union, 4), round(exact_inter, 4)
+    FROM est_u
+    UNION ALL
+    SELECT 'jaccard', round(rho, 4), round(exact_inter / exact_union, 4)
+    FROM est_u
+    """,
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch with UNION/INTERSECTION
+    estimates between two user populations — the set-operation family
+    HLL cannot provide (HLL unions but never intersects without
+    inclusion-exclusion blowup).
+
+    Sketch: the K smallest 60-bit portable hashes of each population.
+    est(S) = (K-1) / h_(K) (normalized); union sketch = K smallest of
+    the merged hash sets; Jaccard ρ = |K-min(U) ∩ A ∩ B| / K and
+    intersection ≈ ρ · est(U) — the classic KMV coincidence estimator.
+    Populations smaller than K short-circuit to their exact count
+    (exercised at sf0.001 where each side has 15 users; the estimator
+    path runs from sf0.01 up). Distributed shape: per-population
+    top-K-smallest is a partial-aggregatable min-heap (here: window
+    rank over the deduplicated hash table, key-cardinality); nothing
+    fact-sized crosses the shuffle. ``exact_v`` columns carry the
+    true values so the sketch error is visible in the result itself.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    m = (
+        events.where(
+            F.col("event_type").isin(_KMV_A, _KMV_B) & F.col("user_id").isNotNull()
+        )
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    seeded = "concat('kmv|', CAST(user_id AS STRING))"
+    h = m.selectExpr("event_type", f"{hash60_spark(seeded)} AS hv")
+    w_set = Window.partitionBy("event_type").orderBy("hv")
+    perset = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w_set).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    kth = F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+    est_ab = perset.groupBy(F.col("event_type").alias("measure")).agg(
+        F.when(F.max("cnt") < KMV_K, F.max("cnt").cast("double"))
+        .otherwise(F.lit(_KMV_NUM) / kth.cast("double"))
+        .alias("est"),
+        F.max("cnt").cast("double").alias("exact_v"),
+    )
+    u = h.groupBy("hv").agg(F.count("*").alias("sides"))
+    ru = u.select(
+        "hv",
+        "sides",
+        F.row_number().over(Window.orderBy("hv")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("cnt"),
+    )
+    est_u = ru.agg(
+        F.when(F.max("cnt") < KMV_K, F.max("cnt").cast("double"))
+        .otherwise(F.lit(_KMV_NUM) / kth.cast("double"))
+        .alias("est_union"),
+        F.max("cnt").cast("double").alias("exact_union"),
+        (
+            F.sum(
+                F.when((F.col("rn") <= KMV_K) & (F.col("sides") == 2), 1).otherwise(0)
+            ).cast("double")
+            / F.least(F.lit(KMV_K), F.max("cnt")).cast("double")
+        ).alias("rho"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("exact_inter"),
+    )
+    rows_ab = est_ab.select(
+        "measure", F.round("est", 4).alias("est"), F.round("exact_v", 4).alias("exact_v")
+    )
+    rows_u = est_u.select(
+        F.lit("union").alias("measure"),
+        F.round("est_union", 4).alias("est"),
+        F.round("exact_union", 4).alias("exact_v"),
+    )
+    rows_i = est_u.select(
+        F.lit("intersection").alias("measure"),
+        F.round(F.col("rho") * F.col("est_union"), 4).alias("est"),
+        F.round("exact_inter", 4).alias("exact_v"),
+    )
+    rows_j = est_u.select(
+        F.lit("jaccard").alias("measure"),
+        F.round("rho", 4).alias("est"),
+        F.round(F.col("exact_inter") / F.col("exact_union"), 4).alias("exact_v"),
+    )
+    return rows_ab.unionAll(rows_u).unionAll(rows_i).unionAll(rows_j)

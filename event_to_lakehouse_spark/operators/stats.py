@@ -1,0 +1,246 @@
+"""Statistical analytics over the events stream: per-key OLS trend,
+day-of-week seasonal decomposition, and a chi-square independence
+test (SURVEY §2 "beyond the reference" analytics tier).
+
+All three are built on the SUFFICIENT-STATISTICS pattern: every
+estimator is derived from exact integer sums (n, Σx, Σy, Σxy, Σx²,
+Σy²) that Spark partial-aggregates map-side, so at 100 TB each query
+is one scan + one key-cardinality shuffle of tiny partial states —
+the same mergeability story as the sketch family
+(``operators/sketches.py``). It also makes the oracles exact: the
+integer sums are bit-identical across engines, and each derived
+value is a FIXED expression tree of IEEE divisions/sqrt over them,
+so both engines produce the same double to well past round(4) —
+no reliance on engine-internal ``stddev``/``regr_*`` algorithms
+(DuckDB and Spark implement those with different summation orders).
+
+Operators:
+
+- ``events_trend_ols`` — per-event-type linear trend of daily counts
+  (closed-form OLS slope / intercept / r² from the six sums).
+- ``events_seasonal_adjust`` — day-of-week seasonal profile (mean/sd
+  per weekday from exact sums), per-day residual and z-score, 2σ
+  anomaly flag. Complements ``events_anomaly_zscore`` (trailing
+  window z) with the calendar-profile decomposition.
+- ``stats_chisq_independence`` — chi-square test of event_type ×
+  weekday: per-cell observed/expected/contribution plus the total
+  statistic. The contingency table is key-cardinality (types ×
+  7), so the test costs one scan regardless of corpus size.
+
+Weekday convention: DuckDB's ``dayofweek`` is Sunday=0, Spark's is
+Sunday=1 — both sides normalize to Sunday=0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from .relational import query
+
+# Daily counts per event type, as shared CTE text (DuckDB).
+_DAILY_BY_TYPE = """
+    daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
+               count(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+
+
+@query(
+    "events_trend_ols",
+    f"""
+    WITH {_DAILY_BY_TYPE},
+    sums AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, CAST(sy AS BIGINT) AS total_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE round(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                           / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE), 4)
+           END AS r2
+    FROM sums
+    """,
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily volume, closed form.
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) over exact BIGINT sums —
+    one scan, one small shuffle of six-number partials per type. The
+    same partials roll up across days/files/batches unchanged, which
+    is how the trend would be maintained incrementally at 100 TB.
+    """
+    daily = _daily_by_type(spark, sf_dir)
+    x, y = F.col("x"), F.col("y")
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy  # n² × cov, exact
+    var_xn = n * sxx - sx * sx  # n² × var(x), exact
+    var_yn = n * syy - sy * sy
+    slope = cov_n.cast("double") / var_xn.cast("double")
+    return sums.select(
+        "event_type",
+        n.alias("n_days"),
+        sy.alias("total_events"),
+        F.round(slope, 4).alias("slope"),
+        F.round(
+            (sy.cast("double") - slope * sx.cast("double")) / n.cast("double"), 4
+        ).alias("intercept"),
+        F.when(var_xn * var_yn == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((cov_n * cov_n).cast("double") / (var_xn * var_yn).cast("double"), 4)
+        )
+        .alias("r2"),
+    )
+
+
+@query(
+    "events_seasonal_adjust",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS c
+        FROM events GROUP BY 1
+    ),
+    typed AS (SELECT d, c, dayofweek(d) AS dow FROM daily),
+    prof AS (
+        SELECT dow, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+        FROM typed GROUP BY 1
+    )
+    SELECT t.d AS day, t.dow, t.c AS cnt,
+           round(CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE), 4) AS dow_mean,
+           round(CAST(t.c AS DOUBLE)
+                 - CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE), 4) AS resid,
+           CASE WHEN p.n < 2 OR p.n * p.ss - p.s * p.s = 0 THEN NULL
+                ELSE round((CAST(t.c AS DOUBLE) - CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE))
+                           / sqrt(CAST(p.n * p.ss - p.s * p.s AS DOUBLE)
+                                  / CAST(p.n * (p.n - 1) AS DOUBLE)), 4)
+           END AS zscore
+    FROM typed t JOIN prof p ON p.dow = t.dow
+    """,
+)
+def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily event volume.
+
+    The weekday profile (mean, sample sd) comes from exact integer
+    sums — a 7-row broadcast side — so the residual/z-score join is
+    scan-local. resid is the seasonally adjusted series; |z| > 2 is
+    the anomaly criterion (left to the caller; the z-score column
+    carries it deterministically).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(F.count("*").alias("c"))
+    typed = daily.select("d", "c", (F.dayofweek("d") - 1).cast("long").alias("dow"))
+    prof = typed.groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n, s, ss, c = F.col("n"), F.col("s"), F.col("ss"), F.col("c")
+    mean = s.cast("double") / n.cast("double")
+    var_num = n * ss - s * s  # n²(n-1)/n × var — exact integer
+    sd = F.sqrt(var_num.cast("double") / (n * (n - 1)).cast("double"))
+    return typed.join(F.broadcast(prof), "dow").select(
+        F.col("d").alias("day"),
+        "dow",
+        c.alias("cnt"),
+        F.round(mean, 4).alias("dow_mean"),
+        F.round(c.cast("double") - mean, 4).alias("resid"),
+        F.when((n < 2) | (var_num == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((c.cast("double") - mean) / sd, 4))
+        .alias("zscore"),
+    )
+
+
+@query(
+    "stats_chisq_independence",
+    """
+    WITH obs AS (
+        SELECT event_type, dayofweek(date_trunc('day', ts)) AS dow,
+               count(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, o,
+               sum(o) OVER (PARTITION BY event_type) AS rt,
+               sum(o) OVER (PARTITION BY dow) AS ct,
+               sum(o) OVER () AS n
+        FROM obs
+    ),
+    cells AS (
+        SELECT event_type, dow, o,
+               CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS exp_cnt
+        FROM tot
+    )
+    SELECT event_type, dow, o AS observed,
+           round(exp_cnt, 4) AS expected,
+           round((CAST(o AS DOUBLE) - exp_cnt) * (CAST(o AS DOUBLE) - exp_cnt)
+                 / exp_cnt, 6) AS contrib,
+           round(sum((CAST(o AS DOUBLE) - exp_cnt) * (CAST(o AS DOUBLE) - exp_cnt)
+                     / exp_cnt) OVER (), 4) AS chi2_total
+    FROM cells
+    """,
+)
+def stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event_type × weekday.
+
+    The contingency table is (types × 7) rows after one scan, so the
+    window sums that produce row/column/grand totals and the final
+    statistic all run on a metadata-scale frame — the test is free
+    at any corpus size once the groupBy lands. Expected counts are a
+    fixed expression over exact integers (rt·ct/n); contributions
+    and the total are the usual Pearson terms.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    obs = e.groupBy(
+        "event_type",
+        (F.dayofweek(F.date_trunc("day", "ts")) - 1).cast("long").alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    o = F.col("o")
+    tot = (
+        obs.withColumn("rt", F.sum(o).over(Window.partitionBy("event_type")))
+        .withColumn("ct", F.sum(o).over(Window.partitionBy("dow")))
+        .withColumn("n", F.sum(o).over(Window.partitionBy()))
+    )
+    exp_cnt = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    cells = tot.withColumn("exp_cnt", exp_cnt)
+    contrib = (o.cast("double") - F.col("exp_cnt")) * (
+        o.cast("double") - F.col("exp_cnt")
+    ) / F.col("exp_cnt")
+    return cells.select(
+        "event_type",
+        "dow",
+        o.alias("observed"),
+        F.round("exp_cnt", 4).alias("expected"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(F.sum(contrib).over(Window.partitionBy()), 4).alias("chi2_total"),
+    )

@@ -1,0 +1,149 @@
+"""Invariant tests for the graph / linkage / statistics operators
+(``operators/graph.py``, ``operators/stats.py``, the KMV sketch in
+``operators/sketches.py``) — semantics beyond the DuckDB value parity
+that ``test_oracle_parity`` already pins for each of them.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from event_to_lakehouse_spark.operators.graph import (
+    er_fuzzy_part_matches,
+    graph_pagerank_parts,
+    graph_triangle_count,
+)
+from event_to_lakehouse_spark.operators.sketches import KMV_K, agg_kmv_setops
+from event_to_lakehouse_spark.operators.stats import (
+    events_seasonal_adjust,
+    events_trend_ols,
+    stats_chisq_independence,
+)
+
+SF = "/root/testdata/sf0.001"
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _edges(spark):
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = l.select("l_orderkey", "l_partkey").collect()
+    by_order: dict = {}
+    for r in rows:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    und = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            und.add((a, b))
+    return und
+
+
+def test_pagerank_mass_conserved(spark):
+    df = graph_pagerank_parts(spark, SF).toPandas()
+    # PageRank is a probability distribution: pr sums to 1 (pr_scaled
+    # averages to 1 over N nodes) up to the round(4) output
+    # quantization; every value positive.
+    assert (df.pr_scaled > 0).all()
+    assert df.pr_scaled.mean() == pytest.approx(1.0, abs=1e-4)
+    # Higher-degree nodes should tend to rank higher: the correlation
+    # between degree and rank must be strongly positive on this graph.
+    assert df.pr_scaled.corr(df.degree) > 0.8
+
+
+def test_triangle_count_matches_local_reference(spark):
+    und = _edges(spark)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    local = {
+        v: sum(
+            1
+            for x, y in itertools.combinations(sorted(nbrs), 2)
+            if (x, y) in und
+        )
+        for v, nbrs in adj.items()
+    }
+    got = {
+        r.p_partkey: r.triangles
+        for r in graph_triangle_count(spark, SF).collect()
+    }
+    # operator omits triangle-free nodes; local reference keeps them
+    assert got == {v: c for v, c in local.items() if c > 0}
+
+
+def test_triangle_degree_column_is_graph_degree(spark):
+    und = _edges(spark)
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for r in graph_triangle_count(spark, SF).collect():
+        assert r.degree == deg[r.p_partkey]
+
+
+def test_er_matches_are_blocked_and_thresholded(spark):
+    df = er_fuzzy_part_matches(spark, SF).toPandas()
+    assert len(df) > 0
+    # strict ordering → no self-pairs, no mirrored duplicates
+    assert (df.name_a < df.name_b).all()
+    assert df.edit_dist.between(1, 2).all()
+    # blocking key: both names share the head noun
+    assert (
+        df.name_a.str.split(" ").str[1] == df.name_b.str.split(" ").str[1]
+    ).all()
+
+
+def test_kmv_small_population_is_exact(spark):
+    # sf0.001 has 15 users per event type < K=16: the sketch must
+    # short-circuit to the exact count on every measure row.
+    df = agg_kmv_setops(spark, SF).toPandas().set_index("measure")
+    for m in ("click", "purchase", "union", "intersection"):
+        assert df.loc[m, "est"] == pytest.approx(df.loc[m, "exact_v"])
+
+
+def test_kmv_estimator_within_tolerance(spark):
+    # sf0.01: 150 users per side — the (K-1)/h_K estimator runs. KMV
+    # with K=16 has relative sd ~ 1/sqrt(K-2) ≈ 0.27; accept 2 sd.
+    df = agg_kmv_setops(spark, SF_MID).toPandas().set_index("measure")
+    for m in ("click", "purchase", "union"):
+        est, exact = df.loc[m, "est"], df.loc[m, "exact_v"]
+        assert abs(est - exact) / exact < 0.55, (m, est, exact)
+    assert 0.0 <= df.loc["jaccard", "est"] <= 1.0
+
+
+def test_trend_ols_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e.ts.dt.floor("D")
+    got = events_trend_ols(spark, SF).toPandas().set_index("event_type")
+    for et, grp in e.groupby("event_type"):
+        daily = grp.groupby("day").size()
+        x = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy(float)
+        y = daily.to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got.loc[et, "slope"] == pytest.approx(slope, abs=2e-4)
+        assert got.loc[et, "intercept"] == pytest.approx(intercept, abs=2e-3)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got.loc[et, "r2"] == pytest.approx(r * r, abs=2e-4)
+
+
+def test_seasonal_residuals_center_per_weekday(spark):
+    df = events_seasonal_adjust(spark, SF).toPandas()
+    assert len(df) == 30  # one row per day
+    # residuals against the weekday mean sum to ~0 within each weekday
+    for _, grp in df.groupby("dow"):
+        assert grp.resid.sum() == pytest.approx(0.0, abs=1e-2)
+    assert df.dow.between(0, 6).all()
+
+
+def test_chisq_pearson_identities(spark):
+    df = stats_chisq_independence(spark, SF).toPandas()
+    # expected counts preserve the grand total, and the statistic is
+    # the sum of per-cell contributions
+    assert df.expected.sum() == pytest.approx(df.observed.sum(), abs=0.01)
+    assert df.chi2_total.nunique() == 1
+    assert df.chi2_total.iloc[0] == pytest.approx(df.contrib.sum(), abs=1e-2)
+    assert (df.contrib >= 0).all()
