@@ -68,6 +68,7 @@ from ..tables import load_tables
 from .relational import query
 
 DAMPING = 0.85
+TELEPORT = 0.15
 PR_ITERS = 3
 ER_MAX_DIST = 2
 
@@ -86,16 +87,29 @@ _EDGES_CTE = """
 """
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct directed (src, dst) co-purchase edges, symmetrized."""
+def _copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_support: int = 1
+) -> DataFrame:
+    """Distinct directed (src, dst) co-purchase edges, symmetrized.
+
+    ``min_support`` keeps only pairs co-occurring in at least that many
+    orders — the standard densification control: when the fact table
+    grows over a FIXED catalog (more orders, same parts), the support-1
+    graph saturates toward the complete graph and wedge counts explode;
+    raising support restores sparsity proportional to signal, not data
+    volume. The registry entries pin support=1 (oracle-matched); the
+    scale probe exercises support=2 on the 10× corpus."""
     l = load_tables(spark, sf_dir)["lineitem"]
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = a.join(b, "ok").where(F.col("src") != F.col("dst"))
+    if min_support <= 1:
+        return pairs.select("src", "dst").distinct()
     return (
-        a.join(b, "ok")
-        .where(F.col("src") != F.col("dst"))
+        pairs.groupBy("src", "dst")
+        .agg(F.count_distinct("ok").alias("support"))
+        .where(F.col("support") >= min_support)
         .select("src", "dst")
-        .distinct()
     )
 
 
@@ -139,18 +153,35 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-independent relative importance, stable to round(4) across
     engines because each round is the same IEEE join/sum arithmetic.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    return pagerank(_copurchase_edges(spark, sf_dir))
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    teleport: float = TELEPORT,
+) -> DataFrame:
+    """PageRank core over a symmetrized (src, dst) edge DataFrame.
+
+    ``teleport`` is passed as its own literal rather than computed as
+    ``1 - damping``: the oracle SQL uses the literal 0.15, and IEEE
+    ``1.0 - 0.85`` is NOT the same double as the literal ``0.15`` —
+    deriving it would break the bit-stable cross-engine parity."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     links = edges.join(deg, "src").localCheckpoint(eager=False)
     n = links.select("src").distinct().count()
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         ranks = (
             links.join(ranks, links.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
-                (F.lit(0.15 / n) + F.lit(DAMPING) * F.sum(F.col("pr") / F.col("deg"))).alias("pr")
+                (
+                    F.lit(teleport / n)
+                    + F.lit(damping) * F.sum(F.col("pr") / F.col("deg"))
+                ).alias("pr")
             )
         )
     return (
@@ -207,7 +238,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge join's fan-out is bounded by ~sqrt(2m) per node even on
     hot hubs. Counts are exact integers; no float compare risk.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Triangle-count core over a symmetrized (src, dst) edge frame."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))

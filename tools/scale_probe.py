@@ -132,7 +132,33 @@ def _auto_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb.select("vec_id", "embedding"))
 
 
-EXTRA_QUERIES = {"embedding_neardup_auto": _auto_neardup}
+def _pagerank_support2(spark, sf_dir):
+    """PageRank with the production densification knob (min_support=2):
+    the 10× corpus multiplies orders over a FIXED part catalog, so the
+    support-1 co-purchase graph saturates toward completeness; support
+    thresholds are how a real pipeline keeps the graph signal-sparse."""
+    from event_to_lakehouse_spark.operators.graph import (
+        _copurchase_edges,
+        pagerank,
+    )
+
+    return pagerank(_copurchase_edges(spark, sf_dir, min_support=2))
+
+
+def _triangles_support2(spark, sf_dir):
+    from event_to_lakehouse_spark.operators.graph import (
+        _copurchase_edges,
+        triangle_counts,
+    )
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir, min_support=2))
+
+
+EXTRA_QUERIES = {
+    "embedding_neardup_auto": _auto_neardup,
+    "graph_pagerank_support2": _pagerank_support2,
+    "graph_triangles_support2": _triangles_support2,
+}
 
 
 def main() -> None:
