@@ -331,3 +331,104 @@ def er_fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parts_a", "parts_b", "canon_a", "canon_b",
         )
     )
+
+
+LP_TOP_K = 50
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY src),
+    wedge AS (
+        SELECT e1.dst AS a, e1.src AS b, e2.dst AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.src = e1.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+        SELECT w.a, w.c,
+               count(*) AS common_neighbors,
+               sum(1.0 / ln(d.deg)) AS adamic_adar
+        FROM wedge w
+        JOIN deg d ON d.node = w.b
+        LEFT JOIN pairs e ON e.src = w.a AND e.dst = w.c
+        WHERE e.src IS NULL
+        GROUP BY w.a, w.c
+    )
+    SELECT cand.a AS part_a, cand.c AS part_b,
+           cand.common_neighbors,
+           round(cand.adamic_adar, 4) AS adamic_adar,
+           round(CAST(cand.common_neighbors AS DOUBLE)
+                 / CAST(da.deg + dc.deg - cand.common_neighbors AS DOUBLE), 4)
+             AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg dc ON dc.node = cand.c
+    ORDER BY cand.common_neighbors DESC, cand.a, cand.c
+    LIMIT {LP_TOP_K}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction features for the strongest NON-edges: pairs at
+    distance 2 ranked by common-neighbor count, with Adamic-Adar
+    (sum of 1/ln(deg) over shared neighbors — rare neighbors weigh
+    more) and neighborhood Jaccard.
+
+    Shape: one wedge join through the shared neighbor b (a < c dedups
+    each wedge), an anti join against the edge list to keep non-edges
+    only, then a (a, c) rollup. The ORDER BY ... LIMIT ranks by the
+    EXACT integer common-neighbor count with key tiebreaks, so the
+    selected top-k set is deterministic cross-engine (a double score
+    at the boundary would not be). At scale the wedge join is the
+    triangle-count join (same orientation trick applies if needed);
+    the anti join is edge-cardinality.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    e1 = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedge = e1.join(e2, "b").where(F.col("a") < F.col("c"))
+    non_edge = wedge.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    cand = (
+        non_edge.join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("bdeg")), "b"
+        )
+        .groupBy("a", "c")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("bdeg"))).alias("adamic_adar"),
+        )
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    dc = deg.select(F.col("node").alias("c"), F.col("deg").alias("dc"))
+    return (
+        cand.join(da, "a")
+        .join(dc, "c")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "common_neighbors",
+            F.round("adamic_adar", 4).alias("adamic_adar"),
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("common_neighbors")).cast("double"),
+                4,
+            ).alias("jaccard"),
+            F.col("a").alias("_oa"),
+            F.col("c").alias("_oc"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "_oa", "_oc")
+        .limit(LP_TOP_K)
+        .drop("_oa", "_oc")
+    )

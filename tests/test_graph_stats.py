@@ -147,3 +147,24 @@ def test_chisq_pearson_identities(spark):
     assert df.chi2_total.nunique() == 1
     assert df.chi2_total.iloc[0] == pytest.approx(df.contrib.sum(), abs=1e-2)
     assert (df.contrib >= 0).all()
+
+
+def test_link_prediction_candidates_are_nonedges_at_distance_2(spark):
+    from event_to_lakehouse_spark.operators.graph import graph_link_prediction
+
+    und = _edges(spark)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = graph_link_prediction(spark, SF).toPandas()
+    assert len(df) == 50
+    for r in df.itertuples():
+        key = (min(r.part_a, r.part_b), max(r.part_a, r.part_b))
+        assert key not in und  # candidates are NON-edges
+        common = adj[r.part_a] & adj[r.part_b]
+        assert r.common_neighbors == len(common)
+        union = len(adj[r.part_a] | adj[r.part_b])
+        assert r.jaccard == pytest.approx(len(common) / union, abs=1e-3)
+    # ranked by common neighbors, descending
+    assert (df.common_neighbors.diff().dropna() <= 0).all()
