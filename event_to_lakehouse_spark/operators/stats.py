@@ -244,3 +244,138 @@ def stats_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(contrib, 6).alias("contrib"),
         F.round(F.sum(contrib).over(Window.partitionBy()), 4).alias("chi2_total"),
     )
+
+
+@query(
+    "events_interarrival_stats",
+    """
+    WITH seq AS (
+        SELECT event_type, epoch_us(ts) AS t,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS pt
+        FROM events
+    ),
+    gaps AS (SELECT event_type, t - pt AS gap FROM seq WHERE pt IS NOT NULL)
+    SELECT event_type, count(*) AS n_gaps,
+           round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 1000000.0, 4) AS avg_gap_s,
+           round(median(gap) / 1000000.0, 4) AS med_gap_s,
+           round(quantile_cont(gap, 0.9) / 1000000.0, 4) AS p90_gap_s
+    FROM gaps GROUP BY 1
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: mean / median /
+    p90 of the gap between consecutive events (the arrival-process
+    profile behind rate limiting, anomaly baselines, and session
+    tuning).
+
+    Gaps are EXACT integer microseconds from a lag window ordered by
+    (ts, event_id) — the id tiebreak makes the sequence, and therefore
+    every gap, deterministic under equal timestamps. One shuffle
+    (partition by type), sort within partition; the quantiles are the
+    exact sort-aggregate flavor (`quantile_cont` ↔ `F.percentile`,
+    the proven-parity pair) — at 100 TB the sketch path swaps in
+    ``approx_percentile`` / the mergeable histogram sketch unchanged.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pt"),
+    )
+    gaps = seq.where(F.col("pt").isNotNull()).select(
+        "event_type", (F.col("t") - F.col("pt")).alias("gap")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(
+            F.sum("gap").cast("double") / F.count("*").cast("double") / 1000000.0, 4
+        ).alias("avg_gap_s"),
+        F.round(F.median("gap") / 1000000.0, 4).alias("med_gap_s"),
+        F.round(F.percentile("gap", F.lit(0.9)) / 1000000.0, 4).alias("p90_gap_s"),
+    )
+
+
+_CORR_VARS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """One correlation-matrix row from the shared sufficient sums."""
+    num = f"(n * s_{a}_{b} - s_{a} * s_{b})"
+    da = f"(n * s_{a}_{a} - s_{a} * s_{a})"
+    db = f"(n * s_{b}_{b} - s_{b} * s_{b})"
+    return (
+        f"SELECT '{a}' AS var_a, '{b}' AS var_b, n,"
+        f" round({num} / sqrt({da} * {db}), 4) AS corr FROM sums"
+    )
+
+
+@query(
+    "stats_corr_matrix",
+    """
+    WITH sums AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+    """
+    + ",\n".join(
+        f"           sum({a}) AS s_{a}" for a in _CORR_VARS
+    )
+    + ",\n"
+    + ",\n".join(
+        f"           sum({a} * {b}) AS s_{a}_{b}"
+        for i, a in enumerate(_CORR_VARS)
+        for b in _CORR_VARS[i:]
+    )
+    + """
+        FROM lineitem
+    )
+    """
+    + "\n    UNION ALL ".join(
+        _corr_pair_sql(a, b)
+        for i, a in enumerate(_CORR_VARS)
+        for b in _CORR_VARS[i + 1 :]
+    ),
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem measures,
+    from ONE scan of shared sufficient statistics (n, Σx per var,
+    Σxy per pair) — 15 running sums total, map-side combinable, so
+    the whole matrix costs a single reduce of one 15-number state at
+    any corpus size. Engine-native ``corr()`` is deliberately avoided:
+    DuckDB and Spark implement it with different recurrences
+    (single-pass covariance updates), while the textbook
+    (nΣxy − ΣxΣy)/√(…) form over identically-ordered IEEE sums is
+    stable to round(4) cross-engine (the subtraction's cancellation
+    error is ~1e-8 relative at these magnitudes — analyzed, not
+    guessed). The upper triangle is emitted as rows (var_a < var_b
+    in declaration order)."""
+    t = load_tables(spark, sf_dir)["lineitem"]
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [F.sum(a).alias(f"s_{a}") for a in _CORR_VARS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for i, a in enumerate(_CORR_VARS)
+        for b in _CORR_VARS[i:]
+    ]
+    sums = t.agg(*aggs)
+    parts = []
+    n = F.col("n")
+    for i, a in enumerate(_CORR_VARS):
+        for b in _CORR_VARS[i + 1 :]:
+            num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            da = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            db = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            parts.append(
+                sums.select(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    n.alias("n"),
+                    F.round(num / F.sqrt(da * db), 4).alias("corr"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -168,3 +168,34 @@ def test_link_prediction_candidates_are_nonedges_at_distance_2(spark):
         assert r.jaccard == pytest.approx(len(common) / union, abs=1e-3)
     # ranked by common neighbors, descending
     assert (df.common_neighbors.diff().dropna() <= 0).all()
+
+
+def test_interarrival_matches_pandas(spark):
+    np = pytest.importorskip("numpy")
+    from event_to_lakehouse_spark.operators.stats import events_interarrival_stats
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    got = events_interarrival_stats(spark, SF).toPandas().set_index("event_type")
+    for et, grp in e.groupby("event_type"):
+        t = grp.sort_values(["ts", "event_id"]).ts.astype("int64") // 1000  # µs
+        gaps = t.diff().dropna().to_numpy(float)
+        assert got.loc[et, "n_gaps"] == len(gaps)
+        assert got.loc[et, "avg_gap_s"] == pytest.approx(gaps.mean() / 1e6, abs=1e-3)
+        assert got.loc[et, "med_gap_s"] == pytest.approx(
+            np.median(gaps) / 1e6, abs=1e-3
+        )
+        assert got.loc[et, "p90_gap_s"] == pytest.approx(
+            np.quantile(gaps, 0.9) / 1e6, abs=1e-3
+        )
+
+
+def test_corr_matrix_matches_pandas(spark):
+    from event_to_lakehouse_spark.operators.stats import stats_corr_matrix
+
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    got = stats_corr_matrix(spark, SF).toPandas()
+    assert len(got) == 6  # upper triangle of 4 vars
+    for r in got.itertuples():
+        ref = l[r.var_a].corr(l[r.var_b])
+        assert r.corr == pytest.approx(ref, abs=1e-3), (r.var_a, r.var_b)
+        assert -1.0 <= r.corr <= 1.0
