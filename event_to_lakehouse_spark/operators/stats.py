@@ -360,22 +360,27 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _CORR_VARS[i:]
     ]
     sums = t.agg(*aggs)
-    parts = []
+    # ONE aggregate branch: a union of per-pair selects over `sums`
+    # would make Catalyst plan six independent scans of lineitem
+    # (column pruning specializes each branch, defeating
+    # ReuseExchange — verified in the executed plan), so the six
+    # matrix rows are built as a literal struct array over the single
+    # sums row and exploded.
     n = F.col("n")
+    pair_structs = []
     for i, a in enumerate(_CORR_VARS):
         for b in _CORR_VARS[i + 1 :]:
             num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
             da = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
             db = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
-            parts.append(
-                sums.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(a).alias("var_a"),
                     F.lit(b).alias("var_b"),
                     n.alias("n"),
                     F.round(num / F.sqrt(da * db), 4).alias("corr"),
                 )
             )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return sums.select(F.explode(F.array(*pair_structs)).alias("r")).select(
+        "r.var_a", "r.var_b", "r.n", "r.corr"
+    )

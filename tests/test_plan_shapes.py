@@ -247,3 +247,42 @@ def test_incremental_index_probes_never_shuffle_the_index(spark, tmp_dir):
     # probed cells, pair dedup, final rank) — bounded by the query set,
     # never by the index
     assert a.shuffle_exchanges <= 6
+
+
+def test_corr_matrix_single_scan_single_agg(spark, qs):
+    """All six correlation pairs must come from ONE scan of lineitem
+    (a per-pair union would plan six scans — the struct-array explode
+    keeps it to one aggregate branch)."""
+    from event_to_lakehouse_spark.plans import audit_plan
+
+    import re
+
+    a = audit_plan(qs["stats_corr_matrix"](spark, SF_DIR))
+    scans = re.findall(r"^\(\d+\) Scan", a.text, re.MULTILINE)
+    assert len(scans) == 1
+    assert a.has_partial_aggregate
+    assert a.exchanges <= 1  # the single-partition final agg
+
+
+def test_graph_queries_use_equi_joins_only(spark, qs):
+    """The graph family must never fall back to nested-loop joins:
+    wedge/orientation/rank joins are all equi-keyed."""
+    from event_to_lakehouse_spark.plans import audit_plan
+
+    for name in (
+        "graph_pagerank_parts",
+        "graph_triangle_count",
+        "graph_link_prediction",
+    ):
+        a = audit_plan(qs[name](spark, SF_DIR))
+        assert a.nested_loop_joins == 0, name
+
+
+def test_er_fuzzy_blocks_before_distance(spark, qs):
+    """ER pair generation must be an equi-join on the blocking key —
+    Levenshtein runs as a post-join filter, never as a join condition
+    that degrades to a nested loop."""
+    from event_to_lakehouse_spark.plans import audit_plan
+
+    a = audit_plan(qs["er_fuzzy_part_matches"](spark, SF_DIR))
+    assert a.nested_loop_joins == 0
