@@ -455,3 +455,54 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("exact_inter") / F.col("exact_union"), 4).alias("exact_v"),
     )
     return rows_ab.unionAll(rows_u).unionAll(rows_i).unionAll(rows_j)
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_col: str | None = None) -> DataFrame:
+    """Build the KMV state: the ``KMV_K`` smallest portable hashes of
+    the distinct keys (optionally per group). The state IS the sketch —
+    ``kmv_merge`` of per-batch states equals the whole-corpus state
+    EXACTLY (k smallest of a union is a pure function of the per-batch
+    k-smallest sets), which ``test_kmv_merge_equals_full`` pins."""
+    grp = [group_col] if group_col else []
+    seeded = f"concat('kmv|', CAST({key_col} AS STRING))"
+    h = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*grp, F.expr(f"{hash60_spark(seeded)}").alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*grp).orderBy("hv") if grp else Window.orderBy("hv")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge KMV states: k smallest of the union of k-min sets."""
+    un = sketches[0]
+    for s in sketches[1:]:
+        un = un.unionByName(s)
+    grp = [c for c in un.columns if c != "hv"]
+    dedup = un.distinct()
+    w = Window.partitionBy(*grp).orderBy("hv") if grp else Window.orderBy("hv")
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """Distinct-count estimate from a KMV state (per group if any):
+    (K-1)/h_(K) normalized, exact count when the population is < K."""
+    grp = [c for c in sketch.columns if c != "hv"]
+    w = Window.partitionBy(*grp).orderBy("hv") if grp else Window.orderBy("hv")
+    ranked = sketch.withColumn("rn", F.row_number().over(w))
+    kth = F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+    agg = [
+        F.when(F.count("*") < KMV_K, F.count("*").cast("double"))
+        .otherwise(F.lit(_KMV_NUM) / kth.cast("double"))
+        .alias("est")
+    ]
+    return ranked.groupBy(*grp).agg(*agg) if grp else ranked.agg(*agg)

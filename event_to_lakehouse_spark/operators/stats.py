@@ -92,9 +92,17 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partials roll up across days/files/batches unchanged, which
     is how the trend would be maintained incrementally at 100 TB.
     """
-    daily = _daily_by_type(spark, sf_dir)
+    return trend_from_partials(trend_partials(_daily_by_type(spark, sf_dir)))
+
+
+def trend_partials(daily: DataFrame) -> DataFrame:
+    """The mergeable sufficient-statistics state: six exact BIGINT
+    sums per key. Partials from disjoint day batches merge by summing
+    column-wise (``merge_trend_partials``) — the incremental-
+    maintenance contract ``test_trend_partials_merge_equals_full``
+    pins as an exact (not approximate) equality."""
     x, y = F.col("x"), F.col("y")
-    sums = daily.groupBy("event_type").agg(
+    return daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
@@ -102,6 +110,25 @@ def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
+
+
+def merge_trend_partials(*parts: DataFrame) -> DataFrame:
+    """Combine per-batch partial states: column-wise sums per key."""
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    return un.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+    )
+
+
+def trend_from_partials(sums: DataFrame) -> DataFrame:
+    """Finisher: closed-form OLS from the six-sum state."""
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     cov_n = n * sxy - sx * sy  # n² × cov, exact

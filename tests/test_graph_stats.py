@@ -199,3 +199,50 @@ def test_corr_matrix_matches_pandas(spark):
         ref = l[r.var_a].corr(l[r.var_b])
         assert r.corr == pytest.approx(ref, abs=1e-3), (r.var_a, r.var_b)
         assert -1.0 <= r.corr <= 1.0
+
+
+def test_trend_partials_merge_equals_full(spark):
+    """Incremental-maintenance contract: per-batch sufficient
+    statistics merged column-wise equal the full-corpus state EXACTLY
+    (integer sums), provided batches split on whole days (y is a
+    per-day count, so a day must not straddle batches)."""
+    from event_to_lakehouse_spark.operators.stats import (
+        _daily_by_type,
+        merge_trend_partials,
+        trend_from_partials,
+        trend_partials,
+        events_trend_ols,
+    )
+
+    daily = _daily_by_type(spark, SF)
+    batches = [
+        daily.where(f"x % 3 = {i}")  # disjoint whole-day batches
+        for i in range(3)
+    ]
+    merged = merge_trend_partials(*[trend_partials(b) for b in batches])
+    got = sorted(trend_from_partials(merged).collect())
+    full = sorted(events_trend_ols(spark, SF).collect())
+    assert got == full  # exact, not approximate
+
+
+def test_kmv_merge_equals_full(spark):
+    """k smallest of a union is a pure function of per-batch k-min
+    sets: the merged sketch must equal the whole-corpus sketch
+    row-for-row, and so must its estimate."""
+    from event_to_lakehouse_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    e = spark.read.parquet(f"{SF_MID}/events.parquet")
+    full = kmv_sketch(e, "user_id", "event_type")
+    halves = [
+        kmv_sketch(e.where(f"event_id % 2 = {i}"), "user_id", "event_type")
+        for i in range(2)
+    ]
+    merged = kmv_merge(*halves)
+    assert sorted(merged.collect()) == sorted(full.collect())
+    est_m = {r.event_type: r.est for r in kmv_estimate(merged).collect()}
+    est_f = {r.event_type: r.est for r in kmv_estimate(full).collect()}
+    assert est_m == est_f
