@@ -61,7 +61,7 @@ by SURVEY §2's "large-scale training-data pipeline" tier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_tables
@@ -431,4 +431,80 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_neighbors").desc(), "_oa", "_oc")
         .limit(LP_TOP_K)
         .drop("_oa", "_oc")
+    )
+
+
+LPA_ITERS = 2
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    """One synchronous label-propagation round (DuckDB oracle):
+    every node adopts the most frequent label among its neighbors,
+    smallest label winning ties — integer counts only, so the round
+    is bit-deterministic."""
+    return f"""
+    {cur} AS (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.label
+                   ) AS rk
+            FROM pairs e JOIN {prev} l ON l.node = e.src
+            GROUP BY e.dst, l.label
+        ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    l0 AS (SELECT src AS node, src AS label FROM pairs GROUP BY src),
+    {_lpa_round_sql('l0', 'l1')},
+    {_lpa_round_sql('l1', 'l2')},
+    sizes AS (SELECT label, count(*) AS community_size FROM l2 GROUP BY label)
+    SELECT l2.node AS p_partkey, l2.label AS community, s.community_size
+    FROM l2 JOIN sizes s ON s.label = l2.label
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation, 2 rounds.
+
+    Unlike connected components (``dedup/cluster.py`` — reachability),
+    LPA finds DENSE regions: each node adopts its neighborhood's
+    plurality label. The deterministic variant (count-desc,
+    min-label tie-break) makes every round a join + count + window
+    rank over integers — no float compare anywhere, so the chained-CTE
+    oracle checks the full computation exactly. Per round: one
+    edge-cardinality join/shuffle keyed on node — the same bucketable
+    shape as the PageRank loop.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("p_partkey"),
+        F.col("label").alias("community"),
+        "community_size",
     )

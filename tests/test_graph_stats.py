@@ -246,3 +246,34 @@ def test_kmv_merge_equals_full(spark):
     est_m = {r.event_type: r.est for r in kmv_estimate(merged).collect()}
     est_f = {r.event_type: r.est for r in kmv_estimate(full).collect()}
     assert est_m == est_f
+
+
+def test_label_propagation_matches_local_reference(spark):
+    """Synchronous 2-round LPA with (count desc, min label) tie-break,
+    recomputed driver-locally from the raw edge set."""
+    from collections import Counter
+
+    from event_to_lakehouse_spark.operators.graph import (
+        LPA_ITERS,
+        graph_label_propagation,
+    )
+
+    und = _edges(spark)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            # plurality, smallest label wins ties
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    sizes = Counter(labels.values())
+    got = {
+        r.p_partkey: (r.community, r.community_size)
+        for r in graph_label_propagation(spark, SF).collect()
+    }
+    assert got == {v: (l, sizes[l]) for v, l in labels.items()}
