@@ -390,10 +390,35 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle-count join (same orientation trick applies if needed);
     the anti join is edge-cardinality.
     """
-    edges = _copurchase_edges(spark, sf_dir)
+    return link_prediction(_copurchase_edges(spark, sf_dir))
+
+
+def link_prediction(
+    edges: DataFrame,
+    top_k: int = LP_TOP_K,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction core over a symmetrized edge frame.
+
+    Counting ALL common neighbors enumerates every open wedge
+    (Σ C(deg(b), 2)) — orientation cannot prune open wedges the way
+    it prunes triangle closure, so hub centers dominate the cost on
+    dense graphs. ``max_center_degree`` is the production knob: wedge
+    centers above the cap are dropped before pairing (hubs contribute
+    the weakest Adamic-Adar evidence — 1/ln(deg) — so the ranking is
+    barely disturbed while the wedge count drops from Σ C(deg,2) to
+    Σ C(min(deg, cap), 2)). The registry entry pins cap=None for
+    oracle parity; the probe corpus measures both.
+    """
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    e1 = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    centers = edges
+    if max_center_degree is not None:
+        ok_centers = deg.where(F.col("deg") <= max_center_degree).select(
+            F.col("node").alias("src")
+        )
+        centers = edges.join(ok_centers, "src")
+    e1 = centers.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    e2 = centers.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedge = e1.join(e2, "b").where(F.col("a") < F.col("c"))
     non_edge = wedge.join(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
@@ -429,7 +454,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("_oc"),
         )
         .orderBy(F.col("common_neighbors").desc(), "_oa", "_oc")
-        .limit(LP_TOP_K)
+        .limit(top_k)
         .drop("_oa", "_oc")
     )
 

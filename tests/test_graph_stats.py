@@ -277,3 +277,32 @@ def test_label_propagation_matches_local_reference(spark):
         for r in graph_label_propagation(spark, SF).collect()
     }
     assert got == {v: (l, sizes[l]) for v, l in labels.items()}
+
+
+def test_link_prediction_hub_cap_prunes_but_keeps_strong_pairs(spark):
+    """The max_center_degree knob must only REMOVE wedge evidence from
+    hub centers: capped common-neighbor counts are <= uncapped for the
+    same pair, and pairs whose shared neighbors are all under the cap
+    keep their exact counts."""
+    from event_to_lakehouse_spark.operators.graph import (
+        _copurchase_edges,
+        link_prediction,
+    )
+
+    edges = _copurchase_edges(spark, SF)
+    full = {
+        (r.part_a, r.part_b): r.common_neighbors
+        for r in link_prediction(edges, top_k=10**6).collect()
+    }
+    cap = 90  # median degree at sf0.001 (min 49, max 138)
+    capped = {
+        (r.part_a, r.part_b): r.common_neighbors
+        for r in link_prediction(edges, top_k=10**6, max_center_degree=cap).collect()
+    }
+    deg: dict = {}
+    for r in edges.collect():
+        deg[r.src] = deg.get(r.src, 0) + 1
+    assert capped  # the cap must not empty the candidate set
+    for pair, cn in capped.items():
+        assert cn <= full[pair]
+    assert any(cn < full[p] for p, cn in capped.items())  # hubs pruned
