@@ -416,3 +416,41 @@ def scd2_history_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_sketch_stream(
+    events,
+    state_root: str,
+    checkpoint: str,
+    key: str = "user_id",
+    group: str = "event_type",
+    available_now: bool = True,
+):
+    """Streaming KMV distinct sketch (the set-operation sketch's
+    streaming twin — see ``operators.sketches.kmv_sketch``): each
+    micro-batch's k-min state merges into a SnapshotTable via
+    ``kmv_merge``, so the durable state is at most groups × K rows
+    FOREVER — no watermark needed, same bounded-state argument as the
+    count-min stream. Exactly-once comes twice over: the batch_id
+    token makes replays storage no-ops, and kmv_merge is idempotent
+    anyway (k smallest of a union absorbs re-merged batches).
+    Estimates/set-ops are served off the state table with
+    ``kmv_estimate`` exactly as the batch operator serves them.
+    Drained-stream == whole-batch equality is pytest-pinned
+    (``test_kmv_sketch_stream_equals_batch``)."""
+    from ..operators.sketches import kmv_merge, kmv_sketch
+    from ..storage.snapshots import SnapshotTable
+
+    def _write(batch_df, batch_id: int) -> None:
+        tbl = SnapshotTable(batch_df.sparkSession, state_root)
+        batch_sk = kmv_sketch(batch_df, key, group)
+        snap = tbl.snapshot()
+        merged = batch_sk if snap is None else kmv_merge(tbl.read(), batch_sk)
+        tbl.overwrite(merged, batch_token=f"b{batch_id}")
+
+    writer = events.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

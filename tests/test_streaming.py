@@ -557,3 +557,76 @@ def test_scd2_history_stream_equals_batch(spark, tmp_dir):
         SnapshotTable(spark, f"{tmp_dir}/scd2", stats_col="hist_key").snapshot().version
         == v_before
     )
+
+
+def test_kmv_sketch_stream_equals_batch(spark, tmp_dir):
+    """Drained streaming KMV state == whole-batch kmv_sketch row for
+    row (bounded at groups × K), the estimate matches, and replaying
+    a micro-batch is a storage no-op (token + idempotent merge)."""
+    import json as _json
+    from pathlib import Path
+
+    from event_to_lakehouse_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import (
+        kmv_sketch_stream,
+        read_event_stream,
+    )
+
+    # 40 users x 2 types: enough to exercise the k-min truncation
+    events = [
+        {
+            "event_id": i,
+            "ts": "2024-01-01T10:00:00",
+            "user_id": i % 40,
+            "event_type": "click" if i % 2 else "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(160)
+    ]
+    # three source files -> three micro-batches with maxFilesPerTrigger=1
+    src = Path(f"{tmp_dir}/events")
+    src.mkdir(parents=True)
+    for i in range(3):
+        chunk = events[i * 54 : (i + 1) * 54 + (1 if i == 2 else 0)]
+        (src / f"part_{i}.json").write_text(
+            "\n".join(_json.dumps(e) for e in chunk)
+        )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    state_root = f"{tmp_dir}/kmv_state"
+    q = kmv_sketch_stream(
+        stream, state_root, f"{tmp_dir}/ckpt", key="user_id", group="event_type"
+    )
+    q.awaitTermination(120)
+
+    tbl = SnapshotTable(spark, state_root)
+    got = sorted((r.event_type, r.hv) for r in tbl.read().collect())
+    batch = spark.read.json(str(src), schema=stream.schema)
+    want = sorted(
+        (r.event_type, r.hv)
+        for r in kmv_sketch(batch, "user_id", "event_type").collect()
+    )
+    assert got == want
+    per_group = {}
+    for g, _ in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(c <= KMV_K for c in per_group.values())  # bounded state
+
+    est_state = {
+        r.event_type: r.est for r in kmv_estimate(tbl.read()).collect()
+    }
+    est_batch = {
+        r.event_type: r.est
+        for r in kmv_estimate(kmv_sketch(batch, "user_id", "event_type")).collect()
+    }
+    assert est_state == est_batch
+
+    # replayed token: storage no-op
+    v_before = tbl.snapshot().version
+    tbl.overwrite(tbl.read(), batch_token="b0")
+    assert tbl.snapshot().version == v_before
