@@ -35,6 +35,13 @@ Operators:
   pairs come from an equi-join on the blocking key (never all-pairs),
   and the edit distance runs only inside blocks. Both engines ship a
   byte-identical ``levenshtein``.
+- ``graph_link_prediction`` — common-neighbor / Adamic-Adar /
+  Jaccard features for the strongest distance-2 non-edges (wedge
+  join + anti join; exact-integer top-k ranking; hub-degree cap as
+  the wedge-volume control).
+- ``graph_label_propagation`` — synchronous 2-round LPA community
+  detection (plurality label, min tie-break — pure integer ranking,
+  chained-CTE oracle checks both rounds exactly).
 
 Scale notes (100 TB posture):
 
