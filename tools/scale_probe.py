@@ -154,10 +154,24 @@ def _triangles_support2(spark, sf_dir):
     return triangle_counts(_copurchase_edges(spark, sf_dir, min_support=2))
 
 
+def _linkpred_capped(spark, sf_dir):
+    """Link prediction with the hub-degree cap engaged (the wedge-
+    volume control measured against the uncapped registry entry)."""
+    from event_to_lakehouse_spark.operators.graph import (
+        _copurchase_edges,
+        link_prediction,
+    )
+
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir), max_center_degree=150
+    )
+
+
 EXTRA_QUERIES = {
     "embedding_neardup_auto": _auto_neardup,
     "graph_pagerank_support2": _pagerank_support2,
     "graph_triangles_support2": _triangles_support2,
+    "graph_linkpred_cap150": _linkpred_capped,
 }
 
 
