@@ -411,3 +411,73 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(F.explode(F.array(*pair_structs)).alias("r")).select(
         "r.var_a", "r.var_b", "r.n", "r.corr"
     )
+
+
+@query(
+    "events_user_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS tot,
+               count(*) AS n_types
+        FROM c GROUP BY 1
+    )
+    SELECT t.user_id, t.n_types, t.tot AS n_events,
+           round(-sum((CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                      * ln(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))), 4)
+             AS entropy,
+           CASE WHEN t.n_types = 1 THEN NULL
+                ELSE round(-sum((CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                                * ln(CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+                           / ln(CAST(t.n_types AS DOUBLE)), 4)
+           END AS norm_entropy
+    FROM c JOIN t ON t.user_id = c.user_id
+    GROUP BY t.user_id, t.n_types, t.tot
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal (bot/burst detection, engagement
+    scoring, the label-diversity gauge a curation pass uses on
+    category columns). norm_entropy divides by ln(n_types) to land in
+    [0, 1] regardless of how many types the user touches
+    (single-type users have zero entropy and an undefined
+    normalization → NULL).
+
+    Shape: two key-cardinality groupBys ((user, type) then user) and
+    a broadcast-sized join back — counts are exact integers, entropy
+    is a fixed -Σ p·ln p expression over them, so cross-engine values
+    agree to round(4) (the inner sum is over ≤ |event types| terms).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    c = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    ent = -F.sum(p * F.log(p))
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n_types", "tot")
+        .agg(
+            F.round(ent, 4).alias("entropy"),
+            F.when(F.col("n_types") == 1, F.lit(None).cast("double"))
+            .otherwise(F.round(ent / F.log(F.col("n_types").cast("double")), 4))
+            .alias("norm_entropy"),
+        )
+        .select(
+            "user_id",
+            "n_types",
+            F.col("tot").alias("n_events"),
+            "entropy",
+            "norm_entropy",
+        )
+    )

@@ -306,3 +306,20 @@ def test_link_prediction_hub_cap_prunes_but_keeps_strong_pairs(spark):
     for pair, cn in capped.items():
         assert cn <= full[pair]
     assert any(cn < full[p] for p, cn in capped.items())  # hubs pruned
+
+
+def test_user_entropy_matches_scipy_formula(spark):
+    np = pytest.importorskip("numpy")
+    from event_to_lakehouse_spark.operators.stats import events_user_entropy
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    got = events_user_entropy(spark, SF).toPandas().set_index("user_id")
+    for uid, grp in e.groupby("user_id"):
+        p = grp.event_type.value_counts(normalize=True).to_numpy()
+        ref = float(-(p * np.log(p)).sum())
+        assert got.loc[uid, "entropy"] == pytest.approx(ref, abs=1e-3)
+        if len(p) > 1:
+            assert got.loc[uid, "norm_entropy"] == pytest.approx(
+                ref / np.log(len(p)), abs=1e-3
+            )
+            assert 0.0 <= got.loc[uid, "norm_entropy"] <= 1.0
