@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric", "value", "unit", "queries", "sf", "runs",
-"sd", "ab": {...}}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
+stdout line is a compact JSON headline {"metric", "value", "unit",
+"queries" (2dp means), "sf", "runs", "sd", "ab_median_ratio",
+"ab_baseline_ref", "value_shared"} sized to fit the driver's ~2 KB
+tail capture; the full per-run timings and the per-query A/B block go
+to BENCH_AB.json and an earlier stdout line.
 
 Each query is forced end-to-end with the noop sink (full computation,
 zero driver-side collection) — the number measures the engine, not
@@ -101,6 +104,18 @@ HEADLINE = [
     "quality_constraints",
     "text_tfidf_topterms",
     "ann_hard_negatives",
+    # round-6 additions: the graph/linkage/statistics tier (VERDICT r5
+    # #6) — capped link prediction (the scale-safe plan; the uncapped
+    # exactness gauge would dominate the total at ~52 s), PageRank,
+    # LPA, the KMV set-op sketch, and the one-scan correlation matrix.
+    # The graph entries share one session-cached edge materialization
+    # (operators/graph.py:_EDGECACHE); the first of them in this list
+    # pays the build, the rest measure their own algorithm.
+    "graph_pagerank_parts",
+    "graph_label_propagation",
+    "graph_link_prediction_capped",
+    "agg_kmv_setops",
+    "stats_corr_matrix",
 ]
 
 PKG = "event_to_lakehouse_spark"
@@ -115,17 +130,35 @@ def _baseline_root() -> tuple[str, Path] | None:
         return None
     ref = os.environ.get("SPARK_GRAFT_AB_BASELINE")
     if not ref:
+        # Candidates newest-first; SKIP any whose PKG tree equals
+        # HEAD's (VERDICT r5 #2: the driver benches AFTER the
+        # end-of-round snapshot, so the newest ``round N:`` commit IS
+        # the current code and the A/B would self-compare — r5's
+        # recorded ratio 1.033 measured nothing). Comparing the PKG
+        # subtree (not the commit) also skips artifact-only commits
+        # ("round N: verdict/...") that share the snapshot's code.
         try:
-            out = subprocess.run(
-                ["git", "log", "--grep", r"^round [0-9]*:", "-n", "1",
+            refs = subprocess.run(
+                ["git", "log", "--grep", r"^round [0-9]*:", "-n", "10",
                  "--format=%H"],
                 cwd=REPO, capture_output=True, text=True, check=True,
+            ).stdout.split()
+            head_tree = subprocess.run(
+                ["git", "rev-parse", f"HEAD:{PKG}"],
+                cwd=REPO, capture_output=True, text=True, check=True,
             ).stdout.strip()
+            for cand in refs:
+                cand_tree = subprocess.run(
+                    ["git", "rev-parse", f"{cand}:{PKG}"],
+                    cwd=REPO, capture_output=True, text=True, check=True,
+                ).stdout.strip()
+                if cand_tree != head_tree:
+                    ref = cand
+                    break
         except Exception:
             return None
-        if not out:
+        if not ref:
             return None
-        ref = out
     dest = REPO / ".scratch" / f"ab_baseline_{ref[:12]}"
     try:
         if not (dest / PKG).is_dir():
@@ -225,16 +258,26 @@ def main() -> None:
                 cur_qs = _load_queries(REPO)
                 totals.append(_run_pass(spark, cur_qs, sf_dir, b_times))
 
-    timings = {n: round(statistics.mean(v), 3) for n, v in b_times.items()}
+    # EMISSION CONTRACT (VERDICT r5 #1): the driver records only the
+    # LAST ~2 KB of stdout, and r5's single output line (48 query means
+    # + a 48-entry ab block) outgrew it — BENCH_r05.json came back
+    # ``parsed: null``. So: the bulky per-query A/B detail goes to
+    # BENCH_AB.json (committed, judge-readable) and to an EARLY stdout
+    # line; the FINAL stdout line is a compact headline (2-decimal
+    # query means, no ab dict, minimal separators) that always fits a
+    # tail buffer.
+    timings = {n: round(statistics.mean(v), 2) for n, v in b_times.items()}
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(statistics.mean(totals), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "runs": n_runs,
         "sd": round(statistics.stdev(totals), 3) if n_runs > 1 else 0.0,
     }
+    detail: dict = {"queries_full": {
+        n: [round(x, 4) for x in v] for n, v in b_times.items()
+    }}
     if baseline is not None and a_times:
         ab = {}
         for name, bt in b_times.items():
@@ -249,7 +292,7 @@ def main() -> None:
                 "a_sd": round(statistics.stdev(at), 3) if len(at) > 1 else 0.0,
                 "b_sd": round(statistics.stdev(bt), 3) if len(bt) > 1 else 0.0,
             }
-        out["ab"] = ab
+        detail["ab"] = ab
         out["ab_baseline_ref"] = baseline[0][:12]
         ratios = sorted(v["ratio"] for v in ab.values() if v["ratio"])
         if ratios:
@@ -260,7 +303,11 @@ def main() -> None:
         out["value_shared"] = round(
             sum(statistics.mean(b_times[n]) for n in ab), 3
         )
-    print(json.dumps(out))
+    detail.update(out)
+    (REPO / "BENCH_AB.json").write_text(json.dumps(detail, indent=1))
+    print(json.dumps(detail))  # early line: full detail for human eyes
+    out["queries"] = timings
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

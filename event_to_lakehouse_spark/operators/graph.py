@@ -94,6 +94,26 @@ _EDGES_CTE = """
 """
 
 
+# (applicationId) -> (cache key, persisted edge DataFrame). The four
+# graph entries (pagerank / triangles / LPA / link prediction) all
+# derive the SAME edge list from a lineitem self-join — previously each
+# call re-ran that join, the family's dominant constant factor (VERDICT
+# r5 #5). Same discipline as ``similarity.ann._BLOCKKEYS``: bounded to
+# one entry per app (new corpus or min_support evicts + unpersists the
+# old one), keyed by plan hash + the concrete input-file listing so a
+# corpus rewrite at the same path invalidates (any Spark rewrite
+# produces fresh part-file names). Release with
+# ``unpersist_copurchase_edges()``.
+_EDGECACHE: dict[str, tuple[int, DataFrame]] = {}
+
+
+def unpersist_copurchase_edges() -> None:
+    """Drop every cached co-purchase edge materialization."""
+    for _, df in _EDGECACHE.values():
+        df.unpersist()
+    _EDGECACHE.clear()
+
+
 def _copurchase_edges(
     spark: SparkSession, sf_dir: str, min_support: int = 1
 ) -> DataFrame:
@@ -105,19 +125,35 @@ def _copurchase_edges(
     graph saturates toward the complete graph and wedge counts explode;
     raising support restores sparsity proportional to signal, not data
     volume. The registry entries pin support=1 (oracle-matched); the
-    scale probe exercises support=2 on the 10× corpus."""
+    scale probe exercises support=2 on the 10× corpus.
+
+    The result is session-cached (``_EDGECACHE``): one persisted
+    materialization serves the whole graph family."""
+    from pyspark import StorageLevel
+
     l = load_tables(spark, sf_dir)["lineitem"]
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     pairs = a.join(b, "ok").where(F.col("src") != F.col("dst"))
     if min_support <= 1:
-        return pairs.select("src", "dst").distinct()
-    return (
-        pairs.groupBy("src", "dst")
-        .agg(F.count_distinct("ok").alias("support"))
-        .where(F.col("support") >= min_support)
-        .select("src", "dst")
-    )
+        edges = pairs.select("src", "dst").distinct()
+    else:
+        edges = (
+            pairs.groupBy("src", "dst")
+            .agg(F.count_distinct("ok").alias("support"))
+            .where(F.col("support") >= min_support)
+            .select("src", "dst")
+        )
+    app = spark.sparkContext.applicationId
+    key = hash((edges.semanticHash(), tuple(sorted(l.inputFiles()))))
+    cached = _EDGECACHE.get(app)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    if cached is not None:
+        cached[1].unpersist()
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    _EDGECACHE[app] = (key, edges)
+    return edges
 
 
 def _pr_round_sql(prev: str, cur: str) -> str:
@@ -398,6 +434,74 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the anti join is edge-cardinality.
     """
     return link_prediction(_copurchase_edges(spark, sf_dir))
+
+
+LP_CAP = 150
+
+
+@query(
+    "graph_link_prediction_capped",
+    f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY src),
+    centers AS (
+        SELECT p.src, p.dst FROM pairs p
+        JOIN deg d ON d.node = p.src
+        WHERE d.deg <= {LP_CAP}
+    ),
+    wedge AS (
+        SELECT e1.dst AS a, e1.src AS b, e2.dst AS c
+        FROM centers e1
+        JOIN centers e2 ON e2.src = e1.src AND e1.dst < e2.dst
+    ),
+    cand AS (
+        SELECT w.a, w.c,
+               count(*) AS common_neighbors,
+               sum(1.0 / ln(d.deg)) AS adamic_adar
+        FROM wedge w
+        JOIN deg d ON d.node = w.b
+        LEFT JOIN pairs e ON e.src = w.a AND e.dst = w.c
+        WHERE e.src IS NULL
+        GROUP BY w.a, w.c
+    )
+    SELECT cand.a AS part_a, cand.c AS part_b,
+           cand.common_neighbors,
+           round(cand.adamic_adar, 4) AS adamic_adar,
+           round(CAST(cand.common_neighbors AS DOUBLE)
+                 / CAST(da.deg + dc.deg - cand.common_neighbors AS DOUBLE), 4)
+             AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = cand.a
+    JOIN deg dc ON dc.node = cand.c
+    ORDER BY cand.common_neighbors DESC, cand.a, cand.c
+    LIMIT {LP_TOP_K}
+    """,
+)
+def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction with the hub-degree cap ENGAGED — the plan you
+    would actually run at 100 TB, value-checked (VERDICT r5 #3: the
+    uncapped entry certifies exactness but enumerates every open wedge,
+    Σ C(deg(b), 2), which densifies ~deg² as the fact table grows over
+    a fixed catalog; it stays registered as the exactness gauge).
+
+    Semantics under the cap: wedge CENTERS (the shared neighbor b) with
+    degree > ``LP_CAP`` (150) are dropped before pairing, so common_neighbors
+    counts only low-degree witnesses — the strong-evidence ones
+    (Adamic-Adar already discounts hubs by 1/ln(deg)). Neighbor sets
+    for the Jaccard denominator and the non-edge anti join still use
+    the FULL graph; only wedge enumeration is capped. The oracle CTE
+    applies the identical cap, so the capped ranking itself is
+    hash-verified — not just "capped output is a subset".
+    """
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir), max_center_degree=LP_CAP
+    )
 
 
 def link_prediction(

@@ -71,15 +71,21 @@ def _daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily GROUP BY 1
     )
     SELECT event_type, n AS n_days, CAST(sy AS BIGINT) AS total_events,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
-           round((CAST(sy AS DOUBLE)
-                  - (CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE), 4) AS intercept,
-           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
-                ELSE round(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
-                           / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE), 4)
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                            - (CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                           / CAST(n AS DOUBLE), 4)
+           END AS intercept,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE round((CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 4)
            END AS r2
     FROM sums
     """,
@@ -128,25 +134,37 @@ def merge_trend_partials(*parts: DataFrame) -> DataFrame:
 
 
 def trend_from_partials(sums: DataFrame) -> DataFrame:
-    """Finisher: closed-form OLS from the six-sum state."""
+    """Finisher: closed-form OLS from the six-sum state.
+
+    Overflow discipline (ADVICE r5): ``cov_n``/``var_xn``/``var_yn``
+    stay exact int64 (bounded by n·Σx² ≪ 2⁶³ at any plausible daily
+    volume), but their PRODUCTS are cast to double BEFORE multiplying —
+    cov_n² alone exceeds int64 once daily counts reach ~1e6, and Spark
+    (non-ANSI) would wrap silently where DuckDB promotes to HUGEINT.
+    Zero guards (single-day keys: var_xn = 0) run on the exact integer
+    and NULL out slope/intercept/r2 identically in both engines."""
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     cov_n = n * sxy - sx * sy  # n² × cov, exact
     var_xn = n * sxx - sx * sx  # n² × var(x), exact
     var_yn = n * syy - sy * sy
-    slope = cov_n.cast("double") / var_xn.cast("double")
+    cov_d, vx_d, vy_d = (c.cast("double") for c in (cov_n, var_xn, var_yn))
+    slope = cov_d / vx_d
+    null_d = F.lit(None).cast("double")
     return sums.select(
         "event_type",
         n.alias("n_days"),
         sy.alias("total_events"),
-        F.round(slope, 4).alias("slope"),
-        F.round(
-            (sy.cast("double") - slope * sx.cast("double")) / n.cast("double"), 4
-        ).alias("intercept"),
-        F.when(var_xn * var_yn == 0, F.lit(None).cast("double"))
+        F.when(var_xn == 0, null_d).otherwise(F.round(slope, 4)).alias("slope"),
+        F.when(var_xn == 0, null_d)
         .otherwise(
-            F.round((cov_n * cov_n).cast("double") / (var_xn * var_yn).cast("double"), 4)
+            F.round(
+                (sy.cast("double") - slope * sx.cast("double")) / n.cast("double"), 4
+            )
         )
+        .alias("intercept"),
+        F.when((var_xn == 0) | (var_yn == 0), null_d)
+        .otherwise(F.round((cov_d * cov_d) / (vx_d * vy_d), 4))
         .alias("r2"),
     )
 
@@ -167,10 +185,13 @@ def trend_from_partials(sums: DataFrame) -> DataFrame:
            round(CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE), 4) AS dow_mean,
            round(CAST(t.c AS DOUBLE)
                  - CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE), 4) AS resid,
-           CASE WHEN p.n < 2 OR p.n * p.ss - p.s * p.s = 0 THEN NULL
+           CASE WHEN p.n < 2
+                  OR CAST(p.n AS DOUBLE) * CAST(p.ss AS DOUBLE)
+                     - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE) = 0 THEN NULL
                 ELSE round((CAST(t.c AS DOUBLE) - CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE))
-                           / sqrt(CAST(p.n * p.ss - p.s * p.s AS DOUBLE)
-                                  / CAST(p.n * (p.n - 1) AS DOUBLE)), 4)
+                           / sqrt((CAST(p.n AS DOUBLE) * CAST(p.ss AS DOUBLE)
+                                   - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE))
+                                  / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) - 1))), 4)
            END AS zscore
     FROM typed t JOIN prof p ON p.dow = t.dow
     """,
@@ -194,8 +215,12 @@ def events_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s, ss, c = F.col("n"), F.col("s"), F.col("ss"), F.col("c")
     mean = s.cast("double") / n.cast("double")
-    var_num = n * ss - s * s  # n²(n-1)/n × var — exact integer
-    sd = F.sqrt(var_num.cast("double") / (n * (n - 1)).cast("double"))
+    # var_num is formed in DOUBLE, not int64 (ADVICE r5): s·s wraps in
+    # Spark's non-ANSI int64 once per-weekday count sums reach ~3e9,
+    # while DuckDB promotes to HUGEINT — the double form (same IEEE op
+    # order both sides) is divergence-free at any volume.
+    var_num = n.cast("double") * ss.cast("double") - s.cast("double") * s.cast("double")
+    sd = F.sqrt(var_num / (n.cast("double") * (n.cast("double") - 1)))
     return typed.join(F.broadcast(prof), "dow").select(
         F.col("d").alias("day"),
         "dow",
