@@ -58,7 +58,9 @@ pattern a kept sibling certifies, then five more in the consolidation
 pass (hard negatives, interval islands, SCD2 history, the constraint
 suite, TF-IDF) where each promoted plan strictly contains the plan of
 the seat it takes — the inline comments at the two swap blocks carry
-the per-seat rationale.
+the per-seat rationale. Round 6 promoted the graph/linkage/statistics
+tier (LPA, capped link prediction, KMV set-ops, the correlation
+matrix) into four pattern-redundant seats — see the r6 swap block.
 """
 
 from __future__ import annotations
@@ -92,7 +94,6 @@ FINAL_CATALOG: list[str] = [
     "dedup_exact",
     "text_enrich",
     "text_samples",
-    "multimodal_transform",
     "gold_asset_posture",
     "q2_min_cost_per_part",
     "q9_product_profit",
@@ -128,7 +129,6 @@ FINAL_CATALOG: list[str] = [
     #        dim×dim cross stays pytest+parity)
     #   join_semi_anti -> q21 (semi+anti on facts, co-partitioned)
     "events_heavyhitters_cm",
-    "agg_hll_portable_merge",  # partials AND merged estimate ⊃ one-pass
     "agg_quantile_histogram",
     "join_asof_forward_tolerance",
     "text_repetition_filter",
@@ -155,13 +155,34 @@ FINAL_CATALOG: list[str] = [
     "gold_scd2_history",
     "quality_constraints",
     "text_tfidf_topterms",
+    # --- r6 swap-ins: the graph/linkage/statistics tier gets driver
+    # seats (VERDICT r5 #4 — the gate's value is highest on the
+    # iterative chained-CTE oracles none of which were driver-certified
+    # in r5). Seats freed per the established discipline (every retired
+    # row stays registry+pytest+oracle-green; its plan pattern stays
+    # driver-certified through a kept sibling):
+    #   q3_shipping_priority -> q9 (equi multi-join + agg; broadcast-
+    #        dim choice pinned by test_plan_shapes), topk ranking by
+    #        window_rank_topk's successor below
+    #   window_rank_topk -> text_tfidf_topterms (per-group window topk
+    #        is a strict subset of its tf×df + window-rank plan);
+    #        TakeOrderedAndProject stays pinned by test_plan_shapes
+    #   multimodal_transform -> multimodal_features (same Arrow
+    #        mapInPandas batch plumbing over binary columns; the
+    #        resize/frame-sample codecs stay golden-pixel pytest-pinned)
+    #   agg_hll_portable_merge -> agg_kmv_setops (same mergeable-
+    #        distinct-sketch chain: group -> bounded sketch state ->
+    #        merge -> estimate; KMV additionally value-checks
+    #        union/intersection/difference estimates, which HLL cannot)
+    "graph_label_propagation",   # iterative: 2 LPA rounds, chained-CTE oracle
+    "graph_link_prediction_capped",  # the scale-safe wedge plan (r5 weak item)
+    "agg_kmv_setops",            # the only intersectable sketch
+    "stats_corr_matrix",         # one-scan sufficient-stats matrix
     # --- driver-green in round 1, unchanged ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "filter_predicates_part",
     "project_cast_conditional",
     "array_hof_vector_stats",
-    "window_rank_topk",
     "join_range_follow_events",
     "join_asof_prior_purchase",
     "join_basket_copurchase",

@@ -533,7 +533,7 @@ class SnapshotTable:
     def overwrite(
         self,
         df: DataFrame,
-        keep_tokens: bool = True,
+        keep_tokens: bool | int = True,
         batch_token: str | None = None,
     ) -> Snapshot:
         """Commit a snapshot containing ONLY ``df`` (logical truncate +
@@ -544,11 +544,23 @@ class SnapshotTable:
         not un-apply the micro-batches whose rows it now holds, so a
         ``foreachBatch`` replay straddling a compaction must still be a
         no-op. Pass ``keep_tokens=False`` only for a true truncate+load
-        that starts a new ingestion lineage. ``batch_token`` joins the
-        carried chain (replay of an already-applied token is a no-op,
-        as in ``append``)."""
+        that starts a new ingestion lineage. An INT carries only the
+        NEWEST that many parent tokens — the compaction valve for
+        overwrite-per-micro-batch state tables (ADVICE r5: with
+        unbounded carry, every manifest grows O(#micro-batches) over a
+        long-running stream). Sound whenever the source's replay window
+        is bounded: a Structured Streaming checkpoint only ever
+        re-delivers batches at-or-after its last committed offset, so a
+        token older than the horizon can never be presented again.
+        ``batch_token`` joins the carried chain (replay of an
+        already-applied token is a no-op, as in ``append``)."""
         parent = self.snapshot()
-        tokens = list(parent.batch_tokens) if (parent and keep_tokens) else []
+        if parent and keep_tokens:
+            tokens = list(parent.batch_tokens)
+            if keep_tokens is not True:
+                tokens = tokens[-int(keep_tokens):]
+        else:
+            tokens = []
         if batch_token is not None:
             if parent and batch_token in parent.batch_tokens:
                 return parent

@@ -425,19 +425,30 @@ def kmv_sketch_stream(
     key: str = "user_id",
     group: str = "event_type",
     available_now: bool = True,
+    token_horizon: int = 64,
+    vacuum_every: int = 32,
 ):
     """Streaming KMV distinct sketch (the set-operation sketch's
     streaming twin — see ``operators.sketches.kmv_sketch``): each
     micro-batch's k-min state merges into a SnapshotTable via
-    ``kmv_merge``, so the durable state is at most groups × K rows
-    FOREVER — no watermark needed, same bounded-state argument as the
-    count-min stream. Exactly-once comes twice over: the batch_id
-    token makes replays storage no-ops, and kmv_merge is idempotent
-    anyway (k smallest of a union absorbs re-merged batches).
-    Estimates/set-ops are served off the state table with
-    ``kmv_estimate`` exactly as the batch operator serves them.
-    Drained-stream == whole-batch equality is pytest-pinned
-    (``test_kmv_sketch_stream_equals_batch``)."""
+    ``kmv_merge``, so the durable DATA state is at most groups × K
+    rows — no watermark needed, same bounded-state argument as the
+    count-min stream. COMMIT METADATA is bounded too (ADVICE r5: the
+    unbounded default would carry every batch token forever and old
+    snapshot files would accumulate until vacuum): each overwrite
+    carries only the newest ``token_horizon`` tokens — safe because a
+    checkpointed source never re-delivers a batch older than its last
+    committed offset, and kmv_merge is idempotent anyway (k smallest
+    of a union absorbs re-merged batches) — and every
+    ``vacuum_every``-th batch vacuums superseded snapshots (state
+    tables need no time travel; the latest snapshot IS the state).
+    Exactly-once comes twice over: the batch_id token makes replays
+    storage no-ops, and the merge is idempotent. Estimates/set-ops
+    are served off the state table with ``kmv_estimate`` exactly as
+    the batch operator serves them. Drained-stream == whole-batch
+    equality is pytest-pinned
+    (``test_kmv_sketch_stream_equals_batch``); the bounded manifest is
+    pinned by ``test_kmv_stream_manifest_bounded``."""
     from ..operators.sketches import kmv_merge, kmv_sketch
     from ..storage.snapshots import SnapshotTable
 
@@ -446,7 +457,9 @@ def kmv_sketch_stream(
         batch_sk = kmv_sketch(batch_df, key, group)
         snap = tbl.snapshot()
         merged = batch_sk if snap is None else kmv_merge(tbl.read(), batch_sk)
-        tbl.overwrite(merged, batch_token=f"b{batch_id}")
+        tbl.overwrite(merged, keep_tokens=token_horizon, batch_token=f"b{batch_id}")
+        if vacuum_every and batch_id % vacuum_every == vacuum_every - 1:
+            tbl.vacuum(keep_versions=2)
 
     writer = events.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

@@ -279,6 +279,53 @@ def test_label_propagation_matches_local_reference(spark):
     assert got == {v: (l, sizes[l]) for v, l in labels.items()}
 
 
+def test_copurchase_edge_cache_shared_and_invalidated(spark):
+    """The graph family shares ONE persisted edge materialization per
+    session (VERDICT r5 #5): repeated calls return the identical cached
+    frame; a different corpus (new input files) or a different
+    min_support evicts and unpersists the old entry (bounded to one);
+    unpersist_copurchase_edges() releases everything."""
+    from event_to_lakehouse_spark.operators.graph import (
+        _EDGECACHE,
+        _copurchase_edges,
+        unpersist_copurchase_edges,
+    )
+
+    unpersist_copurchase_edges()
+    e1 = _copurchase_edges(spark, SF)
+    assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
+    assert _copurchase_edges(spark, SF) is e1  # cache hit: same frame
+    assert len(_EDGECACHE) == 1
+
+    e2 = _copurchase_edges(spark, SF, min_support=2)  # new plan -> new key
+    assert e2 is not e1
+    assert len(_EDGECACHE) == 1  # bounded: old entry evicted...
+    assert not (e1.storageLevel.useMemory or e1.storageLevel.useDisk)  # ...and unpersisted
+    assert e2.storageLevel.useMemory or e2.storageLevel.useDisk
+
+    unpersist_copurchase_edges()
+    assert len(_EDGECACHE) == 0
+    assert not (e2.storageLevel.useMemory or e2.storageLevel.useDisk)
+
+
+def test_link_prediction_capped_is_cap_semantics_of_core(spark):
+    """The registered capped entry must BE link_prediction(cap=150) —
+    the oracle certifies the capped ranking, this pins that the
+    registry callable routes through the same core with LP_CAP."""
+    from event_to_lakehouse_spark.operators.graph import (
+        LP_CAP,
+        _copurchase_edges,
+        graph_link_prediction_capped,
+        link_prediction,
+    )
+
+    got = graph_link_prediction_capped(spark, SF).collect()
+    want = link_prediction(
+        _copurchase_edges(spark, SF), max_center_degree=LP_CAP
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_link_prediction_hub_cap_prunes_but_keeps_strong_pairs(spark):
     """The max_center_degree knob must only REMOVE wedge evidence from
     hub centers: capped common-neighbor counts are <= uncapped for the

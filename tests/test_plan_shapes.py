@@ -273,6 +273,7 @@ def test_graph_queries_use_equi_joins_only(spark, qs):
         "graph_pagerank_parts",
         "graph_triangle_count",
         "graph_link_prediction",
+        "graph_link_prediction_capped",
     ):
         a = audit_plan(qs[name](spark, SF_DIR))
         assert a.nested_loop_joins == 0, name

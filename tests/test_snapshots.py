@@ -260,6 +260,22 @@ def test_overwrite_is_logical_truncate(spark, tmp_dir):
     assert t.read(version=1).count() == 100  # old snapshot still readable
 
 
+def test_overwrite_token_horizon_bounds_chain(spark, tmp_dir):
+    """``keep_tokens=<int>`` carries only the newest N parent tokens —
+    the compaction valve for overwrite-per-micro-batch state tables
+    (ADVICE r5: unbounded carry grows every manifest O(#batches)).
+    Tokens inside the horizon still dedup replays; tokens aged out are
+    forgotten (by contract the source can never re-present them)."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    for i in range(6):
+        t.overwrite(_batch(spark, 0, 3), keep_tokens=2, batch_token=f"b{i}")
+    tokens = t.snapshot().batch_tokens
+    assert tokens == ["b3", "b4", "b5"]  # newest 2 carried + this batch
+    v = t.snapshot().version
+    t.overwrite(_batch(spark, 0, 3), keep_tokens=2, batch_token="b5")
+    assert t.snapshot().version == v  # in-horizon replay: no-op
+
+
 def test_vacuum_drops_unreferenced_files(spark, tmp_dir):
     t = SnapshotTable(spark, f"{tmp_dir}/tbl")
     t.append(_batch(spark, 0, 100).coalesce(1))

@@ -630,3 +630,57 @@ def test_kmv_sketch_stream_equals_batch(spark, tmp_dir):
     v_before = tbl.snapshot().version
     tbl.overwrite(tbl.read(), batch_token="b0")
     assert tbl.snapshot().version == v_before
+
+
+def test_kmv_stream_manifest_bounded(spark, tmp_dir):
+    """Long-running-stream posture (ADVICE r5): the KMV state table's
+    COMMIT METADATA stays bounded — the token chain never exceeds
+    horizon+1 and periodic vacuum caps retained manifests — while the
+    drained state still equals the whole-batch sketch."""
+    import json as _json
+    from pathlib import Path
+
+    from event_to_lakehouse_spark.operators.sketches import kmv_sketch
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import (
+        kmv_sketch_stream,
+        read_event_stream,
+    )
+
+    events = [
+        {
+            "event_id": i,
+            "ts": "2024-01-01T10:00:00",
+            "user_id": i % 25,
+            "event_type": "click" if i % 2 else "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(120)
+    ]
+    src = Path(f"{tmp_dir}/events")
+    src.mkdir(parents=True)
+    for i in range(6):  # six files -> six micro-batches
+        chunk = events[i * 20 : (i + 1) * 20]
+        (src / f"part_{i}.json").write_text(
+            "\n".join(_json.dumps(e) for e in chunk)
+        )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    state_root = f"{tmp_dir}/kmv_state"
+    q = kmv_sketch_stream(
+        stream, state_root, f"{tmp_dir}/ckpt",
+        key="user_id", group="event_type",
+        token_horizon=2, vacuum_every=2,
+    )
+    q.awaitTermination(120)
+
+    tbl = SnapshotTable(spark, state_root)
+    assert tbl.snapshot().batch_tokens == ["b3", "b4", "b5"]  # horizon+1 window
+    assert len(tbl.history()) <= 3  # vacuum keeps the manifest set flat
+    batch = spark.read.json(str(src), schema=stream.schema)
+    got = sorted((r.event_type, r.hv) for r in tbl.read().collect())
+    want = sorted(
+        (r.event_type, r.hv)
+        for r in kmv_sketch(batch, "user_id", "event_type").collect()
+    )
+    assert got == want
