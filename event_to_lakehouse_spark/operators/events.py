@@ -1165,3 +1165,148 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_state", "to_state")
     )
+
+
+BOT_RATE = 3  # events per active day at/above which a user is "heavy"
+BOT_ENTROPY = 0.75  # normalized type entropy below which heavy = bot-like
+
+
+@query(
+    "events_bot_score",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    act AS (
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT date_trunc('day', ts)) AS active_days
+        FROM base GROUP BY 1
+    ),
+    tc AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM base GROUP BY 1, 2
+    ),
+    tt AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS tot, count(*) AS n_types
+        FROM tc GROUP BY 1
+    ),
+    ent AS (
+        SELECT tt.user_id,
+               CASE WHEN tt.n_types = 1 THEN NULL
+                    ELSE round(-sum((CAST(tc.c AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+                                    * ln(CAST(tc.c AS DOUBLE) / CAST(tt.tot AS DOUBLE)))
+                               / ln(CAST(tt.n_types AS DOUBLE)), 4)
+               END AS norm_entropy
+        FROM tc JOIN tt ON tt.user_id = tc.user_id
+        GROUP BY tt.user_id, tt.n_types, tt.tot
+    ),
+    seq AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS pt
+        FROM base
+    ),
+    gap AS (
+        SELECT user_id,
+               round(CAST(sum(t - pt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     / 1000000.0, 4) AS avg_gap_s
+        FROM seq WHERE pt IS NOT NULL GROUP BY 1
+    )
+    SELECT a.user_id, a.n_events, a.active_days,
+           ent.norm_entropy, gap.avg_gap_s,
+           CASE WHEN a.n_events >= {BOT_RATE} * a.active_days
+                     AND coalesce(ent.norm_entropy, 0.0) <= {BOT_ENTROPY}
+                THEN 'bot_like'
+                WHEN a.n_events >= {BOT_RATE} * a.active_days THEN 'heavy'
+                ELSE 'normal'
+           END AS verdict
+    FROM act a
+    JOIN ent ON ent.user_id = a.user_id
+    LEFT JOIN gap ON gap.user_id = a.user_id
+    """,
+)
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bot-likelihood signals + a bucketed verdict — the
+    composite behavioral screen a data-curation pass runs before
+    counting a user's events as organic training signal: volume rate
+    (events per active day), behavioral diversity (normalized
+    event-type entropy), and arrival cadence (mean inter-event gap).
+
+    Determinism: the rate gate compares EXACT integers
+    (n_events ≥ {BOT_RATE}·active_days — no float boundary), and the
+    entropy gate compares a double both engines derive from the same
+    expression tree over exact counts, so the verdict is value-stable
+    cross-engine. Entropy is NULL for single-type users (undefined
+    normalization) and coalesced to 0 in the gate — monotone behavior
+    is "bot-like": ALL activity in one event type. Shape: three
+    per-user aggregates off one scan (count/distinct-day, type
+    entropy, lag-gap) joined on user_id — every shuffle is
+    user-cardinality, and each aggregate is the already-certified
+    pattern (``events_user_entropy``, ``events_interarrival_stats``).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    base = e.where(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    act = base.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.date_trunc("day", "ts")).alias("active_days"),
+    )
+    tc = base.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tt = tc.groupBy("user_id").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    ent = (
+        tc.join(tt, "user_id")
+        .groupBy("user_id", "n_types", "tot")
+        .agg(
+            F.when(F.col("n_types") == 1, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    -F.sum(p * F.log(p)) / F.log(F.col("n_types").cast("double")), 4
+                )
+            )
+            .alias("norm_entropy")
+        )
+        .select("user_id", "norm_entropy")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = base.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pt"),
+    )
+    gap = (
+        seq.where(F.col("pt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("t") - F.col("pt")).cast("double")
+                / F.count("*").cast("double")
+                / 1000000.0,
+                4,
+            ).alias("avg_gap_s")
+        )
+    )
+    heavy = F.col("n_events") >= BOT_RATE * F.col("active_days")
+    return (
+        act.join(ent, "user_id")
+        .join(gap, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "active_days",
+            "norm_entropy",
+            "avg_gap_s",
+            F.when(
+                heavy & (F.coalesce("norm_entropy", F.lit(0.0)) <= BOT_ENTROPY),
+                F.lit("bot_like"),
+            )
+            .when(heavy, F.lit("heavy"))
+            .otherwise(F.lit("normal"))
+            .alias("verdict"),
+        )
+    )

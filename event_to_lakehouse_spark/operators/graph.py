@@ -570,6 +570,74 @@ def link_prediction(
     )
 
 
+KCORE_K = 60
+KCORE_ROUNDS = 2
+
+
+@query(
+    "graph_kcore_membership",
+    f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    d0 AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    k0 AS (SELECT src FROM d0 WHERE deg >= {KCORE_K}),
+    e1 AS (
+        SELECT p.src, p.dst FROM pairs p
+        JOIN k0 a ON a.src = p.src
+        JOIN k0 b ON b.src = p.dst
+    ),
+    d1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+    k1 AS (SELECT src FROM d1 WHERE deg >= {KCORE_K}),
+    e2 AS (
+        SELECT p.src, p.dst FROM e1 p
+        JOIN k1 a ON a.src = p.src
+        JOIN k1 b ON b.src = p.dst
+    ),
+    fd AS (SELECT src AS p_partkey, count(*) AS core_degree FROM e2 GROUP BY 1)
+    SELECT fd.p_partkey, d0.deg AS degree, fd.core_degree
+    FROM fd JOIN d0 ON d0.src = fd.p_partkey
+    """,
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel, FIXED round count (the dense-subgraph filter a
+    curation pass runs before community/link analysis — nodes that
+    survive iterated low-degree pruning form the stable core).
+
+    Like PageRank/LPA, the peel runs a FIXED number of rounds
+    (``KCORE_ROUNDS`` = 2) so the whole computation is one chained plan and
+    the DuckDB oracle value-checks every round (full convergence is the
+    same loop run to fixpoint; fixed rounds are the oracle-checkable
+    prefix). Each round: degree count + semi-join filter on BOTH
+    endpoints — two node-cardinality shuffles per round over the shared
+    cached edge list, never fact-cardinality. Exact integers
+    throughout; output is the surviving nodes with original and
+    post-peel degree.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    d0 = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    surv = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = surv.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= KCORE_K).select("src")
+        surv = (
+            surv.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+        )
+    fd = surv.groupBy(F.col("src").alias("p_partkey")).agg(
+        F.count("*").alias("core_degree")
+    )
+    return fd.join(
+        d0.select(F.col("src").alias("p_partkey"), F.col("deg").alias("degree")),
+        "p_partkey",
+    ).select("p_partkey", "degree", "core_degree")
+
+
 LPA_ITERS = 2
 
 

@@ -506,3 +506,183 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_entropy",
         )
     )
+
+
+@query(
+    "events_autocorr_lag1",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
+               count(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, y,
+               lag(y) OVER (PARTITION BY event_type ORDER BY x) AS py
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(py) AS DOUBLE) AS sp,
+               CAST(sum(y * py) AS DOUBLE) AS syp,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(py * py) AS DOUBLE) AS spp
+        FROM seq WHERE py IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * syy - sy * sy = 0 OR n * spp - sp * sp = 0 THEN NULL
+                ELSE round((n * syp - sy * sp)
+                           / sqrt((n * syy - sy * sy) * (n * spp - sp * sp)), 4)
+           END AS autocorr_lag1
+    FROM s
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type — the
+    persistence signal behind burst detection and forecasting-model
+    choice (near 0: memoryless; near 1: trending/level shifts).
+
+    Pairs (y_t, y_{t-1}) come from a lag window over the OBSERVED-day
+    series (missing days are skipped, not zero-filled — compose with
+    ``events_gap_fill`` upstream for the calendar-regular variant);
+    the correlation is the textbook Pearson form over per-type sums.
+    Following the r5 overflow advisory, every sum is cast to double
+    BEFORE any product is formed (n·Σy² wraps int64 once daily counts
+    reach ~1e6 at 100 TB volume), and both engines evaluate the same
+    IEEE expression tree, so round(4) parity is exact. Shape: one scan
+    → day groupBy → a types-cardinality window → a types-cardinality
+    final agg; nothing fact-sized crosses the wire twice.
+    """
+    daily = _daily_by_type(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    seq = daily.select(
+        "event_type", "y", F.lag("y").over(w).alias("py")
+    ).where(F.col("py").isNotNull())
+    y, py = F.col("y"), F.col("py")
+    s = seq.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(py).cast("double").alias("sp"),
+        F.sum(y * py).cast("double").alias("syp"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(py * py).cast("double").alias("spp"),
+    )
+    n, sy, sp = F.col("n"), F.col("sy"), F.col("sp")
+    syp, syy, spp = F.col("syp"), F.col("syy"), F.col("spp")
+    vy = n * syy - sy * sy
+    vp = n * spp - sp * sp
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        F.when((vy == 0) | (vp == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((n * syp - sy * sp) / F.sqrt(vy * vp), 4))
+        .alias("autocorr_lag1"),
+    )
+
+
+MW_TYPE_A = "click"
+MW_TYPE_B = "purchase"
+
+
+@query(
+    "stats_mannwhitney_value",
+    f"""
+    WITH pooled AS (
+        SELECT event_type, value, event_id
+        FROM events
+        WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}')
+          AND value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (ORDER BY value, event_id) AS rn
+        FROM pooled
+    ),
+    tied AS (
+        SELECT event_type,
+               (CAST(min(rn) OVER (PARTITION BY value) AS DOUBLE)
+                + CAST(max(rn) OVER (PARTITION BY value) AS DOUBLE)) / 2.0
+                 AS avg_rank
+        FROM ranked
+    ),
+    s AS (
+        SELECT
+            count(*) FILTER (event_type = '{MW_TYPE_A}') AS n_a,
+            count(*) FILTER (event_type = '{MW_TYPE_B}') AS n_b,
+            sum(avg_rank) FILTER (event_type = '{MW_TYPE_A}') AS r_a
+        FROM tied
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0, 1)
+             AS u_a,
+           round(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 - (r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0), 1)
+             AS u_b,
+           round(((r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0), 4)
+             AS z_approx
+    FROM s
+    """,
+)
+def stats_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test of the ``value`` distribution between two
+    event types (the nonparametric A/B-comparison a metrics pipeline
+    runs when normality is off the table).
+
+    Rank construction keeps everything EXACT: row_number over
+    (value, event_id) is deterministic; within a tie block those
+    row numbers are consecutive, so the tie-averaged rank is
+    (min+max)/2 — a multiple of 0.5 represented exactly in double, and
+    the rank-sum over them is exact FP addition (no rounding until the
+    final z). U_a = R_a − n_a(n_a+1)/2; z uses the no-tie-correction
+    normal approximation (documented; the correction term is a fixed
+    expression over tie-group sizes if ever needed). Shape: one scan,
+    ONE global sort of the two types' rows (the rank), then scalar
+    aggregation — at 100 TB you'd swap the exact rank for a quantile-
+    sketch approximation, same downstream formula.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    pooled = e.where(
+        F.col("event_type").isin(MW_TYPE_A, MW_TYPE_B)
+        & F.col("value").isNotNull()
+    ).select("event_type", "value", "event_id")
+    ranked = pooled.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
+    )
+    wv = Window.partitionBy("value")
+    tied = ranked.select(
+        "event_type",
+        (
+            (F.min("rn").over(wv).cast("double") + F.max("rn").over(wv).cast("double"))
+            / 2.0
+        ).alias("avg_rank"),
+    )
+    is_a = F.col("event_type") == MW_TYPE_A
+    is_b = F.col("event_type") == MW_TYPE_B
+    s = tied.agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(is_b, 1)).alias("n_b"),
+        F.sum(F.when(is_a, F.col("avg_rank"))).alias("r_a"),
+    )
+    n_a, n_b, r_a = (
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("r_a"),
+    )
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(n_a * n_b - u_a, 1).alias("u_b"),
+        F.round(
+            (u_a - n_a * n_b / 2.0)
+            / F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0),
+            4,
+        ).alias("z_approx"),
+    )

@@ -1159,3 +1159,108 @@ def text_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("aes_key", 6).alias("aes_key"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+ZIPF_TOP = 200
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, token, count(*) AS c
+        FROM toks WHERE token <> '' GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, c,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY c DESC, token
+               ) AS r
+        FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= {ZIPF_TOP}),
+    s AS (
+        SELECT source,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum(ln(CAST(r AS DOUBLE))) AS sx,
+               sum(ln(CAST(c AS DOUBLE))) AS sy,
+               sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+               sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx,
+               sum(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS syy
+        FROM top GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+             AS log_intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS of ln(freq) on ln(rank) over the
+    top-``ZIPF_TOP`` tokens — the corpus-health gauge a curation pass
+    reads before training (natural text sits near slope −1; template/
+    spam corpora flatten, deduplicated boilerplate steepens).
+
+    The rank is deterministic (count desc, token asc) so the top-200
+    set — and therefore every ln() input — is identical cross-engine;
+    the regression is the same closed form as ``events_trend_ols`` but
+    over doubles from the start (ln values), which is safe because the
+    sums have ≤ {ZIPF_TOP} terms evaluated in groupBy order… both
+    engines sum per-group in a single partition here (source
+    cardinality is tiny) — and round(4) absorbs any last-ulp libm
+    drift. Shape: explode → (source, token) hash-agg (the one
+    vocabulary-scale shuffle) → per-source top-k window → 200-row
+    regression. At 100 TB the token count shuffle dominates and is
+    exactly the TF-IDF posting shuffle — same scaling row.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    top = counts.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= ZIPF_TOP
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    s = top.groupBy("source").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "source",
+        n.cast("long").alias("n_ranks"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("log_intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )

@@ -370,3 +370,124 @@ def test_user_entropy_matches_scipy_formula(spark):
                 ref / np.log(len(p)), abs=1e-3
             )
             assert 0.0 <= got.loc[uid, "norm_entropy"] <= 1.0
+
+
+def test_kcore_matches_local_peel(spark):
+    """2-round k-core peel == the same peel run on the local edge set."""
+    from event_to_lakehouse_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        graph_kcore_membership,
+    )
+
+    und = _edges(spark)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    d0 = {v: len(n) for v, n in adj.items()}
+    alive = set(adj)
+    for _ in range(KCORE_ROUNDS):
+        deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+        alive = {v for v in alive if deg[v] >= KCORE_K}
+    want = {
+        v: (d0[v], sum(1 for u in adj[v] if u in alive))
+        for v in alive
+    }
+    got = {
+        r.p_partkey: (r.degree, r.core_degree)
+        for r in graph_kcore_membership(spark, SF).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(adj)  # the peel must actually bite at this SF
+
+
+def test_autocorr_lag1_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    from event_to_lakehouse_spark.operators.stats import events_autocorr_lag1
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = pd.to_datetime(e.ts).dt.floor("D")
+    got = {
+        r.event_type: (r.n_pairs, r.autocorr_lag1)
+        for r in events_autocorr_lag1(spark, SF).collect()
+    }
+    for etype, grp in e.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index()
+        y = daily.to_numpy(float)  # observed days only, like the operator
+        a, b = y[1:], y[:-1]
+        want = np.corrcoef(a, b)[0, 1]
+        n_pairs, ac = got[etype]
+        assert n_pairs == len(a)
+        assert ac == pytest.approx(want, abs=1e-3)
+
+
+def test_mannwhitney_matches_pandas_ranks(spark):
+    """U and z from pandas average ranks (the textbook construction)."""
+    from event_to_lakehouse_spark.operators.stats import (
+        MW_TYPE_A,
+        MW_TYPE_B,
+        stats_mannwhitney_value,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    pooled = e[e.event_type.isin([MW_TYPE_A, MW_TYPE_B]) & e.value.notna()]
+    ranks = pooled.value.rank(method="average")
+    n_a = int((pooled.event_type == MW_TYPE_A).sum())
+    n_b = int((pooled.event_type == MW_TYPE_B).sum())
+    r_a = float(ranks[pooled.event_type == MW_TYPE_A].sum())
+    u_a = r_a - n_a * (n_a + 1) / 2
+    z = (u_a - n_a * n_b / 2) / ((n_a * n_b * (n_a + n_b + 1) / 12) ** 0.5)
+    row = stats_mannwhitney_value(spark, SF).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.u_a == pytest.approx(u_a, abs=0.51)  # exact up to output round(1)
+    assert row.u_b == pytest.approx(n_a * n_b - u_a, abs=0.51)
+    assert row.z_approx == pytest.approx(z, abs=1e-3)
+
+
+def test_bot_score_verdict_consistent_with_signals(spark):
+    """The verdict column must be a pure function of the emitted
+    signal columns (rate gate on exact ints, entropy gate on the
+    emitted entropy) — recomputed row-by-row."""
+    from event_to_lakehouse_spark.operators.events import (
+        BOT_ENTROPY,
+        BOT_RATE,
+        events_bot_score,
+    )
+
+    df = events_bot_score(spark, SF).toPandas()
+    assert len(df) > 0
+    for r in df.itertuples():
+        heavy = r.n_events >= BOT_RATE * r.active_days
+        ent = 0.0 if pd.isna(r.norm_entropy) else r.norm_entropy
+        want = (
+            "bot_like" if heavy and ent <= BOT_ENTROPY
+            else "heavy" if heavy
+            else "normal"
+        )
+        assert r.verdict == want, r
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    np = pytest.importorskip("numpy")
+    from event_to_lakehouse_spark.textops import ZIPF_TOP, text_zipf_fit
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    got = {
+        r.source: (r.n_ranks, r.zipf_slope, r.r2)
+        for r in text_zipf_fit(spark, SF).collect()
+    }
+    src = sorted(docs.source.unique())[0]
+    toks: dict = {}
+    for t in docs[docs.source == src].text:
+        for w in t.strip().lower().split():
+            toks[w] = toks.get(w, 0) + 1
+    top = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    x = np.log(np.arange(1, len(top) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in top], dtype=float))
+    slope, _ = np.polyfit(x, y, 1)
+    n_ranks, zslope, r2 = got[src]
+    assert n_ranks == len(top)
+    assert zslope == pytest.approx(slope, abs=1e-3)
+    assert -2.0 < zslope < 0.0  # frequency decreases with rank
+    assert 0.0 <= r2 <= 1.0
