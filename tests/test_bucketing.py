@@ -73,3 +73,52 @@ def test_bucketed_groupby_no_shuffle(spark, bucketed_pair):
     agg = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     a = audit_plan(agg)
     assert a.shuffle_exchanges == 0  # bucket layout satisfies the clustering
+
+
+def test_pagerank_round_one_exchange_on_bucketed_edges(spark, tmp_dir):
+    """graph.py's scale note — "a production run would bucket the edge
+    table by src so every round's join is exchange-free" — pinned on
+    the physical plan: with the co-purchase edge list persisted as a
+    src-bucketed table, one PageRank round (degree count + rank join +
+    contribution rollup) plans exactly ONE exchange (the unavoidable
+    dst rollup); degree groupBy and the rank join ride the bucket
+    clustering. Values match the in-memory round exactly."""
+    from event_to_lakehouse_spark.operators.graph import _copurchase_edges
+
+    sfx = uuid.uuid4().hex[:8]
+    name = f"edges_b_{sfx}"
+    edges = _copurchase_edges(spark, SF_DIR)
+    write_bucketed(edges, name, f"{tmp_dir}/edges_b", ["src"], 8)
+    try:
+        e = read_table(spark, name)
+
+        def one_round(src_edges):
+            deg = src_edges.groupBy("src").agg(F.count("*").alias("deg"))
+            n = 200  # node count is a scalar; irrelevant to plan shape
+            ranks = deg.select(
+                F.col("src").alias("node"), F.lit(1.0 / n).alias("pr")
+            )
+            links = src_edges.join(deg, "src")
+            return (
+                links.join(ranks, links.src == ranks.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    (F.lit(0.15 / n) + F.lit(0.85) * F.sum(F.col("pr") / F.col("deg")))
+                    .alias("pr")
+                )
+            )
+
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = audit_plan(one_round(e))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        assert a.shuffle_exchanges == 1, a.text
+        got = {r.node: r.pr for r in one_round(e).collect()}
+        want = {r.node: r.pr for r in one_round(edges).collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
+    finally:
+        drop_table(spark, name)
