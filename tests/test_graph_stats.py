@@ -280,11 +280,11 @@ def test_label_propagation_matches_local_reference(spark):
 
 
 def test_copurchase_edge_cache_shared_and_invalidated(spark):
-    """The graph family shares ONE persisted edge materialization per
+    """The graph family shares persisted edge materializations per
     session (VERDICT r5 #5): repeated calls return the identical cached
-    frame; a different corpus (new input files) or a different
-    min_support evicts and unpersists the old entry (bounded to one);
-    unpersist_copurchase_edges() releases everything."""
+    frame; the support-1 family graph and the support-2 scale-safe
+    graph coexist (two slots); a third key evicts + unpersists the
+    OLDEST; unpersist_copurchase_edges() releases everything."""
     from event_to_lakehouse_spark.operators.graph import (
         _EDGECACHE,
         _copurchase_edges,
@@ -295,17 +295,23 @@ def test_copurchase_edge_cache_shared_and_invalidated(spark):
     e1 = _copurchase_edges(spark, SF)
     assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
     assert _copurchase_edges(spark, SF) is e1  # cache hit: same frame
-    assert len(_EDGECACHE) == 1
 
     e2 = _copurchase_edges(spark, SF, min_support=2)  # new plan -> new key
     assert e2 is not e1
-    assert len(_EDGECACHE) == 1  # bounded: old entry evicted...
-    assert not (e1.storageLevel.useMemory or e1.storageLevel.useDisk)  # ...and unpersisted
+    app = spark.sparkContext.applicationId
+    assert len(_EDGECACHE[app]) == 2  # both graphs coexist
+    assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
+    assert _copurchase_edges(spark, SF) is e1  # e1 still served
+
+    e3 = _copurchase_edges(spark, SF, min_support=3)  # third key
+    assert len(_EDGECACHE[app]) == 2  # bounded: oldest (e1) evicted...
+    assert not (e1.storageLevel.useMemory or e1.storageLevel.useDisk)
     assert e2.storageLevel.useMemory or e2.storageLevel.useDisk
 
     unpersist_copurchase_edges()
     assert len(_EDGECACHE) == 0
-    assert not (e2.storageLevel.useMemory or e2.storageLevel.useDisk)
+    for e in (e2, e3):
+        assert not (e.storageLevel.useMemory or e.storageLevel.useDisk)
 
 
 def test_link_prediction_capped_is_cap_semantics_of_core(spark):
@@ -319,9 +325,12 @@ def test_link_prediction_capped_is_cap_semantics_of_core(spark):
         link_prediction,
     )
 
+    from event_to_lakehouse_spark.operators.graph import LP_SUPPORT
+
     got = graph_link_prediction_capped(spark, SF).collect()
     want = link_prediction(
-        _copurchase_edges(spark, SF), max_center_degree=LP_CAP
+        _copurchase_edges(spark, SF, min_support=LP_SUPPORT),
+        max_center_degree=LP_CAP,
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
