@@ -167,11 +167,35 @@ def _linkpred_capped(spark, sf_dir):
     )
 
 
+def _linkpred_support_scaled(spark, sf_dir):
+    """The volume-relative support posture: the registry entry pins
+    support=2 (right at sf0.1); on a corpus where every basket repeats
+    K times, any FIXED support threshold degenerates to the support-1
+    graph (measured: 33.5× on the 10× duplicate corpus), so the
+    production knob scales with duplication — support = 2 × K recovers
+    the sf0.1 signal graph exactly. $SPARK_GRAFT_PROBE_SUPPORT sets K×2
+    (default 20 for the 10× corpus)."""
+    import os
+
+    from event_to_lakehouse_spark.operators.graph import (
+        LP_CAP,
+        _copurchase_edges,
+        link_prediction,
+    )
+
+    support = int(os.environ.get("SPARK_GRAFT_PROBE_SUPPORT", "20"))
+    return link_prediction(
+        _copurchase_edges(spark, sf_dir, min_support=support),
+        max_center_degree=LP_CAP,
+    )
+
+
 EXTRA_QUERIES = {
     "embedding_neardup_auto": _auto_neardup,
     "graph_pagerank_support2": _pagerank_support2,
     "graph_triangles_support2": _triangles_support2,
     "graph_linkpred_cap150": _linkpred_capped,
+    "graph_linkpred_support_scaled": _linkpred_support_scaled,
 }
 
 
