@@ -696,3 +696,146 @@ def bpe_encode(words: DataFrame, merges: list[tuple[str, str]], tok_col: str = "
         if (i + 1) % 4 == 0:
             seg = seg.localCheckpoint()
     return seg
+
+
+# --- pretraining mixture planner -------------------------------------------
+
+MIXP_EPOCH_CAP = 4.0  # max repetitions of any source (the up-sampling bound)
+_MIXP_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@query(
+    "corpus_mixture_plan",
+    f"""
+    WITH a AS (
+      SELECT source,
+             CAST(sum({_MIXP_TOKENS_SQL}) AS BIGINT) AS avail,
+             CAST({_W_SQL} AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(avail) AS BIGINT) AS t, CAST(sum(w) AS BIGINT) AS sw
+      FROM a
+    ),
+    b AS (SELECT t // 2 AS budget FROM tot),
+    r1 AS (
+      SELECT a.source, a.avail, a.w,
+             CAST(b.budget AS DOUBLE) * CAST(a.w AS DOUBLE)
+               / CAST(tot.sw AS DOUBLE) AS target,
+             least(CAST(b.budget AS DOUBLE) * CAST(a.w AS DOUBLE)
+                     / CAST(tot.sw AS DOUBLE),
+                   {MIXP_EPOCH_CAP} * CAST(a.avail AS DOUBLE)) AS p1
+      FROM a CROSS JOIN tot CROSS JOIN b
+    ),
+    l AS (
+      SELECT CAST(max(b.budget) AS DOUBLE) - sum(r1.p1) AS leftover,
+             CAST(sum(CASE WHEN r1.p1 < {MIXP_EPOCH_CAP}
+                                       * CAST(r1.avail AS DOUBLE)
+                           THEN r1.w ELSE 0 END) AS DOUBLE) AS swu
+      FROM r1 CROSS JOIN b
+    ),
+    r2 AS (
+      SELECT r1.source, r1.avail, r1.w, r1.target,
+             CASE WHEN r1.p1 < {MIXP_EPOCH_CAP} * CAST(r1.avail AS DOUBLE)
+                       AND l.swu > 0
+                  THEN least(r1.p1 + l.leftover * CAST(r1.w AS DOUBLE) / l.swu,
+                             {MIXP_EPOCH_CAP} * CAST(r1.avail AS DOUBLE))
+                  ELSE r1.p1 END AS p2
+      FROM r1 CROSS JOIN l
+    )
+    SELECT source, w AS weight, avail AS available_tokens,
+           round(target, 4) AS target_tokens,
+           round(p2, 4) AS planned_tokens,
+           round(p2 / CAST(avail AS DOUBLE), 4) AS epochs
+    FROM r2
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture planner: given per-source target weights
+    (the ``corpus_domain_mix`` weight map), a token budget (half the
+    available corpus here; a literal in production), and an epoch cap
+    (no source repeats more than ``MIXP_EPOCH_CAP`` = 4×), compute each
+    source's planned token allocation — the budgeting pass that
+    decides sampling rates BEFORE any data moves.
+
+    Allocation is waterfilling with ONE fixed redistribution round
+    (the chained-CTE-oracle-friendly prefix of the iterative
+    algorithm): round 1 allocates budget ∝ weight capped at
+    epoch_cap × available; round 2 redistributes the leftover over the
+    uncapped sources ∝ weight, capped again. All inputs are exact
+    BIGINTs (token counts, weights, integer-division budget); the
+    allocations are fixed IEEE expressions over them, so round(4)
+    parity is exact. Shape: one scan → source-cardinality aggregate →
+    scalar cross-joins (broadcast one-row frames) — the plan costs one
+    pass regardless of corpus size, and the output feeds
+    ``corpus_domain_mix``/``text_sample_weighted_topk`` as keep-rates.
+    """
+    from .functions.text import token_count
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("avail"),
+        F.expr(_W_SQL).cast("long").alias("w"),
+    )
+    tot = a.agg(
+        F.sum("avail").cast("long").alias("t"), F.sum("w").cast("long").alias("sw")
+    )
+    b = tot.select(F.expr("t div 2").alias("budget"))
+    cap = F.lit(MIXP_EPOCH_CAP)
+    r1 = (
+        a.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "source",
+            "avail",
+            "w",
+            (
+                F.col("budget").cast("double")
+                * F.col("w").cast("double")
+                / F.col("sw").cast("double")
+            ).alias("target"),
+            F.least(
+                F.col("budget").cast("double")
+                * F.col("w").cast("double")
+                / F.col("sw").cast("double"),
+                cap * F.col("avail").cast("double"),
+            ).alias("p1"),
+        )
+    )
+    l = r1.crossJoin(F.broadcast(b)).agg(
+        (F.max("budget").cast("double") - F.sum("p1")).alias("leftover"),
+        F.sum(
+            F.when(F.col("p1") < cap * F.col("avail").cast("double"), F.col("w"))
+            .otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("swu"),
+    )
+    uncapped = F.col("p1") < cap * F.col("avail").cast("double")
+    r2 = r1.crossJoin(F.broadcast(l)).select(
+        "source",
+        "avail",
+        "w",
+        "target",
+        F.when(
+            uncapped & (F.col("swu") > 0),
+            F.least(
+                F.col("p1")
+                + F.col("leftover") * F.col("w").cast("double") / F.col("swu"),
+                cap * F.col("avail").cast("double"),
+            ),
+        )
+        .otherwise(F.col("p1"))
+        .alias("p2"),
+    )
+    return r2.select(
+        "source",
+        F.col("w").alias("weight"),
+        F.col("avail").alias("available_tokens"),
+        F.round("target", 4).alias("target_tokens"),
+        F.round("p2", 4).alias("planned_tokens"),
+        F.round(F.col("p2") / F.col("avail").cast("double"), 4).alias("epochs"),
+    )

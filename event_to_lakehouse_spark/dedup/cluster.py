@@ -324,3 +324,84 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).alias("is_survivor"),
         )
     )
+
+
+def _stats_oracle() -> str:
+    """Size histogram over the SAME recursive-CTE clustering the
+    ``dedup_cluster_labels`` oracle certifies, plus the singleton row
+    (documents touching no near-dup edge)."""
+    pair_sql = ORACLES["dedup_ngram_jaccard"]
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pair_sql}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    labels AS (
+      SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+      FROM reach GROUP BY id
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1),
+    hist AS (
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1
+    ),
+    single AS (
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST((SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM labels) AS BIGINT) AS n_clusters,
+             CAST((SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM labels) AS BIGINT) AS n_docs
+    )
+    SELECT cluster_size, n_clusters, n_docs,
+           n_docs - n_clusters AS excess_docs
+    FROM (SELECT * FROM hist UNION ALL SELECT * FROM single)
+    """
+
+
+@query("dedup_cluster_stats", _stats_oracle())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the near-dup graph — the dedup
+    QUALITY report a curation run reads before committing a survivor
+    pass: how many clusters at each size, how many documents they
+    hold, and the excess (``n_docs - n_clusters`` — exactly the rows a
+    survivor pass would drop). The singleton row (size 1) counts
+    documents touching no near-dup edge, so ``sum(n_docs)`` equals the
+    corpus and ``sum(excess_docs) / corpus`` is the duplicate rate.
+
+    Shape: the already-certified clustering (one CC pass over the
+    pair graph) followed by two key-cardinality rollups — the stats
+    add nothing fact-sized. Exact integers end to end.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    labels = dedup_cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    n_total = docs.select(F.count("*").alias("n")).withColumn("j", F.lit(1))
+    n_labeled = labels.select(F.count("*").alias("m")).withColumn("j", F.lit(1))
+    single = (
+        n_total.join(n_labeled, "j")
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n") - F.col("m")).cast("long").alias("n_clusters"),
+            (F.col("n") - F.col("m")).cast("long").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(single).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        (F.col("n_docs") - F.col("n_clusters")).alias("excess_docs"),
+    )

@@ -386,3 +386,53 @@ def test_bpe_train_matches_reference(spark):
     enc = bpe_encode(words, merges)
     got_enc = {r.tok: list(r.symbols) for r in enc.collect()}
     assert got_enc == ref
+
+
+def test_cluster_stats_partition_the_corpus(spark):
+    """Histogram rows partition the corpus: sum(n_docs) == corpus size,
+    every non-singleton row has size >= 2, excess == docs - clusters,
+    and the implied duplicate count matches the label table."""
+    from event_to_lakehouse_spark.dedup.cluster import (
+        dedup_cluster_labels,
+        dedup_cluster_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = dedup_cluster_stats(spark, sf).toPandas()
+    n_docs_total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert df.n_docs.sum() == n_docs_total
+    assert (df.excess_docs == df.n_docs - df.n_clusters).all()
+    assert (df[df.cluster_size > 1].cluster_size >= 2).all()
+    labels = dedup_cluster_labels(spark, sf).toPandas()
+    # excess over multi-doc clusters == labeled docs minus distinct clusters
+    multi = df[df.cluster_size > 1]
+    assert multi.excess_docs.sum() == len(labels) - labels.cluster_id.nunique()
+
+
+def test_mixture_plan_waterfills_within_budget(spark):
+    import pytest
+    """Allocation invariants: nothing exceeds the epoch cap, the plan
+    never exceeds the budget, and the leftover after the one
+    redistribution round is only nonzero if every source is capped."""
+    from event_to_lakehouse_spark.curation import (
+        MIXP_EPOCH_CAP,
+        corpus_mixture_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = corpus_mixture_plan(spark, sf).toPandas()
+    budget = df.available_tokens.sum() // 2
+    assert (df.planned_tokens <= MIXP_EPOCH_CAP * df.available_tokens + 1e-6).all()
+    assert df.planned_tokens.sum() <= budget + 1e-4
+    assert (df.epochs <= MIXP_EPOCH_CAP + 1e-9).all()
+    capped = df.planned_tokens >= MIXP_EPOCH_CAP * df.available_tokens - 1e-6
+    if not capped.all():
+        # some source could absorb more: the round-2 waterfill must
+        # have spent (nearly) the whole budget
+        assert df.planned_tokens.sum() == pytest.approx(budget, rel=1e-6)
+    # weights actually skew the plan: weight-3 source gets more than a
+    # weight-1 source with comparable availability
+    w3 = df[df.weight == 3]
+    w1 = df[df.weight == 1]
+    if len(w3) and len(w1):
+        assert w3.planned_tokens.iloc[0] > w1.planned_tokens.mean() * 1.5
