@@ -1310,3 +1310,124 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@query(
+    "events_interpolate_hourly",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    mm AS (
+        SELECT event_type, min(h) AS lo, max(h) AS hi
+        FROM hourly GROUP BY 1
+    ),
+    cal AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM mm
+    ),
+    j AS (
+        SELECT cal.event_type, cal.h, hourly.c
+        FROM cal LEFT JOIN hourly
+          ON hourly.event_type = cal.event_type AND hourly.h = cal.h
+    ),
+    f AS (
+        SELECT event_type, h, c,
+               last_value(c IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+               first_value(c IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        FROM j
+    )
+    SELECT event_type, h AS hour, c IS NOT NULL AS observed, c AS cnt,
+           round(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                 ELSE CAST(pv AS DOUBLE)
+                      + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                        * date_diff('hour', ph, h)
+                        / date_diff('hour', ph, nh) END, 4) AS interp
+    FROM f
+    """,
+)
+def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-regular hourly series per event type with LINEAR
+    interpolation over the gaps — the resampling step between raw
+    events and any fixed-step model (forecasters, FFTs, anomaly
+    scans). Complements ``events_gap_fill`` (zero-fill) with the
+    interpolating flavor.
+
+    Construction: per-type [min, max] hour range expanded with
+    ``sequence``/``generate_series`` (calendar rows are derived, never
+    stored), left-joined against observed counts, then the classic
+    four-window interpolation frame: last/first non-null value and
+    hour on each side (``ignoreNulls`` ↔ ``IGNORE NULLS`` — same
+    semantics both engines), interp = pv + (nv−pv)·(h−ph)/(nh−ph)
+    over exact integer hour distances. Endpoints are observed by
+    construction (the range is min..max of OBSERVED hours), so the
+    interpolation expression never sees a NULL side. Shape: one scan →
+    (type, hour) groupBy → a per-type window over calendar-cardinality
+    rows — nothing fact-sized past the first aggregate.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    mm = hourly.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    cal = mm.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = cal.join(hourly, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    c = F.col("c")
+    obs_h = F.when(c.isNotNull(), F.col("h"))
+    f = j.select(
+        "event_type",
+        "h",
+        "c",
+        F.last(c, ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first(c, ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    hours = lambda a, b: (  # noqa: E731 — exact integer hour distance
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("long")
+    return f.select(
+        "event_type",
+        F.col("h").alias("hour"),
+        c.isNotNull().alias("observed"),
+        c.alias("cnt"),
+        F.round(
+            F.when(c.isNotNull(), c.cast("double")).otherwise(
+                F.col("pv").cast("double")
+                + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+                * hours(F.col("ph"), F.col("h")).cast("double")
+                / hours(F.col("ph"), F.col("nh")).cast("double")
+            ),
+            4,
+        ).alias("interp"),
+    )

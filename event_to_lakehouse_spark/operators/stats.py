@@ -686,3 +686,67 @@ def stats_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_approx"),
     )
+
+
+BIN_QS = (0.25, 0.5, 0.75)
+
+
+@query(
+    "stats_quantile_bins",
+    """
+    WITH q AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.50) AS q2,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem
+    ),
+    b AS (
+        SELECT CASE WHEN l_extendedprice <= q.q1 THEN 0
+                    WHEN l_extendedprice <= q.q2 THEN 1
+                    WHEN l_extendedprice <= q.q3 THEN 2
+                    ELSE 3 END AS bin,
+               l_extendedprice AS v
+        FROM lineitem CROSS JOIN q
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 4) AS lo, round(max(v), 4) AS hi,
+           round(sum(v) / count(*), 4) AS avg_value
+    FROM b GROUP BY bin
+    """,
+)
+def stats_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer (the feature-binning pass an ML-prep
+    pipeline runs before bucketized features / monotonic-binning
+    models): exact quartile edges, then a scan-local CASE assignment
+    and per-bin profile.
+
+    The edges come from the exact sort-based percentile (the proven
+    ``quantile_cont`` ↔ ``F.percentile`` parity pair), so the bin
+    boundaries — and therefore every assignment comparison — are the
+    SAME doubles in both engines. Shape: one edges aggregate (a
+    single-row broadcast), one scan with the CASE projection, one
+    4-group rollup. At 100 TB swap the exact percentile for
+    ``approx_percentile`` and nothing downstream changes; the exact
+    flavor here is what makes the oracle bit-checkable.
+    """
+    t = load_tables(spark, sf_dir)["lineitem"]
+    v = F.col("l_extendedprice")
+    q = t.agg(
+        F.percentile(v, F.lit(BIN_QS[0])).alias("q1"),
+        F.percentile(v, F.lit(BIN_QS[1])).alias("q2"),
+        F.percentile(v, F.lit(BIN_QS[2])).alias("q3"),
+    )
+    b = t.crossJoin(F.broadcast(q)).select(
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        v.alias("v"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("v"), 4).alias("lo"),
+        F.round(F.max("v"), 4).alias("hi"),
+        F.round(F.sum("v") / F.count("*"), 4).alias("avg_value"),
+    )

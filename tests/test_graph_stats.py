@@ -500,3 +500,48 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert zslope == pytest.approx(slope, abs=1e-3)
     assert -2.0 < zslope < 0.0  # frequency decreases with rank
     assert 0.0 <= r2 <= 1.0
+
+
+def test_quantile_bins_partition_evenly(spark):
+    from event_to_lakehouse_spark.operators.stats import stats_quantile_bins
+
+    l = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = stats_quantile_bins(spark, SF).toPandas().sort_values("bin")
+    assert list(df.bin) == [0, 1, 2, 3]
+    assert df.n.sum() == l.count()
+    # quartile bins: each holds ~25% (exact percentile edges)
+    frac = df.n / df.n.sum()
+    assert ((frac > 0.15) & (frac < 0.35)).all()
+    # bins are ordered, non-overlapping ranges
+    for prev, nxt in zip(df.itertuples(), list(df.itertuples())[1:]):
+        assert prev.hi <= nxt.lo
+        assert prev.lo <= prev.avg_value <= prev.hi
+
+
+def test_interpolate_hourly_fills_linearly(spark):
+    import pandas as pd
+
+    from event_to_lakehouse_spark.operators.events import (
+        events_interpolate_hourly,
+    )
+
+    df = events_interpolate_hourly(spark, SF).toPandas()
+    for et, grp in df.groupby("event_type"):
+        g = grp.sort_values("hour").reset_index(drop=True)
+        # calendar completeness: one row per hour from min to max
+        span = int((g.hour.iloc[-1] - g.hour.iloc[0]) / pd.Timedelta(hours=1))
+        assert len(g) == span + 1
+        assert bool(g.observed.iloc[0]) and bool(g.observed.iloc[-1])
+        # observed rows: interp == cnt; gaps: strictly between neighbors'
+        # observed values (linear interpolation is bounded by endpoints)
+        assert (g[g.observed].interp == g[g.observed].cnt).all()
+        obs_idx = g.index[g.observed].to_list()
+        for lo_i, hi_i in zip(obs_idx, obs_idx[1:]):
+            seg = g.iloc[lo_i : hi_i + 1]
+            lo_v, hi_v = seg.interp.iloc[0], seg.interp.iloc[-1]
+            inner = seg.interp.iloc[1:-1]
+            assert inner.between(min(lo_v, hi_v), max(lo_v, hi_v)).all()
+            # linearity: inner values are evenly spaced
+            if len(seg) > 2:
+                diffs = seg.interp.diff().dropna()
+                assert diffs.std() < 0.02 or diffs.abs().max() < 0.02
