@@ -467,3 +467,61 @@ def kmv_sketch_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def trend_partials_stream(
+    events,
+    state_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+    token_horizon: int = 64,
+    vacuum_every: int = 32,
+):
+    """Streaming maintenance of the OLS-trend sufficient statistics
+    (``operators.stats.trend_partials``) — the pinned proof of the
+    trend module's claim that "the same partials roll up across
+    days/files/batches unchanged, which is how the trend would be
+    maintained incrementally at 100 TB".
+
+    Each micro-batch reduces to its per-type six-sum state (n, Σx, Σy,
+    Σxy, Σx², Σy²) and merges into the SnapshotTable state with
+    ``merge_trend_partials`` — EXACT integer addition, so drained
+    stream state equals the whole-batch partials bit-for-bit
+    (pytest-pinned) and ``trend_from_partials`` serves slope/
+    intercept/r² off the state table at any point. Durable state is
+    one row per event type forever; commit metadata is bounded the
+    same way as the KMV stream (token horizon + periodic vacuum).
+
+    Caveat vs the batch operator: batch groups x = calendar day over
+    the WHOLE corpus, so a day split across micro-batches contributes
+    one (x, y) point in batch but two partial points here. The pinned
+    equality therefore feeds day-aligned micro-batches (the natural
+    file cadence: daily drops). Mid-day cuts need a day-rollup before
+    the merge — the day is derivable from x, so the fix is a groupBy
+    in the writer, documented not implemented (the synthetic corpus
+    ships whole files)."""
+    from ..operators.stats import merge_trend_partials, trend_partials
+    from ..storage.snapshots import SnapshotTable
+    from pyspark.sql import functions as F
+
+    def _write(batch_df, batch_id: int) -> None:
+        tbl = SnapshotTable(batch_df.sparkSession, state_root)
+        daily = batch_df.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+        ).agg(F.count("*").alias("y"))
+        part = trend_partials(daily)
+        snap = tbl.snapshot()
+        merged = part if snap is None else merge_trend_partials(tbl.read(), part)
+        tbl.overwrite(
+            merged, keep_tokens=token_horizon, batch_token=f"b{batch_id}"
+        )
+        if vacuum_every and batch_id % vacuum_every == vacuum_every - 1:
+            tbl.vacuum(keep_versions=2)
+
+    writer = events.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

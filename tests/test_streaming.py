@@ -692,3 +692,80 @@ def test_kmv_stream_manifest_bounded(spark, tmp_dir):
         for r in kmv_sketch(batch, "user_id", "event_type").collect()
     )
     assert got == want
+
+
+def test_trend_partials_stream_equals_batch(spark, tmp_dir):
+    """Drained streaming trend state == whole-batch trend_partials
+    EXACTLY (integer sufficient statistics), and the finisher serves
+    identical slope/intercept/r2 off the state table."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.operators.stats import (
+        trend_from_partials,
+        trend_partials,
+    )
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import (
+        read_event_stream,
+        trend_partials_stream,
+    )
+
+    # three day-aligned files -> three micro-batches (see the operator
+    # docstring: the pinned equality feeds day-aligned batches)
+    src = Path(f"{tmp_dir}/events")
+    src.mkdir(parents=True)
+    eid = 0
+    for i, day in enumerate(("2024-01-01", "2024-01-02", "2024-01-03")):
+        rows = []
+        for k in range((i + 1) * 7):
+            rows.append(
+                {
+                    "event_id": (eid := eid + 1),
+                    "ts": f"{day}T0{k % 9}:15:00",
+                    "user_id": k % 5,
+                    "event_type": "click" if k % 2 else "view",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+        (src / f"part_{i}.json").write_text(
+            "\n".join(_json.dumps(e) for e in rows)
+        )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    state_root = f"{tmp_dir}/trend_state"
+    q = trend_partials_stream(stream, state_root, f"{tmp_dir}/ckpt")
+    q.awaitTermination(120)
+
+    tbl = SnapshotTable(spark, state_root)
+    batch = spark.read.json(str(src), schema=stream.schema)
+    daily = batch.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    want = {
+        r.event_type: (r.n, r.sx, r.sy, r.sxy, r.sxx, r.syy)
+        for r in trend_partials(daily).collect()
+    }
+    got = {
+        r.event_type: (r.n, r.sx, r.sy, r.sxy, r.sxx, r.syy)
+        for r in tbl.read().collect()
+    }
+    assert got == want  # exact integer equality, no tolerance
+
+    fin_state = {
+        r.event_type: (r.slope, r.intercept, r.r2)
+        for r in trend_from_partials(tbl.read()).collect()
+    }
+    fin_batch = {
+        r.event_type: (r.slope, r.intercept, r.r2)
+        for r in trend_from_partials(trend_partials(daily)).collect()
+    }
+    assert fin_state == fin_batch
+
+    # replayed token: storage no-op
+    v = tbl.snapshot().version
+    tbl.overwrite(tbl.read(), batch_token="b0")
+    assert tbl.snapshot().version == v
