@@ -116,6 +116,17 @@ HEADLINE = [
     "graph_link_prediction_capped",
     "agg_kmv_setops",
     "stats_corr_matrix",
+    # round-6 second batch: all sub-second at sf0.1 (kcore stays
+    # probe-only — its 6 s would double the graph share of the total
+    # while repeating the degree-groupBy plan pattern).
+    "events_autocorr_lag1",
+    "stats_mannwhitney_value",
+    "text_zipf_fit",
+    "events_bot_score",
+    "corpus_mixture_plan",
+    "dedup_cluster_stats",
+    "stats_quantile_bins",
+    "events_interpolate_hourly",
 ]
 
 PKG = "event_to_lakehouse_spark"
