@@ -451,7 +451,12 @@ def _scd2_finish(versions: DataFrame) -> DataFrame:
     )
 
 
-def scd2_apply_batch(table, batch: DataFrame, batch_token: str | None = None) -> dict:
+def scd2_apply_batch(
+    table,
+    batch: DataFrame,
+    batch_token: str | None = None,
+    keep_tokens: bool | int = True,
+) -> dict:
     """Apply one event batch (asset_uid, state, ts, event_id) to the
     SCD2 history held in ``table`` (a SnapshotTable).
 
@@ -560,7 +565,11 @@ def scd2_apply_batch(table, batch: DataFrame, batch_token: str | None = None) ->
 
     n_new = updates.filter(F.col("is_current")).count()
     snap = table.merge(
-        updates, key="hist_key", order_col="closed", batch_token=batch_token
+        updates,
+        key="hist_key",
+        order_col="closed",
+        batch_token=batch_token,
+        keep_tokens=keep_tokens,
     )
     return {"snapshot": snap, "n_late_dropped": n_late, "n_open_after": n_new}
 

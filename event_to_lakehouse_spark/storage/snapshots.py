@@ -494,11 +494,20 @@ class SnapshotTable:
         return all((bits >> p) & 1 for p in positions)
 
     def append(
-        self, df: DataFrame, batch_token: str | None = None, max_retries: int = 5
+        self,
+        df: DataFrame,
+        batch_token: str | None = None,
+        max_retries: int = 5,
+        keep_tokens: bool | int = True,
     ) -> Snapshot:
         """Commit ``df`` as a new snapshot = parent files + new files.
         ``batch_token`` makes replays idempotent: a token already in the
-        chain is a no-op returning the current snapshot.
+        chain is a no-op returning the current snapshot. ``keep_tokens``
+        as an INT carries only the newest that many parent tokens — the
+        same bounded-commit-metadata valve as ``overwrite`` (sound when
+        the source's replay window is bounded, e.g. a Structured
+        Streaming checkpoint); the replay check runs against the FULL
+        parent chain before trimming.
 
         Concurrency: appends are commutative (new files + whatever the
         latest parent holds), so losing the optimistic manifest race is
@@ -510,6 +519,8 @@ class SnapshotTable:
             tokens = list(parent.batch_tokens) if parent else []
             if batch_token is not None and batch_token in tokens:
                 return parent  # replayed micro-batch: exactly-once, no-op
+            if keep_tokens is not True:
+                tokens = tokens[-int(keep_tokens):] if keep_tokens else []
             if new_entries is None:
                 commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
                 df.write.mode("overwrite").parquet(str(commit_dir))
@@ -857,6 +868,7 @@ class SnapshotTable:
         order_col: str,
         tiebreak: str | None = None,
         batch_token: str | None = None,
+        keep_tokens: bool | int = True,
     ) -> Snapshot:
         """Copy-on-write MERGE (latest row per ``key`` wins — the
         Iceberg/Delta ``MERGE INTO`` shape on the manifest layer):
@@ -872,7 +884,8 @@ class SnapshotTable:
         the previous snapshot remains readable (time travel).
         ``batch_token`` makes the merge replay-idempotent exactly like
         ``append``: an already-applied token returns the current
-        snapshot untouched."""
+        snapshot untouched; ``keep_tokens`` as an INT bounds the
+        carried chain the same way (see ``append``)."""
         from ..pipeline.upsert import latest_per_key
 
         snap = self.snapshot()
@@ -919,6 +932,8 @@ class SnapshotTable:
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
         merged.write.mode("overwrite").parquet(str(commit_dir))
         tokens = list(snap.batch_tokens)
+        if keep_tokens is not True:
+            tokens = tokens[-int(keep_tokens):] if keep_tokens else []
         if batch_token is not None:
             tokens.append(batch_token)
         return self._commit(

@@ -385,6 +385,7 @@ def scd2_history_stream(
     table_root: str,
     checkpoint: str,
     available_now: bool = True,
+    token_horizon: int = 64,
 ):
     """Streaming SCD2 maintenance — the production topology of
     ``pipeline.gold.scd2_apply_batch``: each micro-batch of state
@@ -408,7 +409,13 @@ def scd2_history_stream(
         table = SnapshotTable(
             batch_df.sparkSession, table_root, stats_col="hist_key"
         )
-        scd2_apply_batch(table, batch_df, batch_token=f"b{batch_id}")
+        # token_horizon bounds commit metadata over a long-running
+        # stream (same argument as the KMV stream: a checkpointed
+        # source never replays past its committed offset)
+        scd2_apply_batch(
+            table, batch_df, batch_token=f"b{batch_id}",
+            keep_tokens=token_horizon,
+        )
 
     writer = events.writeStream.foreachBatch(_write).option(
         "checkpointLocation", checkpoint

@@ -729,3 +729,23 @@ def test_staged_schema_evolves_or_rejects_on_publish(spark, tmp_dir):
     with pytest.raises(ValueError):
         t.publish(sid)
     assert t.snapshot().version == v  # nothing published
+
+
+def test_append_and_merge_token_horizon(spark, tmp_dir):
+    """append/merge accept the same int keep_tokens valve as overwrite;
+    replay dedup still checks the FULL parent chain before trimming."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    for i in range(5):
+        t.append(_batch(spark, i * 10, 3), batch_token=f"a{i}", keep_tokens=2)
+    assert t.snapshot().batch_tokens == ["a2", "a3", "a4"]
+    v = t.snapshot().version
+    t.append(_batch(spark, 0, 3), batch_token="a4", keep_tokens=2)
+    assert t.snapshot().version == v  # in-horizon replay no-op
+
+    m = SnapshotTable(spark, f"{tmp_dir}/mtbl", stats_col="id")
+    for i in range(5):
+        m.merge(
+            _batch(spark, i, 3), key="id", order_col="id",
+            batch_token=f"m{i}", keep_tokens=2,
+        )
+    assert m.snapshot().batch_tokens == ["m2", "m3", "m4"]
