@@ -755,3 +755,66 @@ def stats_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 4).alias("hi"),
         F.round(F.sum("v") / F.count("*"), 4).alias("avg_value"),
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+        FROM daily
+    ),
+    c AS (
+        SELECT d, y,
+               sum(CAST(y AS DOUBLE) - m.mu) OVER (
+                   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cusum
+        FROM daily CROSS JOIN m
+    ),
+    mx AS (SELECT max(abs(cusum)) AS peak FROM c)
+    SELECT c.d AS day, CAST(c.y AS BIGINT) AS cnt,
+           round(c.cusum, 4) AS cusum,
+           abs(c.cusum) = mx.peak AS is_peak
+    FROM c CROSS JOIN mx
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen over daily event volume: the running
+    sum of deviations from the series mean. A level shift at day t
+    makes |CUSUM| peak at t (the classic offline CUSUM estimator);
+    ``is_peak`` marks the argmax day(s).
+
+    Determinism: the mean is one fixed division over exact integer
+    sums; the running sum adds the SAME doubles in the SAME day order
+    in both engines (a windowed prefix sum is sequential by
+    definition), and the peak flag compares each |cusum| against the
+    max of those exact same doubles — so even the boundary row
+    agrees cross-engine. Shape: one scan → day groupBy → a
+    calendar-cardinality window + one scalar broadcast; the 100 TB
+    cost is the daily rollup, which every other time-series operator
+    here already pays.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("y")
+    )
+    m = daily.agg(
+        (F.sum("y").cast("double") / F.count("*").cast("double")).alias("mu")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "y",
+        F.sum(F.col("y").cast("double") - F.col("mu")).over(w).alias("cusum"),
+    )
+    mx = c.agg(F.max(F.abs("cusum")).alias("peak"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        F.col("d").alias("day"),
+        F.col("y").cast("long").alias("cnt"),
+        F.round("cusum", 4).alias("cusum"),
+        (F.abs("cusum") == F.col("peak")).alias("is_peak"),
+    )

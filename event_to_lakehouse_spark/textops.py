@@ -1264,3 +1264,110 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+PMI_TOP_K = 30
+
+
+@query(
+    "text_bigram_pmi",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS (
+        SELECT unnest(toks) AS tok FROM w
+    ),
+    ucnt AS (SELECT tok, count(*) AS c FROM uni WHERE tok <> '' GROUP BY 1),
+    utot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ucnt),
+    bi AS (
+        SELECT unnest(list_transform(
+                   range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM w WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1),
+    btot AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM bcnt),
+    top AS (
+        SELECT bg, c FROM bcnt
+        ORDER BY c DESC, bg
+        LIMIT {PMI_TOP_K}
+    )
+    SELECT t.bg AS bigram, CAST(t.c AS BIGINT) AS pair_count,
+           CAST(a.c AS BIGINT) AS left_count, CAST(b.c AS BIGINT) AS right_count,
+           round(ln((CAST(t.c AS DOUBLE) / CAST(btot.m AS DOUBLE))
+                    / ((CAST(a.c AS DOUBLE) / CAST(utot.n AS DOUBLE))
+                       * (CAST(b.c AS DOUBLE) / CAST(utot.n AS DOUBLE)))), 4)
+             AS pmi
+    FROM top t
+    JOIN ucnt a ON a.tok = split_part(t.bg, ' ', 1)
+    JOIN ucnt b ON b.tok = split_part(t.bg, ' ', 2)
+    CROSS JOIN utot CROSS JOIN btot
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of the corpus
+    top-``PMI_TOP_K`` bigrams — PMI = ln(p(ab) / (p(a)·p(b))), the
+    standard phrase-detection signal (tokenizer vocab induction,
+    stop-phrase lists, quality heuristics all start here).
+
+    The top-k set is ranked by the EXACT bigram count with a
+    lexicographic tiebreak, so the selected bigrams — and every count
+    feeding the PMI expression — are identical cross-engine; PMI
+    itself is one fixed ln() over ratios of exact BIGINTs, stable to
+    round(4). Adjacent pairs come from ``zip_with`` over the token
+    array and its 1-shifted self (no posexplode self-join, no HOF
+    outer-column re-evaluation). Shape: explode → two
+    vocabulary-cardinality hash-aggs (unigrams, bigrams) → top-k →
+    broadcast joins of two single-row totals and the unigram counts.
+    The bigram agg is the one fact-sized shuffle — same class as the
+    TF-IDF posting shuffle.
+    """
+    t = load_tables(spark, sf_dir)
+    w = (
+        t["documents"]
+        .where(F.trim("text") != "")
+        .select(
+            "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        )
+    )
+    uni = w.select(F.explode("toks").alias("tok")).where(F.col("tok") != "")
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    utot = ucnt.agg(F.sum("c").cast("long").alias("n"))
+    sz = F.size("toks")
+    bi = (
+        w.where(sz >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, sz - 1),
+                    F.slice("toks", 2, sz - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg")
+        )
+    )
+    bcnt = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    btot = bcnt.agg(F.sum("c").cast("long").alias("m"))
+    top = bcnt.orderBy(F.col("c").desc(), "bg").limit(PMI_TOP_K)
+    a = ucnt.select(F.col("tok").alias("ltok"), F.col("c").alias("lc"))
+    b = ucnt.select(F.col("tok").alias("rtok"), F.col("c").alias("rc"))
+    joined = (
+        top.withColumn("ltok", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("rtok", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(a, "ltok")
+        .join(b, "rtok")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+    )
+    p_ab = F.col("c").cast("double") / F.col("m").cast("double")
+    p_a = F.col("lc").cast("double") / F.col("n").cast("double")
+    p_b = F.col("rc").cast("double") / F.col("n").cast("double")
+    return joined.select(
+        F.col("bg").alias("bigram"),
+        F.col("c").cast("long").alias("pair_count"),
+        F.col("lc").cast("long").alias("left_count"),
+        F.col("rc").cast("long").alias("right_count"),
+        F.round(F.log(p_ab / (p_a * p_b)), 4).alias("pmi"),
+    )

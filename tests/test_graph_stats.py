@@ -545,3 +545,53 @@ def test_interpolate_hourly_fills_linearly(spark):
             if len(seg) > 2:
                 diffs = seg.interp.diff().dropna()
                 assert diffs.std() < 0.02 or diffs.abs().max() < 0.02
+
+
+def test_cusum_ends_near_zero_and_flags_peak(spark):
+    from event_to_lakehouse_spark.operators.stats import (
+        events_cusum_changepoint,
+    )
+
+    df = (
+        events_cusum_changepoint(spark, SF)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    assert len(df) == e.ts.dt.floor("D").nunique()
+    assert df.cnt.sum() == len(e)
+    # deviations from the series mean telescope to ~0 at the end
+    assert abs(df.cusum.iloc[-1]) < 1e-2
+    peaks = df[df.is_peak]
+    assert len(peaks) >= 1
+    assert peaks.cusum.abs().max() == df.cusum.abs().max()
+    assert (~df[~df.is_peak].cusum.abs().ge(df.cusum.abs().max())).all()
+
+
+def test_bigram_pmi_matches_local_counts(spark):
+    import math
+
+    from event_to_lakehouse_spark.textops import text_bigram_pmi
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    uni: dict = {}
+    bi: dict = {}
+    for t in docs.text:
+        toks = t.strip().lower().split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[f"{a} {b}"] = bi.get(f"{a} {b}", 0) + 1
+    n, m = sum(uni.values()), sum(bi.values())
+    top = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = {r.bigram: r for r in text_bigram_pmi(spark, SF).collect()}
+    assert set(got) == {bg for bg, _ in top}
+    for bg, c in top:
+        l, r = bg.split(" ")
+        row = got[bg]
+        assert (row.pair_count, row.left_count, row.right_count) == (
+            c, uni[l], uni[r]
+        )
+        want = math.log((c / m) / ((uni[l] / n) * (uni[r] / n)))
+        assert abs(row.pmi - want) < 1e-3
