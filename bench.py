@@ -127,6 +127,8 @@ HEADLINE = [
     "dedup_cluster_stats",
     "stats_quantile_bins",
     "events_interpolate_hourly",
+    "events_cusum_changepoint",
+    "text_bigram_pmi",
 ]
 
 PKG = "event_to_lakehouse_spark"
