@@ -486,3 +486,32 @@ def test_substring_dedup_overlapping_runs_merge(spark):
     assert len(per_doc[1]) == 1 and len(per_doc[2]) == 1
     assert per_doc[1][0].span_tokens == 20
     assert per_doc[2][0].span_tokens == 20
+
+
+def test_ann_recall_at_k_matches_set_overlap(spark):
+    """recall@k recomputed from the two operators' collected outputs;
+    every value in [0,1], and the average is high enough that the LSH
+    banding is actually finding neighbors (not vacuously zero)."""
+    from event_to_lakehouse_spark.similarity.ann import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_lsh_bucketed_topk,
+        ann_recall_at_k,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf: dict = {}
+    for r in ann_bruteforce_topk(spark, sf).collect():
+        bf.setdefault(r.query_id, set()).add(r.vec_id)
+    lsh: dict = {}
+    for r in ann_lsh_bucketed_topk(spark, sf).collect():
+        lsh.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {r.query_id: (r.n_hits, r.recall_at_k)
+           for r in ann_recall_at_k(spark, sf).collect()}
+    assert set(got) == set(bf)
+    for qid, neighbors in bf.items():
+        hits = len(neighbors & lsh.get(qid, set()))
+        assert got[qid][0] == hits
+        assert got[qid][1] == round(hits / TOP_K, 4)
+        assert 0.0 <= got[qid][1] <= 1.0
+    assert sum(v[1] for v in got.values()) / len(got) > 0.2
