@@ -818,3 +818,111 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 4).alias("cusum"),
         (F.abs("cusum") == F.col("peak")).alias("is_peak"),
     )
+
+
+@query(
+    "stats_ks_test",
+    f"""
+    WITH pooled AS (
+        SELECT event_type, value
+        FROM events
+        WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}')
+          AND value IS NOT NULL
+    ),
+    g AS (
+        SELECT value,
+               sum(CASE WHEN event_type = '{MW_TYPE_A}' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = '{MW_TYPE_B}' THEN 1 ELSE 0 END) AS cb
+        FROM pooled GROUP BY value
+    ),
+    t AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        FROM g
+    ),
+    c AS (
+        SELECT value,
+               sum(ca) OVER (ORDER BY value) AS cum_a,
+               sum(cb) OVER (ORDER BY value) AS cum_b
+        FROM g
+    ),
+    d AS (
+        SELECT c.value,
+               abs(CAST(cum_a AS DOUBLE) / CAST(t.na AS DOUBLE)
+                   - CAST(cum_b AS DOUBLE) / CAST(t.nb AS DOUBLE)) AS dd
+        FROM c CROSS JOIN t
+    ),
+    m AS (SELECT max(dd) AS dmax FROM d)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           round(m.dmax, 4) AS ks_d,
+           round(min(CASE WHEN d.dd = m.dmax THEN d.value END), 4) AS at_value,
+           round(m.dmax * sqrt(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                               / (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE))),
+                 4) AS ks_scaled
+    FROM d CROSS JOIN m CROSS JOIN t
+    GROUP BY t.na, t.nb, m.dmax
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of the ``value`` distribution
+    between the same two event types as ``stats_mannwhitney_value`` —
+    the SHAPE complement to that test's location signal: D is the max
+    gap between the two empirical CDFs, ``at_value`` where it occurs
+    (min such value under ties), ``ks_scaled`` = D·√(n·m/(n+m)) (the
+    statistic compared against the Kolmogorov distribution).
+
+    Determinism: the ECDFs are cumulative EXACT integer counts over
+    the distinct-value grid divided by exact totals — both engines
+    build the same doubles in the same order (a value-ordered prefix
+    sum), so max, the tie-broken argmax, and the scaled statistic all
+    hash-match. Shape: one scan → distinct-value groupBy → ONE ordered
+    prefix-sum window over the value grid (value-cardinality, not
+    row-cardinality) → scalar rollup; the 100 TB lever is a quantized
+    value grid (bin first), which only coarsens D monotonically.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    pooled = e.where(
+        F.col("event_type").isin(MW_TYPE_A, MW_TYPE_B)
+        & F.col("value").isNotNull()
+    ).select("event_type", "value")
+    g = pooled.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == MW_TYPE_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("event_type") == MW_TYPE_B, 1).otherwise(0)).alias("cb"),
+    )
+    t = g.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    w = Window.orderBy("value").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = c.crossJoin(F.broadcast(t)).select(
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("na").cast("double")
+            - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+        ).alias("dd"),
+    )
+    m = d.agg(F.max("dd").alias("dmax"))
+    na_d, nb_d = F.col("na").cast("double"), F.col("nb").cast("double")
+    return (
+        d.crossJoin(F.broadcast(m))
+        .groupBy("na", "nb", "dmax")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("dd") == F.col("dmax"), F.col("value"))), 4
+            ).alias("at_value")
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.round("dmax", 4).alias("ks_d"),
+            "at_value",
+            F.round(
+                F.col("dmax") * F.sqrt(na_d * nb_d / (na_d + nb_d)), 4
+            ).alias("ks_scaled"),
+        )
+    )

@@ -595,3 +595,30 @@ def test_bigram_pmi_matches_local_counts(spark):
         )
         want = math.log((c / m) / ((uni[l] / n) * (uni[r] / n)))
         assert abs(row.pmi - want) < 1e-3
+
+
+def test_ks_test_matches_local_ecdf(spark):
+    np = pytest.importorskip("numpy")
+    from event_to_lakehouse_spark.operators.stats import (
+        MW_TYPE_A,
+        MW_TYPE_B,
+        stats_ks_test,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    pooled = e[e.event_type.isin([MW_TYPE_A, MW_TYPE_B]) & e.value.notna()]
+    a = np.sort(pooled[pooled.event_type == MW_TYPE_A].value.to_numpy())
+    b = np.sort(pooled[pooled.event_type == MW_TYPE_B].value.to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    gaps = np.abs(fa - fb)
+    d = gaps.max()
+    at = grid[gaps == d].min()
+    row = stats_ks_test(spark, SF).collect()[0]
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert row.ks_d == pytest.approx(d, abs=1e-3)
+    assert row.at_value == pytest.approx(at, abs=1e-3)
+    assert row.ks_scaled == pytest.approx(
+        d * (len(a) * len(b) / (len(a) + len(b))) ** 0.5, abs=1e-3
+    )
