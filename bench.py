@@ -129,6 +129,8 @@ HEADLINE = [
     "events_interpolate_hourly",
     "events_cusum_changepoint",
     "text_bigram_pmi",
+    "stats_ks_test",
+    "ann_recall_at_k",
 ]
 
 PKG = "event_to_lakehouse_spark"
