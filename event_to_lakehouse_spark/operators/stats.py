@@ -926,3 +926,92 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_scaled"),
         )
     )
+
+
+@query(
+    "events_pareto_concentration",
+    """
+    WITH c AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, cnt,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cnt, user_id) AS i,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cnt DESC, user_id) AS j,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    s AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(cnt) AS BIGINT) AS tot,
+               CAST(sum(i * cnt) AS BIGINT) AS swx,
+               CAST(sum(CASE WHEN j <= CAST(ceil(n / 10.0) AS BIGINT)
+                             THEN cnt ELSE 0 END) AS BIGINT) AS topk
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n AS n_users, tot AS total_events,
+           round(2.0 * CAST(swx AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 4) AS gini,
+           round(CAST(topk AS DOUBLE) / CAST(tot AS DOUBLE), 4)
+             AS top_decile_share
+    FROM s
+    """,
+)
+def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration profile per event type: Gini coefficient
+    of per-user event counts (0 = egalitarian, →1 = one user does
+    everything) and the top-decile share — the two numbers a curation
+    pass reads before deciding per-user caps / bot exclusions (heavy
+    concentration means a handful of accounts dominate the corpus).
+
+    Gini uses the closed rank form G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n
+    over counts sorted ascending with a user_id tiebreak — every input
+    is an exact integer and the rank order is total, so both engines
+    aggregate identical values (Σ i·xᵢ is exact int64 under
+    n·total_events < 2⁶³; past that, cast the product to double — the
+    same bound discipline as the trend finisher). The top-decile cut
+    is an integer rank compare against ceil(n/10). Shape: one scan →
+    user-cardinality groupBy → two rank windows per type → a
+    types-cardinality rollup.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    c = (
+        e.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wi = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    wj = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), "user_id")
+    wn = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cnt",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wj).alias("j"),
+        F.count("*").over(wn).alias("n"),
+    )
+    topk_cut = F.ceil(F.col("n") / 10.0).cast("long")
+    s = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("cnt")).cast("long").alias("swx"),
+        F.sum(F.when(F.col("j") <= topk_cut, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("topk"),
+    )
+    n_d, tot_d = F.col("n").cast("double"), F.col("tot").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("tot").alias("total_events"),
+        F.round(
+            2.0 * F.col("swx").cast("double") / (n_d * tot_d) - (n_d + 1.0) / n_d,
+            4,
+        ).alias("gini"),
+        F.round(F.col("topk").cast("double") / tot_d, 4).alias("top_decile_share"),
+    )

@@ -622,3 +622,28 @@ def test_ks_test_matches_local_ecdf(spark):
     assert row.ks_scaled == pytest.approx(
         d * (len(a) * len(b) / (len(a) + len(b))) ** 0.5, abs=1e-3
     )
+
+
+def test_pareto_gini_matches_local(spark):
+    np = pytest.importorskip("numpy")
+    from event_to_lakehouse_spark.operators.stats import (
+        events_pareto_concentration,
+    )
+
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e = e[e.user_id.notna()]
+    got = {
+        r.event_type: r
+        for r in events_pareto_concentration(spark, SF).collect()
+    }
+    for et, grp in e.groupby("event_type"):
+        x = np.sort(grp.groupby("user_id").size().to_numpy(float))
+        n, tot = len(x), x.sum()
+        gini = 2 * (np.arange(1, n + 1) * x).sum() / (n * tot) - (n + 1) / n
+        k = int(np.ceil(n / 10))
+        share = np.sort(x)[::-1][:k].sum() / tot
+        row = got[et]
+        assert (row.n_users, row.total_events) == (n, int(tot))
+        assert row.gini == pytest.approx(gini, abs=1e-3)
+        assert row.top_decile_share == pytest.approx(share, abs=1e-3)
+        assert 0.0 <= row.gini < 1.0
