@@ -131,6 +131,7 @@ HEADLINE = [
     "text_bigram_pmi",
     "stats_ks_test",
     "ann_recall_at_k",
+    "events_pareto_concentration",
 ]
 
 PKG = "event_to_lakehouse_spark"
