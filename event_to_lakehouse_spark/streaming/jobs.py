@@ -532,3 +532,87 @@ def trend_partials_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def user_type_counts_stream(
+    events,
+    state_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+    token_horizon: int = 64,
+    vacuum_every: int = 32,
+):
+    """Streaming maintenance of the per-(user, event_type) count state
+    behind the behavioral-entropy and bot-score operators
+    (``operators.stats.events_user_entropy``,
+    ``operators.events.events_bot_score``'s entropy signal): counts are
+    the simplest mergeable sufficient statistic — per-batch counts ADD
+    — so the durable state is one row per (user, type) pair and the
+    drained stream equals the whole-batch counts exactly.
+
+    Serving: ``entropy_from_counts(tbl.read())`` computes the same
+    normalized Shannon entropy the batch operator emits, off the state
+    table, with no re-scan of history — the 100 TB operating mode for
+    a per-user signal over an append-only event stream. Commit
+    metadata is bounded like the other state streams (token horizon +
+    periodic vacuum)."""
+    from ..storage.snapshots import SnapshotTable
+
+    def _write(batch_df, batch_id: int) -> None:
+        tbl = SnapshotTable(batch_df.sparkSession, state_root)
+        part = (
+            batch_df.where(F.col("user_id").isNotNull())
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").alias("c"))
+        )
+        snap = tbl.snapshot()
+        if snap is None:
+            merged = part
+        else:
+            merged = (
+                tbl.read()
+                .unionByName(part)
+                .groupBy("user_id", "event_type")
+                .agg(F.sum("c").alias("c"))
+            )
+        tbl.overwrite(
+            merged, keep_tokens=token_horizon, batch_token=f"b{batch_id}"
+        )
+        if vacuum_every and batch_id % vacuum_every == vacuum_every - 1:
+            tbl.vacuum(keep_versions=2)
+
+    writer = events.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def entropy_from_counts(counts: DataFrame) -> DataFrame:
+    """Finisher: normalized Shannon entropy per user from the
+    (user_id, event_type, c) count state — the same fixed expression
+    tree as the batch ``events_user_entropy``, so state-served values
+    equal batch values exactly (pytest-pinned)."""
+    t = counts.groupBy("user_id").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("tot").cast("double")
+    ent = -F.sum(p * F.log(p))
+    return (
+        counts.join(t, "user_id")
+        .groupBy("user_id", "n_types", "tot")
+        .agg(
+            F.round(ent, 4).alias("entropy"),
+            F.when(F.col("n_types") == 1, F.lit(None).cast("double"))
+            .otherwise(F.round(ent / F.log(F.col("n_types").cast("double")), 4))
+            .alias("norm_entropy"),
+        )
+        .select(
+            "user_id",
+            "n_types",
+            F.col("tot").alias("n_events"),
+            "entropy",
+            "norm_entropy",
+        )
+    )
