@@ -297,3 +297,82 @@ def test_interval_islands_match_sweep_reference(spark):
             want.add((u, cur_s, cur_e, cur_e - cur_s, n))
 
     assert got == want
+
+
+# --- round-6 graph/stats cores on RANDOM inputs -----------------------------
+#
+# The fixed-corpus invariant tests (test_graph_stats.py) pin the
+# registered entries; these drive the CORES over hypothesis-generated
+# structures so structural edge cases (stars, chains, ties) are
+# exercised, with few examples (each spins Spark jobs).
+
+from hypothesis import settings
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_pagerank_mass_conserved_on_random_graphs(edges):
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.operators.graph import pagerank
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    out = pagerank(df).collect()
+    n = len({a for a, _ in sym})
+    # a probability distribution over the nodes: positive, sums to 1
+    assert len(out) == n
+    assert all(r.pr_scaled > 0 for r in out)
+    assert abs(sum(r.pr_scaled for r in out) / n - 1.0) < 1e-3
+
+
+@given(
+    counts=st.dictionaries(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c", "d"])),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_entropy_from_counts_bounds_and_exactness(counts):
+    import math
+
+    from pyspark.sql import SparkSession
+
+    from event_to_lakehouse_spark.streaming.jobs import entropy_from_counts
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+    rows = [(u, t, c) for (u, t), c in counts.items()]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "c"])
+    got = {r.user_id: r for r in entropy_from_counts(df).collect()}
+    by_user: dict = {}
+    for u, t, c in rows:
+        by_user.setdefault(u, []).append(c)
+    for u, cs in by_user.items():
+        tot = sum(cs)
+        want = -sum((c / tot) * math.log(c / tot) for c in cs)
+        r = got[u]
+        assert r.n_events == tot and r.n_types == len(cs)
+        assert abs(r.entropy - round(want, 4)) < 1e-9
+        if len(cs) == 1:
+            assert r.norm_entropy is None
+        else:
+            assert 0.0 <= r.norm_entropy <= 1.0
+            assert abs(
+                r.norm_entropy - round(want / math.log(len(cs)), 4)
+            ) < 1e-9
