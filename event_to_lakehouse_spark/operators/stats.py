@@ -1015,3 +1015,79 @@ def events_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.round(F.col("topk").cast("double") / tot_d, 4).alias("top_decile_share"),
     )
+
+
+# Benford expected first-digit probabilities as shared literals: both
+# engines parse the same decimal literals to the same doubles, so the
+# expected counts and chi-square contributions are bit-aligned.
+_BENFORD_P = {d: round(__import__("math").log10(1 + 1 / d), 10) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+@query(
+    "stats_benford_firstdigit",
+    f"""
+    WITH v AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    o AS (SELECT digit, count(*) AS observed FROM v GROUP BY digit),
+    t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM o)
+    SELECT o.digit, CAST(o.observed AS BIGINT) AS observed,
+           round(CAST(t.n AS DOUBLE) * ({_BENFORD_CASE}), 4) AS expected,
+           round((CAST(o.observed AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * ({_BENFORD_CASE}))
+                 * (CAST(o.observed AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * ({_BENFORD_CASE}))
+                 / (CAST(t.n AS DOUBLE) * ({_BENFORD_CASE})), 4) AS contrib
+    FROM o CROSS JOIN t
+    """,
+)
+def stats_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over a monetary measure — the
+    classic synthetic-data / fraud / unit-mixup detector a data-quality
+    pass runs on financial columns: observed first-digit counts vs the
+    log10(1+1/d) expectation, with per-digit chi-square contributions
+    (large contrib on a digit = that digit is over/under-represented).
+
+    The first digit comes from the integer part's decimal rendering —
+    via an explicit ``floor`` before the BIGINT cast, because Spark's
+    double→long cast truncates while DuckDB's ROUNDS (a x999.995-style
+    price lands in different digit buckets without it — caught by the
+    sf0.01 parity gate); expected probabilities
+    are shared 10-decimal literals, so expected counts and
+    contributions are identical IEEE expressions over exact counts.
+    Shape: one scan → 9-row groupBy → scalar broadcast; free at any
+    corpus size once the scan lands. (TPC-H prices are uniform-ish,
+    NOT Benford — the screen is expected to fire here; the operator
+    reports the evidence, the threshold policy is the caller's.)
+    """
+    t = load_tables(spark, sf_dir)["lineitem"]
+    v = t.where(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    o = v.groupBy("digit").agg(F.count("*").alias("observed"))
+    tot = o.agg(F.sum("observed").cast("long").alias("n"))
+    p = F.element_at(
+        F.create_map(
+            *[F.lit(x) for dp in _BENFORD_P.items() for x in dp]
+        ),
+        F.col("digit"),
+    )
+    exp = F.col("n").cast("double") * p
+    dev = F.col("observed").cast("double") - exp
+    return o.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("observed").cast("long").alias("observed"),
+        F.round(exp, 4).alias("expected"),
+        F.round(dev * dev / exp, 4).alias("contrib"),
+    )

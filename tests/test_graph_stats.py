@@ -647,3 +647,26 @@ def test_pareto_gini_matches_local(spark):
         assert row.gini == pytest.approx(gini, abs=1e-3)
         assert row.top_decile_share == pytest.approx(share, abs=1e-3)
         assert 0.0 <= row.gini < 1.0
+
+
+def test_benford_screen_matches_local(spark):
+    import math
+
+    from event_to_lakehouse_spark.operators.stats import (
+        stats_benford_firstdigit,
+    )
+
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    vals = l[l.l_extendedprice >= 1].l_extendedprice
+    digits = vals.astype("int64").astype(str).str[0].astype(int)
+    obs = digits.value_counts().to_dict()
+    n = len(digits)
+    got = {r.digit: r for r in stats_benford_firstdigit(spark, SF).collect()}
+    assert set(got) == set(obs)
+    for d, cnt in obs.items():
+        row = got[d]
+        exp = n * math.log10(1 + 1 / d)
+        assert row.observed == cnt
+        assert row.expected == pytest.approx(exp, abs=0.01)
+        assert row.contrib == pytest.approx((cnt - exp) ** 2 / exp, abs=0.01)
+        assert row.contrib >= 0
