@@ -132,6 +132,7 @@ HEADLINE = [
     "stats_ks_test",
     "ann_recall_at_k",
     "events_pareto_concentration",
+    "stats_benford_firstdigit",
 ]
 
 PKG = "event_to_lakehouse_spark"
