@@ -776,10 +776,15 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # localCheckpoint the source-cardinality aggregate: every later
+    # stage (totals, budget, leftover, both rounds) branches from it,
+    # and without the checkpoint Catalyst re-derives each branch from
+    # the SCAN (column pruning defeats ReuseExchange) — 14 scans of
+    # documents for a 20-row plan (the N-scan trap, see memory of r5).
     a = docs.groupBy("source").agg(
         F.sum(token_count("text")).cast("long").alias("avail"),
         F.expr(_W_SQL).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     tot = a.agg(
         F.sum("avail").cast("long").alias("t"), F.sum("w").cast("long").alias("sw")
     )

@@ -799,9 +799,12 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     here already pays.
     """
     e = load_tables(spark, sf_dir)["events"]
+    # checkpoint the day-cardinality rollup: mean, running sum, and the
+    # peak max all branch from it — unchecked, each branch re-scans
+    # events (the N-scan trap).
     daily = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         F.count("*").alias("y")
-    )
+    ).localCheckpoint(eager=False)
     m = daily.agg(
         (F.sum("y").cast("double") / F.count("*").cast("double")).alias("mu")
     )
@@ -887,7 +890,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = pooled.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == MW_TYPE_A, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("event_type") == MW_TYPE_B, 1).otherwise(0)).alias("cb"),
-    )
+    ).localCheckpoint(eager=False)  # grid reused by totals/ECDF/max: one scan
     t = g.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
@@ -1075,7 +1078,9 @@ def stats_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit")
     )
-    o = v.groupBy("digit").agg(F.count("*").alias("observed"))
+    o = v.groupBy("digit").agg(F.count("*").alias("observed")).localCheckpoint(
+        eager=False
+    )  # 9-row histogram reused by the total and the output: one scan
     tot = o.agg(F.sum("observed").cast("long").alias("n"))
     p = F.element_at(
         F.create_map(
