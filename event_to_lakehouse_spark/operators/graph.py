@@ -740,3 +740,124 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("community"),
         "community_size",
     )
+
+
+@query(
+    "graph_clustering_profile",
+    """
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY src),
+    oriented AS (
+        SELECT p.src, p.dst
+        FROM pairs p
+        JOIN deg ds ON ds.node = p.src
+        JOIN deg dd ON dd.node = p.dst
+        WHERE (ds.deg, ds.node) < (dd.deg, dd.node)
+    ),
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM oriented e1
+        JOIN oriented e2 ON e2.src = e1.dst
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    pernode AS (
+        SELECT node, count(*) AS triangles
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY node
+    ),
+    cc AS (
+        SELECT d.deg,
+               CAST(coalesce(p.triangles, 0) AS BIGINT) AS tri_n,
+               2.0 * CAST(coalesce(p.triangles, 0) AS DOUBLE)
+                 / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0))
+                 AS cc
+        FROM deg d LEFT JOIN pernode p ON p.node = d.node
+        WHERE d.deg >= 2
+    )
+    SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS degree_bucket,
+           CAST(count(*) AS BIGINT) AS nodes,
+           CAST(sum(tri_n) AS BIGINT) AS triangle_slots,
+           round(avg(cc), 4) AS avg_cc,
+           round(min(cc), 4) AS min_cc,
+           round(max(cc), 4) AS max_cc
+    FROM cc GROUP BY 1
+    """,
+)
+def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient profile by log2-degree bucket: how
+    tightly each degree class's neighborhoods close into triangles
+    (cc = 2T / deg(deg-1)) — the curvature summary that tells you
+    whether the co-purchase graph is clustered or random at each
+    scale, and the densification early-warning beside
+    ``graph_triangle_count``.
+
+    Reuses the session-cached ``_copurchase_edges`` materialization
+    and the same degree-ordered orientation (each triangle enumerated
+    once, wedge fan-out ~sqrt(2m)-bounded). Unlike
+    ``graph_triangle_count`` the per-node join is LEFT: zero-triangle
+    nodes count toward their bucket's average with cc = 0, which the
+    inner-join form silently drops. The log2 bucket is computed as
+    ``length(bin(deg)) - 1`` — pure integer bit length on both
+    engines; ``floor(ln(deg)/ln 2)`` would flip at exact powers of two
+    on libm ulp differences. Each cc value is a fixed IEEE expression
+    of exact integers, so min/max/avg agree to round(4).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)  # node-scale; reused by orient + profile
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
+    oriented = (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .where(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    tri_n = F.coalesce(F.col("triangles"), F.lit(0))
+    degd = F.col("deg").cast("double")
+    cc = (
+        deg.where(F.col("deg") >= 2)
+        .join(pernode, "node", "left")
+        .select(
+            "deg",
+            tri_n.cast("long").alias("tri_n"),
+            (
+                F.lit(2.0) * tri_n.cast("double") / (degd * (degd - F.lit(1.0)))
+            ).alias("cc"),
+        )
+    )
+    return cc.groupBy(
+        (F.length(F.bin("deg")) - F.lit(1)).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("nodes"),
+        F.sum("tri_n").cast("long").alias("triangle_slots"),
+        F.round(F.avg("cc"), 4).alias("avg_cc"),
+        F.round(F.min("cc"), 4).alias("min_cc"),
+        F.round(F.max("cc"), 4).alias("max_cc"),
+    )
