@@ -133,6 +133,20 @@ HEADLINE = [
     "ann_recall_at_k",
     "events_pareto_concentration",
     "stats_benford_firstdigit",
+    # late-round-6 business-insight tier: all sub-2s at sf0.1 except
+    # the clustering profile, which shares the graph family's cached
+    # edge build (listed after the other graph entries so it measures
+    # its own wedge join, not the edge materialization).
+    "events_attribution",
+    "market_basket_rules",
+    "customer_rfm_segments",
+    "survival_kaplan_meier",
+    "events_twap",
+    "stats_welch_ttest",
+    "stats_spearman_daily",
+    "stats_theilsen_trend",
+    "experiment_cuped",
+    "graph_clustering_profile",
 ]
 
 PKG = "event_to_lakehouse_spark"

@@ -61,6 +61,12 @@ the seat it takes — the inline comments at the two swap blocks carry
 the per-seat rationale. Round 6 promoted the graph/linkage/statistics
 tier (LPA, capped link prediction, KMV set-ops, the correlation
 matrix) into four pattern-redundant seats — see the r6 swap block.
+Late round 6 promoted two business-insight entries
+(``market_basket_rules`` — a strict plan superset of the
+``join_basket_copurchase`` seat it takes — and
+``survival_kaplan_meier``, seated from ``ann_ivf_topk`` whose two plan
+halves stay certified by kept ANN siblings) — see the late-r6 swap
+block.
 """
 
 from __future__ import annotations
@@ -109,7 +115,6 @@ FINAL_CATALOG: list[str] = [
     "dedup_simhash_pairs_portable",
     "dedup_embedding_neardup",
     "ann_lsh_bucketed_topk",
-    "ann_ivf_topk",
     "text_decontaminate",
     "multimodal_features",
     # --- r5 swap-ins: oracle-green registry entries promoted so the
@@ -178,6 +183,23 @@ FINAL_CATALOG: list[str] = [
     "graph_link_prediction_capped",  # the scale-safe wedge plan (r5 weak item)
     "agg_kmv_setops",            # the only intersectable sketch
     "stats_corr_matrix",         # one-scan sufficient-stats matrix
+    # --- late-r6 swap-ins: the business-insight tier gets two seats
+    # under the same strict-containment discipline:
+    #   join_basket_copurchase -> market_basket_rules (the rule mining
+    #        runs the IDENTICAL co-partitioned order-key self-join and
+    #        pair groupBy, then ADDS broadcast support joins + the
+    #        lift/confidence scalar tree — a strict plan superset, so
+    #        the co-partitioned fact-fact self-join stays
+    #        driver-certified through its successor)
+    #   ann_ivf_topk -> survival_kaplan_meier (IVF's two plan halves
+    #        stay seat-certified by kept siblings: the broadcast-
+    #        centroid assignment by ann_hard_negatives' broadcast-
+    #        anchor scan+rank, the bucketed per-group topk by
+    #        ann_lsh_bucketed_topk; KM brings a genuinely new numeric
+    #        path — cumulative product-limit over guarded logs — that
+    #        no kept seat exercises)
+    "market_basket_rules",
+    "survival_kaplan_meier",
     # --- driver-green in round 1, unchanged ---
     "q1_pricing_summary",
     "filter_predicates_part",
@@ -185,7 +207,6 @@ FINAL_CATALOG: list[str] = [
     "array_hof_vector_stats",
     "join_range_follow_events",
     "join_asof_prior_purchase",
-    "join_basket_copurchase",
     "events_normalized_contract",
     "events_retention_cohorts",
     "events_funnel_conversion",

@@ -972,3 +972,91 @@ def experiment_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_cuped"),
         F.round(theta, 4).alias("theta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch sufficient-statistics partials (mergeable; streaming twin in
+# streaming/jobs.py::welch_partials_stream)
+# ---------------------------------------------------------------------------
+
+
+def welch_partials(events: DataFrame) -> DataFrame:
+    """Per-arm sufficient statistics (n, Σv, Σv²) for Welch's t-test —
+    the mergeable partial state behind ``stats_welch_ttest``.
+
+    One row per arm; partials from different batches/files/streams
+    merge by plain addition (``merge_welch_partials``), which is how
+    the test would be maintained incrementally at 100 TB: each
+    ingest reduces to two tiny rows, and the t statistic is served
+    off the state table at any time by ``welch_from_partials``.
+    """
+    v = F.col("value")
+    return (
+        events.where(
+            F.col("event_type").isin(TT_TYPE_A, TT_TYPE_B)
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("q"),
+        )
+    )
+
+
+def merge_welch_partials(*parts: DataFrame) -> DataFrame:
+    """Merge any number of per-arm partial frames by addition."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"), F.sum("q").alias("q")
+    )
+
+
+def welch_from_partials(sums: DataFrame) -> DataFrame:
+    """Finish the Welch t statistic from merged per-arm partials.
+
+    Same closed form as ``stats_welch_ttest``; the two arm rows are
+    pivoted with conditional aggregation (key-cardinality input, so
+    this is driver-free scalar plumbing).
+    """
+    is_a = F.col("event_type") == TT_TYPE_A
+    is_b = F.col("event_type") == TT_TYPE_B
+    s = sums.agg(
+        F.sum(F.when(is_a, F.col("n"))).alias("na"),
+        F.sum(F.when(is_a, F.col("s"))).alias("sa"),
+        F.sum(F.when(is_a, F.col("q"))).alias("qa"),
+        F.sum(F.when(is_b, F.col("n"))).alias("nb"),
+        F.sum(F.when(is_b, F.col("s"))).alias("sb"),
+        F.sum(F.when(is_b, F.col("q"))).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb, qa, qb = F.col("sa"), F.col("sb"), F.col("qa"), F.col("qb")
+    m = s.select(
+        na.alias("na"),
+        nb.alias("nb"),
+        (sa / na).alias("ma"),
+        (sb / nb).alias("mb"),
+        ((qa - sa * sa / na) / (na - F.lit(1))).alias("va"),
+        ((qb - sb * sb / nb) / (nb - F.lit(1))).alias("vb"),
+    )
+    na2, nb2 = F.col("na"), F.col("nb")
+    ma, mb, va, vb = F.col("ma"), F.col("mb"), F.col("va"), F.col("vb")
+    se2 = va / na2 + vb / nb2
+    return m.select(
+        na2.cast("long").alias("n_a"),
+        nb2.cast("long").alias("n_b"),
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(va / na2, 2) / (na2 - F.lit(1))
+                + F.pow(vb / nb2, 2) / (nb2 - F.lit(1))
+            ),
+            4,
+        ).alias("df_welch"),
+    )

@@ -534,6 +534,48 @@ def trend_partials_stream(
     return writer.start()
 
 
+def welch_partials_stream(
+    events,
+    state_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+    token_horizon: int = 64,
+    vacuum_every: int = 32,
+):
+    """Streaming maintenance of the Welch t-test sufficient statistics
+    (``operators.insights.welch_partials``): each micro-batch reduces
+    to its two per-arm (n, Σv, Σv²) rows and merges into the
+    SnapshotTable state by addition, so ``welch_from_partials`` serves
+    the current t statistic off the state table at any time — the
+    same mergeable-partials posture as ``trend_partials_stream``.
+
+    Unlike the trend twin the sums are DOUBLES, so drained state
+    equals the whole-batch partials to FP addition reordering
+    (pytest pins rel 1e-9, and n exactly), not bit-for-bit. Durable
+    state is two rows forever; commit metadata is bounded by the
+    token horizon + periodic vacuum (the KMV-stream fix)."""
+    from ..operators.insights import merge_welch_partials, welch_partials
+    from ..storage.snapshots import SnapshotTable
+
+    def _write(batch_df, batch_id: int) -> None:
+        tbl = SnapshotTable(batch_df.sparkSession, state_root)
+        part = welch_partials(batch_df)
+        snap = tbl.snapshot()
+        merged = part if snap is None else merge_welch_partials(tbl.read(), part)
+        tbl.overwrite(
+            merged, keep_tokens=token_horizon, batch_token=f"b{batch_id}"
+        )
+        if vacuum_every and batch_id % vacuum_every == vacuum_every - 1:
+            tbl.vacuum(keep_versions=2)
+
+    writer = events.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def user_type_counts_stream(
     events,
     state_root: str,

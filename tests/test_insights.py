@@ -315,3 +315,94 @@ def test_clustering_profile_matches_pandas(spark):
         got["avg_cc"].to_numpy(), refg["avg_cc"].to_numpy(), atol=2e-4
     )
     assert got["max_cc"].max() <= 1.0 and got["min_cc"].min() >= 0.0
+
+
+# --- Welch partials: mergeability + streaming twin --------------------------
+
+
+def test_welch_partials_merge_and_finish(spark):
+    from event_to_lakehouse_spark.operators.insights import (
+        merge_welch_partials,
+        welch_from_partials,
+        welch_partials,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    e = load_tables(spark, SF)["events"]
+    whole = welch_partials(e).toPandas().set_index("event_type")
+    # split by user parity, merge — n exact, double sums to FP reorder
+    merged = (
+        merge_welch_partials(
+            welch_partials(e.where("user_id % 2 = 0")),
+            welch_partials(e.where("user_id % 2 = 1")),
+        )
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (merged["n"] == whole["n"]).all()
+    np.testing.assert_allclose(merged["s"], whole["s"], rtol=1e-9)
+    np.testing.assert_allclose(merged["q"], whole["q"], rtol=1e-9)
+    # finisher off partials == the registered query
+    got = welch_from_partials(welch_partials(e)).toPandas().iloc[0]
+    want = _run(spark, "stats_welch_ttest").iloc[0]
+    for c in ("n_a", "n_b", "mean_a", "mean_b", "t_stat", "df_welch"):
+        assert got[c] == pytest.approx(want[c], abs=1e-4)
+
+
+def test_welch_partials_stream_equals_batch(spark, tmp_dir):
+    """Drained streaming Welch state == whole-batch partials (n exact,
+    double sums to FP-addition reordering), and the finisher serves the
+    t statistic off the state table."""
+    import json as _json
+    from pathlib import Path
+
+    from event_to_lakehouse_spark.operators.insights import (
+        welch_from_partials,
+        welch_partials,
+    )
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import (
+        read_event_stream,
+        welch_partials_stream,
+    )
+
+    src = Path(f"{tmp_dir}/events")
+    src.mkdir(parents=True)
+    eid = 0
+    for i in range(3):
+        rows = []
+        for k in range((i + 1) * 9):
+            rows.append(
+                {
+                    "event_id": (eid := eid + 1),
+                    "ts": f"2024-01-0{i + 1}T0{k % 9}:15:00",
+                    "user_id": k % 5,
+                    "event_type": ("click", "view", "error")[k % 3],
+                    "value": 1.5 * k + i,
+                    "props": "{}",
+                }
+            )
+        (src / f"part_{i}.json").write_text(
+            "\n".join(_json.dumps(e) for e in rows)
+        )
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    state_root = f"{tmp_dir}/welch_state"
+    q = welch_partials_stream(stream, state_root, f"{tmp_dir}/ckpt")
+    q.awaitTermination(120)
+
+    tbl = SnapshotTable(spark, state_root)
+    batch = spark.read.json(str(src), schema=stream.schema)
+    want = welch_partials(batch).toPandas().set_index("event_type")
+    got = tbl.read().toPandas().set_index("event_type")
+    assert set(got.index) == set(want.index) == {"click", "view"}
+    assert (got["n"] == want["n"]).all()
+    np.testing.assert_allclose(
+        got.sort_index()["s"], want.sort_index()["s"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got.sort_index()["q"], want.sort_index()["q"], rtol=1e-9
+    )
+    t_stream = welch_from_partials(tbl.read()).toPandas().iloc[0]
+    t_batch = welch_from_partials(welch_partials(batch)).toPandas().iloc[0]
+    for c in ("n_a", "n_b", "mean_a", "mean_b", "t_stat", "df_welch"):
+        assert t_stream[c] == pytest.approx(t_batch[c], abs=1e-4)
