@@ -861,3 +861,80 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cc"), 4).alias("min_cc"),
         F.round(F.max("cc"), 4).alias("max_cc"),
     )
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src AS node, count(*) AS deg FROM pairs GROUP BY src),
+    xy AS (
+        SELECT CAST(ds.deg AS BIGINT) AS x, CAST(dd.deg AS BIGINT) AS y
+        FROM pairs p
+        JOIN deg ds ON ds.node = p.src
+        JOIN deg dd ON dd.node = p.dst
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(x * y) AS DOUBLE) AS sxy
+        FROM xy
+    )
+    SELECT CAST(m AS BIGINT) AS n_directed_edges,
+           round(sx / m, 4) AS mean_degree,
+           round((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 4)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over every directed edge — do
+    hub products co-occur with hubs (assortative, r > 0) or with
+    niche products (disassortative, r < 0)? The one-number structure
+    summary beside ``graph_clustering_profile``'s curvature buckets.
+
+    Reuses the session-cached edge materialization; the per-edge
+    (deg(src), deg(dst)) pairs come from two node-keyed broadcast-able
+    joins, then everything reduces to six exact-integer sums — one
+    edge-linear pass, no wedge enumeration, so this stays cheap even
+    where the triangle family densifies. Both engines form identical
+    doubles from the integer sums (fixed IEEE tree).
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
+    xy = edges.join(ds, "src").join(dd, "dst").select(
+        F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y")
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        m.cast("long").alias("n_directed_edges"),
+        F.round(sx / m, 4).alias("mean_degree"),
+        F.round(
+            (m * sxy - sx * sy)
+            / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            4,
+        ).alias("assortativity"),
+    )

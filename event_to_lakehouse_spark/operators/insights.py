@@ -1060,3 +1060,270 @@ def welch_from_partials(sums: DataFrame) -> DataFrame:
             4,
         ).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across all event types
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_anova_oneway",
+    """
+    WITH g AS (
+        SELECT event_type, count(*) AS n, sum(value) AS s,
+               sum(value * value) AS q
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k,
+               CAST(sum(n) AS DOUBLE) AS nn,
+               sum(s) AS ss,
+               sum(s * s / CAST(n AS DOUBLE)) AS sb_raw,
+               sum(q - s * s / CAST(n AS DOUBLE)) AS ssw
+        FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nn AS BIGINT) AS n_obs,
+           round(sb_raw - ss * ss / nn, 4) AS ss_between,
+           round(ssw, 4) AS ss_within,
+           round(((sb_raw - ss * ss / nn) / (k - 1))
+                 / (ssw / (nn - k)), 4) AS f_stat
+    FROM t
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of ``value`` across ALL event types — the k-group
+    generalization of ``stats_welch_ttest`` (classic equal-variance
+    F-test form).
+
+    Two-level sufficient statistics: per-group (n, Σv, Σv²) — one scan,
+    5-row shuffle — then the F statistic is a fixed IEEE tree over the
+    5-row aggregate (SSB = Σs²/n − S²/N, SSW = Σ(q − s²/n)). Both
+    levels merge by addition, so the test is maintainable incrementally
+    exactly like the Welch partials.
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    v = F.col("value")
+    g = (
+        e.where(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("q"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    t = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("s") * F.col("s") / nD).alias("sb_raw"),
+        F.sum(F.col("q") - F.col("s") * F.col("s") / nD).alias("ssw"),
+    )
+    k, nn, ss = F.col("k"), F.col("nn"), F.col("ss")
+    sb = F.col("sb_raw") - ss * ss / nn
+    return t.select(
+        k.cast("long").alias("n_groups"),
+        nn.cast("long").alias("n_obs"),
+        F.round(sb, 4).alias("ss_between"),
+        F.round(F.col("ssw"), 4).alias("ss_within"),
+        F.round((sb / (k - F.lit(1))) / (F.col("ssw") / (nn - k)), 4).alias(
+            "f_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle (acquisition month x age)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH seq AS (
+        SELECT o_custkey AS custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+                 AS midx,
+               o_totalprice AS price
+        FROM orders
+    ),
+    tagged AS (
+        SELECT custkey, midx, price,
+               min(midx) OVER (PARTITION BY custkey) AS cohort
+        FROM seq
+    ),
+    cell AS (
+        SELECT cohort, midx - cohort AS age_months,
+               CAST(round(sum(price) * 100) AS BIGINT) AS rev_cents,
+               count(DISTINCT custkey) AS active_customers
+        FROM tagged GROUP BY 1, 2
+    ),
+    tri AS (
+        SELECT cohort, age_months,
+               CAST(rev_cents AS BIGINT) AS rev_cents,
+               CAST(active_customers AS BIGINT) AS active_customers,
+               CAST(sum(rev_cents) OVER (
+                   PARTITION BY cohort ORDER BY age_months
+               ) AS BIGINT) AS cum_cents,
+               CAST(max(CASE WHEN age_months = 0 THEN active_customers END)
+                    OVER (PARTITION BY cohort) AS BIGINT) AS n_customers
+        FROM cell
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort_month,
+           CAST(age_months AS BIGINT) AS age_months,
+           CAST(active_customers AS BIGINT) AS active_customers,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(CAST(rev_cents AS DOUBLE) / 100.0, 4) AS revenue,
+           round(CAST(cum_cents AS DOUBLE) / 100.0
+                 / CAST(n_customers AS DOUBLE), 4) AS ltv_per_customer
+    FROM tri
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by acquisition month
+    (month of FIRST order), revenue rolled up by months-since-
+    acquisition, cumulative LTV per cohort member — the
+    ``events_retention_cohorts`` sibling with money instead of
+    presence.
+
+    One orders scan: the cohort tag is a per-customer MIN window (no
+    self-join), the triangle is a (cohort × age) groupBy — calendar²-
+    bounded output. Cohort size needs no second pass: every member
+    BY DEFINITION orders at age 0, so size = age-0 active count,
+    lifted per cohort with a window max. Month index is exact integer
+    arithmetic (year*12+month — Spark's fractional ``months_between``
+    and DuckDB's boundary-counting ``date_diff`` disagree); revenue
+    accumulates in exact integer cents so the running sum carries no
+    FP reordering.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    tagged = o.select(
+        F.col("o_custkey").alias("custkey"),
+        midx.alias("midx"),
+        F.col("o_totalprice").alias("price"),
+    ).withColumn("cohort", F.min("midx").over(Window.partitionBy("custkey")))
+    cell = tagged.groupBy(
+        "cohort", (F.col("midx") - F.col("cohort")).alias("age_months")
+    ).agg(
+        F.round(F.sum("price") * 100).cast("long").alias("rev_cents"),
+        F.count_distinct("custkey").cast("long").alias("active_customers"),
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_months")
+    wall = Window.partitionBy("cohort")
+    tri = cell.select(
+        "cohort",
+        "age_months",
+        "rev_cents",
+        "active_customers",
+        F.sum("rev_cents").over(wc).cast("long").alias("cum_cents"),
+        F.max(
+            F.when(F.col("age_months") == 0, F.col("active_customers"))
+        )
+        .over(wall)
+        .cast("long")
+        .alias("n_customers"),
+    )
+    return tri.select(
+        F.col("cohort").alias("cohort_month"),
+        "age_months",
+        "active_customers",
+        "n_customers",
+        F.round(F.col("rev_cents").cast("double") / 100.0, 4).alias("revenue"),
+        F.round(
+            F.col("cum_cents").cast("double")
+            / 100.0
+            / F.col("n_customers").cast("double"),
+            4,
+        ).alias("ltv_per_customer"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) anomaly screen
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant; same literal text both engines
+
+
+@query(
+    "events_anomaly_mad",
+    f"""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+        FROM events e JOIN med m ON m.event_type = e.event_type
+        WHERE e.value IS NOT NULL
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(d.med), 4) AS median_value,
+           round(any_value(x.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.adev > {MAD_K} * {MAD_CONSISTENCY} * x.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN d.adev > {MAD_K} * {MAD_CONSISTENCY}
+                                    * x.mad THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS outlier_frac
+    FROM dev d JOIN mad x ON x.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen: median / MAD (median absolute deviation)
+    per event type, with the count of values beyond the standard
+    3 × 1.4826 × MAD fence — the outlier detector that, unlike
+    ``events_anomaly_zscore``'s mean/stddev, is itself immune to the
+    outliers it hunts.
+
+    Exact two-level medians force three scan-bound passes (median →
+    deviation median → fence count), each a fact scan plus a
+    BROADCAST of the 5-row per-type statistics — nothing fact-sized
+    ever shuffles. At 100 TB the documented swap is sketch quantiles
+    (``agg_quantile_histogram``'s mergeable bins) to fuse the passes
+    into one; the exact form is what the oracle certifies. The fence
+    compare is deterministic cross-engine: both sides compute
+    |v − med| and k·c·mad from identical doubles (the consistency
+    constant is the same literal text, hence the same IEEE double).
+    """
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.where(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    fence = F.lit(MAD_K) * F.lit(MAD_CONSISTENCY) * F.col("mad")
+    out = F.when(F.col("adev") > fence, 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.any_value(F.col("med")), 4).alias("median_value"),
+            F.round(F.any_value(F.col("mad")), 4).alias("mad"),
+            F.sum(out).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(out).cast("double") / F.count("*").cast("double"), 4
+            ).alias("outlier_frac"),
+        )
+    )
