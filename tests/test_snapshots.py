@@ -749,3 +749,13 @@ def test_append_and_merge_token_horizon(spark, tmp_dir):
             batch_token=f"m{i}", keep_tokens=2,
         )
     assert m.snapshot().batch_tokens == ["m2", "m3", "m4"]
+
+    # EMPTY update batches honor the horizon too (ADVICE r6): a stream
+    # of all-late-dropped micro-batches must not regrow the chain.
+    empty = _batch(spark, 0, 3).limit(0)
+    for i in range(5, 10):
+        m.merge(
+            empty, key="id", order_col="id",
+            batch_token=f"m{i}", keep_tokens=2,
+        )
+    assert m.snapshot().batch_tokens == ["m8", "m9"]
