@@ -302,12 +302,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Triangle-count core over a symmetrized (src, dst) edge frame."""
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    deg, oriented = _orient(edges)
+    pernode = _per_node_triangles(oriented)
+    return pernode.join(deg, "node").select(
+        F.col("node").alias("p_partkey"), "triangles", F.col("deg").alias("degree")
+    )
+
+
+def _orient(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(degree table, degree-ordered orientation) of a symmetric edge
+    frame: each undirected edge kept once, pointing from its
+    (degree, id)-smaller endpoint to the larger — a total order, so
+    every triangle is enumerated exactly once and per-node out-degree
+    is ~sqrt(2m)-bounded even on hot hubs. The degree sides are
+    node-scale (the part catalog), hence broadcast."""
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)  # node-scale; reused downstream
+    )
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
     oriented = (
-        edges.join(ds, "src")
-        .join(dd, "dst")
+        edges.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
         .where(
             (F.col("sdeg") < F.col("ddeg"))
             | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
@@ -315,19 +333,51 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    pernode = (
+    return deg, oriented
+
+
+def _per_node_triangles(oriented: DataFrame) -> DataFrame:
+    """Per-node triangle counts via the EDGE-ITERATOR form: build the
+    oriented adjacency list per node (total cells = |oriented edges|,
+    so node-catalog scale → broadcastable), then for each oriented
+    edge (a,b) the closing vertices are ``array_intersect(adj(a),
+    adj(b))`` — the wedge filtering happens inside a codegen'd array
+    expression instead of materializing the wedge stream through a
+    shuffle join. At sf0.1 this replaced a ~50M-row wedge shuffle and
+    cut the clustering profile 32 s → ~5 s (r7 measured, identical
+    output). At a scale where the adjacency table outgrows broadcast
+    (edges far beyond catalog-scale — which edge SUPPORT scaling
+    prevents, see ``_copurchase_edges``), drop the two ``F.broadcast``
+    hints and AQE falls back to shuffle joins with the same plan
+    semantics."""
+    adj = oriented.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    tri = (
+        oriented.join(
+            F.broadcast(
+                adj.select(F.col("node").alias("src"), F.col("nbrs").alias("na"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb"))
+            ),
+            "dst",
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("na", "nb")).alias("c"),
+        )
+    )
+    return (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
         .unionAll(tri.select(F.col("c").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
-    )
-    return pernode.join(deg, "node").select(
-        F.col("node").alias("p_partkey"), "triangles", F.col("deg").alias("degree")
     )
 
 
