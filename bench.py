@@ -148,6 +148,7 @@ HEADLINE = [
     "stats_theilsen_trend",
     "experiment_cuped",
     "graph_clustering_profile",
+    "graph_triangle_count",  # r8: the rewired edge-iterator core, perf-tracked
 ]
 
 PKG = "event_to_lakehouse_spark"

@@ -200,6 +200,17 @@ FINAL_CATALOG: list[str] = [
     #        no kept seat exercises)
     "market_basket_rules",
     "survival_kaplan_meier",
+    # --- r8 swap-in (VERDICT r7 #7): the fixed cohort-LTV triangle
+    # takes the retention seat under strict containment:
+    #   events_retention_cohorts -> orders_cohort_ltv (IDENTICAL
+    #        cohort pattern — per-key MIN-window acquisition tag +
+    #        cohort×age groupBy with count_distinct — then ADDS the
+    #        integer-cents running-sum frame and the per-cohort
+    #        window-max size lift, numeric paths the gate never
+    #        certified; the retired row stays registry+pytest+oracle-
+    #        green and its presence-matrix flavor has no plan node the
+    #        successor lacks)
+    "orders_cohort_ltv",
     # --- driver-green in round 1, unchanged ---
     "q1_pricing_summary",
     "filter_predicates_part",
@@ -208,7 +219,7 @@ FINAL_CATALOG: list[str] = [
     "join_range_follow_events",
     "join_asof_prior_purchase",
     "events_normalized_contract",
-    "events_retention_cohorts",
+    # events_retention_cohorts: retired to the r8 swap block above
     "events_funnel_conversion",
 ]
 

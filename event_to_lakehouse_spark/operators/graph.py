@@ -110,7 +110,7 @@ _EDGES_CTE = """
 # input-file listing so a corpus rewrite at the same path invalidates
 # (any Spark rewrite produces fresh part-file names). Release with
 # ``unpersist_copurchase_edges()``.
-_EDGECACHE: dict[str, dict[int, DataFrame]] = {}
+_EDGECACHE: dict[str, dict[tuple[int, tuple[str, ...]], DataFrame]] = {}
 _EDGECACHE_SLOTS = 2
 
 
@@ -301,7 +301,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Triangle-count core over a symmetrized (src, dst) edge frame."""
+    """Triangle-count core over a symmetrized (src, dst) edge frame.
+
+    The input must be DUPLICATE-FREE: ``array_intersect`` deduplicates
+    closing vertices, so a multigraph's repeated edges do NOT multiply
+    triangle counts the way the old three-way wedge join did (ADVICE
+    r7). Every in-repo caller feeds ``_copurchase_edges`` (distinct by
+    construction); external callers must ``.distinct()`` first.
+    """
     deg, oriented = _orient(edges)
     pernode = _per_node_triangles(oriented)
     return pernode.join(deg, "node").select(
@@ -343,9 +350,11 @@ def _per_node_triangles(oriented: DataFrame) -> DataFrame:
     edge (a,b) the closing vertices are ``array_intersect(adj(a),
     adj(b))`` — the wedge filtering happens inside a codegen'd array
     expression instead of materializing the wedge stream through a
-    shuffle join. At sf0.1 this replaced a ~50M-row wedge shuffle and
-    cut the clustering profile 32 s → ~5 s (r7 measured, identical
-    output). At a scale where the adjacency table outgrows broadcast
+    shuffle join. Wired into BOTH ``graph_triangle_count`` and (r8)
+    ``graph_clustering_profile``, replacing the ~50M-row sf0.1 wedge
+    shuffle that made the profile the most expensive bench query
+    (~25 s of the r7 headline; see BENCH_r08 for the measured cut —
+    identical output by construction, parity re-certified). At a scale where the adjacency table outgrows broadcast
     (edges far beyond catalog-scale — which edge SUPPORT scaling
     prevents, see ``_copurchase_edges``), drop the two ``F.broadcast``
     hints and AQE falls back to shuffle joins with the same plan
@@ -854,11 +863,14 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``graph_triangle_count``.
 
     Reuses the session-cached ``_copurchase_edges`` materialization
-    and the same degree-ordered orientation (each triangle enumerated
-    once, wedge fan-out ~sqrt(2m)-bounded). Unlike
-    ``graph_triangle_count`` the per-node join is LEFT: zero-triangle
-    nodes count toward their bucket's average with cc = 0, which the
-    inner-join form silently drops. The log2 bucket is computed as
+    and the shared ``_orient`` + ``_per_node_triangles`` edge-iterator
+    core (r8 — previously this inlined the old three-way wedge join,
+    the single most expensive bench plan at ~25 s of the sf0.1
+    headline; the adjacency-broadcast ``array_intersect`` form closes
+    wedges inside a codegen'd expression instead of shuffling the
+    wedge stream). Unlike ``graph_triangle_count`` the per-node join
+    is LEFT: zero-triangle nodes count toward their bucket's average
+    with cc = 0, which the inner-join form silently drops. The log2 bucket is computed as
     ``length(bin(deg)) - 1`` — pure integer bit length on both
     engines; ``floor(ln(deg)/ln 2)`` would flip at exact powers of two
     on libm ulp differences. Each cc value is a fixed IEEE expression
@@ -867,34 +879,8 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(cc*1e6) as BIGINT) so its sum is exact and order-free.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint(eager=False)  # node-scale; reused by orient + profile
-    )
-    ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
-    dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
-    oriented = (
-        edges.join(ds, "src")
-        .join(dd, "dst")
-        .where(
-            (F.col("sdeg") < F.col("ddeg"))
-            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-        )
-        .select("src", "dst")
-        .localCheckpoint(eager=False)
-    )
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("triangles"))
-    )
+    deg, oriented = _orient(edges)
+    pernode = _per_node_triangles(oriented)
     tri_n = F.coalesce(F.col("triangles"), F.lit(0))
     degd = F.col("deg").cast("double")
     cc = (

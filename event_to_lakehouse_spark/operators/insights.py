@@ -1184,8 +1184,8 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(active_customers AS BIGINT) AS active_customers,
            CAST(n_customers AS BIGINT) AS n_customers,
            round(CAST(rev_cents AS DOUBLE) / 100.0, 4) AS revenue,
-           round(CAST(cum_cents AS DOUBLE) / 100.0
-                 / CAST(n_customers AS DOUBLE), 4) AS ltv_per_customer
+           round(CAST(cum_cents AS DOUBLE) * 100.0
+                 / CAST(n_customers AS DOUBLE)) / 10000.0 AS ltv_per_customer
     FROM tri
     """,
 )
@@ -1240,11 +1240,21 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_customers",
         "n_customers",
         F.round(F.col("rev_cents").cast("double") / 100.0, 4).alias("revenue"),
-        F.round(
-            F.col("cum_cents").cast("double")
-            / 100.0
-            / F.col("n_customers").cast("double"),
-            4,
+        # Boundary-safe 4-dp LTV: the naive round(cents/100/n, 4) is a
+        # DOUBLE divide chain whose x.xxxx5 half-boundary flips per
+        # engine (the events_twap lesson; bit r7's avg_cc too). Instead
+        # quantize on the exact integer micro-grid: cents*100/n is ONE
+        # IEEE division of an exact integer (cum_cents*100 < 2^53 until
+        # a single cohort exceeds ~$90T), identical bits in any engine;
+        # round it to an integer count of 1e-4 dollars, then one exact
+        # scale-down.
+        (
+            F.round(
+                F.col("cum_cents").cast("double")
+                * 100.0
+                / F.col("n_customers").cast("double")
+            ).cast("long")
+            / 10000.0
         ).alias("ltv_per_customer"),
     )
 

@@ -901,9 +901,15 @@ class SnapshotTable:
             # would otherwise grow the carried chain unboundedly.
             if batch_token is None:
                 return snap
-            tokens = list(snap.batch_tokens) + [batch_token]
+            # One horizon rule for every commit path (ADVICE r7): trim
+            # the PARENT chain to the newest keep_tokens entries, then
+            # append the new token — same as the non-empty merge and
+            # append paths, so an empty batch never shrinks the
+            # replay-dedup window relative to a non-empty one.
+            tokens = list(snap.batch_tokens)
             if keep_tokens is not True:
-                tokens = tokens[-int(keep_tokens):] if keep_tokens else [batch_token]
+                tokens = tokens[-int(keep_tokens):] if keep_tokens else []
+            tokens.append(batch_token)
             return self._commit(
                 snap.files,
                 tokens,

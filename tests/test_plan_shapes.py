@@ -202,6 +202,9 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
         # r5 consolidation promotions — same intended patterns:
         "ann_hard_negatives",       # corpus × broadcast anchor set (as bruteforce)
         "text_tfidf_topterms",      # tf rows × broadcast 1-row source count
+        # late-r6 promotions — scalar 1-row broadcast crossJoins:
+        "market_basket_rules",      # ≤600 pair rows × broadcast 1-row txn total
+        "survival_kaplan_meier",    # day rows × broadcast 1-row cohort size
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():

@@ -750,12 +750,18 @@ def test_append_and_merge_token_horizon(spark, tmp_dir):
         )
     assert m.snapshot().batch_tokens == ["m2", "m3", "m4"]
 
-    # EMPTY update batches honor the horizon too (ADVICE r6): a stream
-    # of all-late-dropped micro-batches must not regrow the chain.
+    # EMPTY update batches honor the horizon too (ADVICE r6), under the
+    # SAME rule as every other commit path (ADVICE r7): trim parents to
+    # keep_tokens, then append — so the replay-dedup window never
+    # shrinks just because a batch happened to be empty.
     empty = _batch(spark, 0, 3).limit(0)
     for i in range(5, 10):
         m.merge(
             empty, key="id", order_col="id",
             batch_token=f"m{i}", keep_tokens=2,
         )
-    assert m.snapshot().batch_tokens == ["m8", "m9"]
+    assert m.snapshot().batch_tokens == ["m7", "m8", "m9"]
+    # and an in-horizon replay after an empty commit is still a no-op
+    v = m.snapshot().version
+    m.merge(empty, key="id", order_col="id", batch_token="m8", keep_tokens=2)
+    assert m.snapshot().version == v
