@@ -149,6 +149,7 @@ HEADLINE = [
     "experiment_cuped",
     "graph_clustering_profile",
     "graph_triangle_count",  # r8: the rewired edge-iterator core, perf-tracked
+    "ops_key_skew_profile",  # r8: one-scan skew gauge
 ]
 
 PKG = "event_to_lakehouse_spark"

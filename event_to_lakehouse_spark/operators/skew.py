@@ -21,8 +21,11 @@ change the shuffle key space.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from .relational import query
 
 DEFAULT_SALT = 16
 
@@ -86,3 +89,109 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     out = big_salted.join(small_rep, on + ["_salt"], how)
     return out.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler — the gauge that decides when the salted paths
+# above (and AQE skew-join) need to engage
+# ---------------------------------------------------------------------------
+
+SKEW_SALT_THRESHOLD = 16.0  # max/median count ratio; mirrors DEFAULT_SALT
+
+
+def key_skew_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per join-key-candidate column: row/key cardinality, the count
+    distribution of its hottest keys (max, p50, p99), and a salt
+    verdict — the diagnosis a 100 TB pipeline runs BEFORE a shuffle
+    lands on a hot key, deciding between a plain hash join,
+    ``salted_join``, or an AQE skew split.
+
+    ONE fact scan: every profiled column rides a single ``stack``
+    unpivot into (key_col, key_val), then ONE groupBy shuffle whose
+    output is key-cardinality-scale; the distribution stats aggregate
+    those small count rows (the p50/p99 sort is key-scale, never
+    fact-scale). Determinism: counts are exact integers; the shares
+    and ratios are quantized on the integer 1e-4 grid (one IEEE
+    division of exact operands, then round-to-int — the
+    ``orders_cohort_ltv`` lesson) and p50/p99 ride the proven
+    ``F.percentile`` ↔ ``quantile_cont`` parity pair as ONE array
+    percentile (one key-scale sort, not two — the
+    ``stats_quantile_bins`` lesson).
+    """
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    keyed = df.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS (key_col, key_val)"
+    )
+    cnts = keyed.groupBy("key_col", "key_val").count()
+    cnt = F.col("count").cast("double")
+    qs = F.percentile(cnt, F.array(F.lit(0.5), F.lit(0.99)))
+    agg = cnts.groupBy("key_col").agg(
+        F.sum("count").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("count").cast("long").alias("max_cnt"),
+        qs.alias("_qs"),
+    )
+    mx = F.col("max_cnt").cast("double")
+    p50 = F.col("_qs")[0]
+    return agg.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round(p50, 4).alias("p50_cnt"),
+        F.round(F.col("_qs")[1], 4).alias("p99_cnt"),
+        (F.round(mx * 10000.0 / F.col("n_rows").cast("double")) / 10000.0).alias(
+            "top1_share"
+        ),
+        (F.round(mx * 10000.0 / p50) / 10000.0).alias("skew_ratio"),
+        F.when(mx > F.lit(SKEW_SALT_THRESHOLD) * p50, F.lit("salt"))
+        .otherwise(F.lit("plain"))
+        .alias("salt_verdict"),
+    )
+
+
+def _skew_oracle() -> str:
+    # The SQL twin unions one SELECT per profiled column (DuckDB has no
+    # stack); semantically identical to the Spark side's single-scan
+    # unpivot — the oracle runs at gate SF where the double scan is free.
+    return """
+    WITH keyed AS (
+        SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS key_val
+        FROM events
+        UNION ALL
+        SELECT 'event_type', event_type FROM events
+    ),
+    cnts AS (
+        SELECT key_col, key_val, count(*) AS cnt
+        FROM keyed GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(CAST(cnt AS DOUBLE), 0.5), 4) AS p50_cnt,
+           round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 4) AS p99_cnt,
+           round(CAST(max(cnt) AS DOUBLE) * 10000.0
+                 / CAST(sum(cnt) AS DOUBLE)) / 10000.0 AS top1_share,
+           round(CAST(max(cnt) AS DOUBLE) * 10000.0
+                 / quantile_cont(CAST(cnt AS DOUBLE), 0.5)) / 10000.0
+             AS skew_ratio,
+           CASE WHEN CAST(max(cnt) AS DOUBLE)
+                     > 16.0 * quantile_cont(CAST(cnt AS DOUBLE), 0.5)
+                THEN 'salt' ELSE 'plain' END AS salt_verdict
+    FROM cnts GROUP BY 1
+    """
+
+
+@query("ops_key_skew_profile", _skew_oracle())
+def ops_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew gauge over the events table's two join-key candidates:
+    ``user_id`` (high-cardinality, bot-heavy tail) and ``event_type``
+    (low-cardinality, guaranteed hot) — the ops-tier pre-flight a
+    100 TB pipeline runs before keying a shuffle on either column.
+    See ``key_skew_profile`` for the one-scan plan and determinism
+    notes."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return key_skew_profile(ev, ["user_id", "event_type"])

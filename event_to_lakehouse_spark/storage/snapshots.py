@@ -955,6 +955,99 @@ class SnapshotTable:
             schema=evolved,
         )
 
+    def apply_changes(
+        self,
+        changes: DataFrame,
+        key: str,
+        order_col: str,
+        op_col: str = "_op",
+        tiebreak: str | None = None,
+        batch_token: str | None = None,
+        keep_tokens: bool | int = True,
+    ) -> Snapshot:
+        """CDC APPLY: one commit applying a change-log batch — rows
+        tagged ``'I'``/``'U'`` in ``op_col`` upsert latest-wins, rows
+        tagged ``'D'`` delete their key (the Delta Live Tables
+        ``APPLY CHANGES INTO`` / Iceberg ``MERGE`` shape; the
+        reference's blind-append sink has no delete path at all —
+        ``bronze_assets_to_silver_assets.py:277``).
+
+        Semantics: the per-key verdict is the NEWEST change in the
+        batch by ``order_col`` (ties broken by ``tiebreak``, falling
+        back to the key) — a key whose last change is D is deleted
+        even if earlier rows in the same batch upsert it, and vice
+        versa. The net batch is therefore one row per changed key
+        BEFORE any base file is read, so the rewrite cost tracks the
+        CHANGED-key file footprint, not the change-log volume.
+
+        Scale design mirrors ``merge``: when the table's ``stats_col``
+        is the merge key, only files whose min/max range may contain a
+        changed key are rewritten — everything else is carried by
+        reference (manifest-only). ``batch_token`` gives exactly-once
+        replay and ``keep_tokens`` bounds the carried chain under the
+        single horizon rule (trim parents to N, then append).
+        """
+        from ..pipeline.upsert import latest_per_key
+
+        snap = self.snapshot()
+        if batch_token is not None and snap is not None and (
+            batch_token in snap.batch_tokens
+        ):
+            return snap
+        # Net effect per key: newest change wins across the batch.
+        net = latest_per_key(changes, key, order_col, tiebreak)
+        upserts = net.where(F.col(op_col) != F.lit("D")).drop(op_col)
+        del_keys = net.where(F.col(op_col) == F.lit("D")).select(key)
+        if snap is None:
+            return self.append(upserts, batch_token=batch_token)
+        if changes.isEmpty():
+            if batch_token is None:
+                return snap
+            tokens = list(snap.batch_tokens)
+            if keep_tokens is not True:
+                tokens = tokens[-int(keep_tokens):] if keep_tokens else []
+            tokens.append(batch_token)
+            return self._commit(
+                snap.files, tokens, snap.version, schema=snap.schema
+            )
+        touched, untouched = snap.files, []
+        if self.stats_col == key:
+            bounds = net.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            ser, ser_hi = _stat_safe(bounds["lo"]), _stat_safe(bounds["hi"])
+            touched = [
+                f
+                for f in snap.files
+                if f["min"] is None or not (f["max"] < ser or f["min"] > ser_hi)
+            ]
+            untouched = [f for f in snap.files if f not in touched]
+        evolved = self._evolve(snap.schema, upserts)
+        if touched:
+            base = self._read_files([f["path"] for f in touched], snap.schema)
+            kept = base.join(del_keys, key, "left_anti")
+            merged = latest_per_key(
+                kept.unionByName(upserts, allowMissingColumns=True),
+                key,
+                order_col,
+                tiebreak,
+            )
+        else:
+            merged = upserts
+        commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
+        merged.write.mode("overwrite").parquet(str(commit_dir))
+        tokens = list(snap.batch_tokens)
+        if keep_tokens is not True:
+            tokens = tokens[-int(keep_tokens):] if keep_tokens else []
+        if batch_token is not None:
+            tokens.append(batch_token)
+        return self._commit(
+            untouched + self._file_entries(commit_dir),
+            tokens,
+            snap.version,
+            schema=evolved,
+        )
+
     def delete_where(self, predicate) -> Snapshot:
         """Copy-on-write row-level DELETE: files whose stats range
         cannot contain a matching row are carried by reference; the

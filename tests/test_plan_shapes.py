@@ -290,3 +290,18 @@ def test_er_fuzzy_blocks_before_distance(spark, qs):
 
     a = audit_plan(qs["er_fuzzy_part_matches"](spark, SF_DIR))
     assert a.nested_loop_joins == 0
+
+
+def test_key_skew_profile_one_scan_two_exchanges(spark, qs):
+    """The skew gauge must diagnose, not cause, a scan storm: every
+    profiled column rides ONE stack-unpivot scan of the fact table
+    (never one scan per column), and the only exchanges are the
+    key-cardinality groupBy plus the per-column rollup."""
+    from event_to_lakehouse_spark.catalog import QUERIES as REG
+
+    a = audit_plan(REG["ops_key_skew_profile"](spark, SF_DIR))
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", a.text, re.MULTILINE)
+    assert len(scans) == 1, f"expected 1 fact scan, saw {len(scans)}"
+    assert a.shuffle_exchanges == 2

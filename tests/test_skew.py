@@ -141,3 +141,32 @@ def test_simhash_band_guard_on_boilerplate(spark):
     # still straddle all 4 bands), so recall here is honestly lower —
     # the guard must not make it WORSE than the algorithm's own ~85%
     assert hits >= 15, f"planted near-dups lost: {hits}/20"
+
+
+def test_key_skew_profile_verdicts_and_exactness(spark):
+    """The skew gauge on a constructed frame with one hot key: exact
+    counts, correct max/median ratio, and the salt verdict flips
+    exactly at SKEW_SALT_THRESHOLD x the median."""
+    from event_to_lakehouse_spark.operators.skew import key_skew_profile
+
+    rows = (
+        [("hot", i) for i in range(170)]        # one 170-row key
+        + [(f"u{k}", k) for k in range(9)]      # nine 1-row keys -> p50=1
+        + [("a", 0)] * 5                        # uniform-ish second col? no
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    prof = {r["key_col"]: r for r in key_skew_profile(df, ["k"]).collect()}
+    p = prof["k"]
+    assert p["n_rows"] == 184 and p["max_cnt"] == 170
+    assert p["n_keys"] == 11
+    # median of per-key counts [170,5,1x9] -> 1.0; ratio 170 -> salt
+    assert p["p50_cnt"] == 1.0
+    assert p["skew_ratio"] == 170.0
+    assert p["salt_verdict"] == "salt"
+    # a uniform column stays plain
+    uni = spark.createDataFrame(
+        [(f"k{i % 8}", i) for i in range(64)], "k string, v long"
+    )
+    q = key_skew_profile(uni, ["k"]).first()
+    assert q["max_cnt"] == 8 and q["p50_cnt"] == 8.0
+    assert q["skew_ratio"] == 1.0 and q["salt_verdict"] == "plain"

@@ -765,3 +765,77 @@ def test_append_and_merge_token_horizon(spark, tmp_dir):
     v = m.snapshot().version
     m.merge(empty, key="id", order_col="id", batch_token="m8", keep_tokens=2)
     assert m.snapshot().version == v
+
+
+def _cdc(spark, rows):
+    """rows: list of (id, v, ord, op)."""
+    return spark.createDataFrame(rows, "id long, v long, ord long, _op string")
+
+
+def test_apply_changes_cdc_semantics(spark, tmp_dir):
+    """CDC APPLY: newest change per key wins across the batch — a key
+    whose LAST change is D is deleted even if an earlier row in the
+    same batch upserts it, and vice versa; I/U upsert latest-wins over
+    the base; untouched keys survive."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    base = spark.createDataFrame(
+        [(i, i * 2, 0) for i in range(6)], "id long, v long, ord long"
+    )
+    t.append(base)
+    s = t.apply_changes(
+        _cdc(spark, [
+            (1, 111, 1, "U"),          # plain update
+            (2, 222, 1, "U"), (2, 0, 2, "D"),   # U then D -> deleted
+            (3, 0, 1, "D"), (3, 333, 2, "I"),   # D then I -> upserted
+            (4, 0, 1, "D"),            # plain delete
+            (9, 999, 1, "I"),          # brand-new key
+        ]),
+        key="id", order_col="ord", batch_token="cdc-0",
+    )
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == {0: 0, 1: 111, 3: 333, 5: 10, 9: 999}
+    # replay is exactly-once
+    replay = t.apply_changes(
+        _cdc(spark, [(0, 777, 9, "U")]),
+        key="id", order_col="ord", batch_token="cdc-0",
+    )
+    assert replay.version == s.version
+    assert t.read().where("id = 0").first()["v"] == 0
+
+
+def test_apply_changes_prunes_untouched_files(spark, tmp_dir):
+    """Stats pruning on the merge key: a change batch whose key range
+    misses a file carries that file BY REFERENCE (same path in the new
+    manifest), exactly like merge."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(spark.createDataFrame(
+        [(i, i, 0) for i in range(0, 10)], "id long, v long, ord long"
+    ).coalesce(1))
+    t.append(spark.createDataFrame(
+        [(i, i, 0) for i in range(100, 110)], "id long, v long, ord long"
+    ).coalesce(1))
+    low_paths = set(t.snapshot().paths)
+    s = t.apply_changes(
+        _cdc(spark, [(105, -1, 1, "U"), (107, 0, 1, "D")]),
+        key="id", order_col="ord",
+    )
+    carried = set(s.paths) & low_paths
+    # the low-range file (ids 0-9) must be carried by reference
+    lo = [f for f in t.snapshot(1).files][0]["path"]
+    assert lo in carried
+    got = {r["id"]: r["v"] for r in t.read().where("id >= 100").collect()}
+    assert got[105] == -1 and 107 not in got and got[100] == 100
+
+
+def test_apply_changes_empty_and_token_horizon(spark, tmp_dir):
+    """Empty change batches record their token under the single
+    horizon rule (trim parents to N, then append) — same as merge."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(spark.createDataFrame(
+        [(0, 0, 0)], "id long, v long, ord long"))
+    empty = _cdc(spark, []).limit(0)
+    for i in range(4):
+        t.apply_changes(empty, key="id", order_col="ord",
+                        batch_token=f"c{i}", keep_tokens=2)
+    assert t.snapshot().batch_tokens == ["c1", "c2", "c3"]
+    assert t.read().count() == 1

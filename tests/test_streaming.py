@@ -127,7 +127,10 @@ def test_running_user_totals_transform_with_state(spark, tmp_dir):
     anywhere on disk (only jedi's typeshed STUBS and Spark's shaded
     JVM-side orc jars, neither a runtime). A hand-written protobuf
     runtime is not a credible substitute for the real wire format, so
-    the skip stands until the environment ships the package."""
+    the skip stands until the environment ships the package.
+    Re-verified r8: still no protobuf wheel/site-packages on disk, no
+    Iceberg/Delta/Kafka jars under /opt/spark/jars, no ivy/m2 cache —
+    the three environment gaps are unchanged."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from event_to_lakehouse_spark.streaming.jobs import (
