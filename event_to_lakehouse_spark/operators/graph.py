@@ -211,8 +211,10 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(iters × edge-derivation)). ``pr_scaled`` = pr × N — the
     size-independent relative importance, stable to round(4) across
     engines because each round is the same IEEE join/sum arithmetic.
+    The rank vector is broadcast into each round (node set = part
+    catalog, dimension-scale by construction — see ``pagerank``).
     """
-    return pagerank(_copurchase_edges(spark, sf_dir))
+    return pagerank(_copurchase_edges(spark, sf_dir), broadcast_ranks=True)
 
 
 def pagerank(
@@ -220,21 +222,33 @@ def pagerank(
     iters: int = PR_ITERS,
     damping: float = DAMPING,
     teleport: float = TELEPORT,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank core over a symmetrized (src, dst) edge DataFrame.
 
     ``teleport`` is passed as its own literal rather than computed as
     ``1 - damping``: the oracle SQL uses the literal 0.15, and IEEE
     ``1.0 - 0.85`` is NOT the same double as the literal ``0.15`` —
-    deriving it would break the bit-stable cross-engine parity."""
+    deriving it would break the bit-stable cross-engine parity.
+
+    ``broadcast_ranks=True`` broadcasts the node-scale rank vector
+    into each round's join so the EDGE list never shuffles after its
+    one materialization (per-round cost = edge scan + a node-scale
+    partial-agg shuffle; identical output, r8 measured ~15% off the
+    parts graph). Opt-in only: valid when the node set is
+    dimension-scale (the co-purchase graph's nodes are the part
+    catalog BY CONSTRUCTION); on a graph with fact-scale nodes leave
+    it False and rely on bucketed/co-partitioned edges (the posture
+    ``test_pagerank_round_one_exchange_on_bucketed_edges`` pins)."""
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     links = edges.join(deg, "src").localCheckpoint(eager=False)
     n = links.select("src").distinct().count()
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
+        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         ranks = (
-            links.join(ranks, links.src == ranks.node)
+            links.join(rhs, links.src == rhs.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
@@ -776,9 +790,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plurality label. The deterministic variant (count-desc,
     min-label tie-break) makes every round a join + count + window
     rank over integers — no float compare anywhere, so the chained-CTE
-    oracle checks the full computation exactly. Per round: one
-    edge-cardinality join/shuffle keyed on node — the same bucketable
-    shape as the PageRank loop.
+    oracle checks the full computation exactly. Per round: the
+    node-scale label vector rides a BROADCAST into the edge join
+    (same dimension-scale-nodes justification as
+    ``graph_pagerank_parts``), so the edge list never re-shuffles;
+    the plurality count + rank shuffle node-scale partials only.
     """
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
@@ -786,7 +802,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(LPA_ITERS):
         counts = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
