@@ -839,3 +839,22 @@ def test_apply_changes_empty_and_token_horizon(spark, tmp_dir):
                         batch_token=f"c{i}", keep_tokens=2)
     assert t.snapshot().batch_tokens == ["c1", "c2", "c3"]
     assert t.read().count() == 1
+
+
+def test_apply_changes_schema_evolution(spark, tmp_dir):
+    """A widened CDC batch evolves the pinned schema exactly like
+    merge: pre-evolution survivors surface the new column as NULL,
+    and deletes in the same batch still apply."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="id")
+    t.append(spark.createDataFrame(
+        [(i, i, 0) for i in range(4)], "id long, v long, ord long"
+    ).coalesce(1))
+    widened = spark.createDataFrame(
+        [(1, 111, 1, "U", "patched"), (3, 0, 1, "D", None)],
+        "id long, v long, ord long, _op string, tag string",
+    )
+    t.apply_changes(widened, key="id", order_col="ord")
+    cur = t.read()
+    assert cur.columns == ["id", "v", "ord", "tag"]
+    got = {r["id"]: (r["v"], r["tag"]) for r in cur.collect()}
+    assert got == {0: (0, None), 1: (111, "patched"), 2: (2, None)}
