@@ -813,7 +813,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
-    return labels.join(sizes, "label").select(
+    # sizes is community-scale but derived (no stats) -> hint, else SMJ
+    return labels.join(F.broadcast(sizes), "label").select(
         F.col("node").alias("p_partkey"),
         F.col("label").alias("community"),
         "community_size",
@@ -901,7 +902,7 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     degd = F.col("deg").cast("double")
     cc = (
         deg.where(F.col("deg") >= 2)
-        .join(pernode, "node", "left")
+        .join(F.broadcast(pernode), "node", "left")  # node-scale, derived
         .select(
             "deg",
             tri_n.cast("long").alias("tri_n"),
@@ -982,7 +983,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("x"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("y"))
-    xy = edges.join(ds, "src").join(dd, "dst").select(
+    # Explicit hints: the degree table is node-scale (part catalog)
+    # but DERIVED, so Catalyst has no size stats and falls back to two
+    # edge-list sort-merge shuffles without them (caught in PLANS.md).
+    xy = edges.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst").select(
         F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y")
     )
     s = xy.agg(
