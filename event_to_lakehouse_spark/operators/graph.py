@@ -115,11 +115,17 @@ _EDGECACHE_SLOTS = 2
 
 
 def unpersist_copurchase_edges() -> None:
-    """Drop every cached co-purchase edge materialization."""
+    """Drop every cached co-purchase edge materialization (and the
+    derived triangle tables keyed off them)."""
     for slots in _EDGECACHE.values():
         for df in slots.values():
             df.unpersist()
     _EDGECACHE.clear()
+    for slots in _TRICACHE.values():
+        for dfs in slots.values():
+            for df in dfs:
+                df.unpersist()
+    _TRICACHE.clear()
 
 
 def _copurchase_edges(
@@ -323,11 +329,50 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     r7). Every in-repo caller feeds ``_copurchase_edges`` (distinct by
     construction); external callers must ``.distinct()`` first.
     """
-    deg, oriented = _orient(edges)
-    pernode = _per_node_triangles(oriented)
+    deg, pernode = _triangle_tables(edges)
     return pernode.join(deg, "node").select(
         F.col("node").alias("p_partkey"), "triangles", F.col("deg").alias("degree")
     )
+
+
+# applicationId -> {(semanticHash, inputFiles): (deg, pernode)}. Both
+# triangle consumers (``graph_triangle_count`` and
+# ``graph_clustering_profile``) run the SAME orientation + per-node
+# enumeration over the same edge frame; the enumeration is the graph
+# family's second-largest constant factor after the edge derivation,
+# and both results are NODE-scale — cheap to persist. Same bounded
+# discipline and collision-safe key as ``_EDGECACHE``; cleared by
+# ``unpersist_copurchase_edges()``.
+_TRICACHE: dict[str, dict[tuple, tuple[DataFrame, DataFrame]]] = {}
+_TRICACHE_SLOTS = 2
+
+
+def _triangle_tables(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(degree table, per-node triangle counts), session-cached."""
+    from pyspark import StorageLevel
+
+    try:
+        spark = edges.sparkSession
+        app = spark.sparkContext.applicationId
+        key = (edges.semanticHash(), tuple(sorted(edges.inputFiles())))
+    except Exception:  # un-cacheable frame (e.g. local-relation tests)
+        deg, oriented = _orient(edges)
+        return deg, _per_node_triangles(oriented)
+    slots = _TRICACHE.setdefault(app, {})
+    hit = slots.get(key)
+    if hit is not None:
+        return hit
+    while len(slots) >= _TRICACHE_SLOTS:
+        oldest = next(iter(slots))
+        for df in slots.pop(oldest):
+            df.unpersist()
+    deg, oriented = _orient(edges)
+    pernode = _per_node_triangles(oriented).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    slots[key] = (deg, pernode)
+    return deg, pernode
 
 
 def _orient(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -896,8 +941,7 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(cc*1e6) as BIGINT) so its sum is exact and order-free.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    deg, oriented = _orient(edges)
-    pernode = _per_node_triangles(oriented)
+    deg, pernode = _triangle_tables(edges)
     tri_n = F.coalesce(F.col("triangles"), F.lit(0))
     degd = F.col("deg").cast("double")
     cc = (

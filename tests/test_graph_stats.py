@@ -670,3 +670,33 @@ def test_benford_screen_matches_local(spark):
         assert row.expected == pytest.approx(exp, abs=0.01)
         assert row.contrib == pytest.approx((cnt - exp) ** 2 / exp, abs=0.01)
         assert row.contrib >= 0
+
+
+def test_triangle_tables_cached_and_released(spark):
+    """Both triangle consumers share ONE persisted (deg, pernode) pair
+    per edge frame (r8): repeated calls return the identical frames,
+    the result matches an uncached recompute exactly, and
+    unpersist_copurchase_edges() releases the derived tables too."""
+    from event_to_lakehouse_spark.operators.graph import (
+        _TRICACHE,
+        _copurchase_edges,
+        _orient,
+        _per_node_triangles,
+        _triangle_tables,
+        unpersist_copurchase_edges,
+    )
+
+    unpersist_copurchase_edges()
+    edges = _copurchase_edges(spark, SF)
+    deg, per = _triangle_tables(edges)
+    assert per.storageLevel.useMemory or per.storageLevel.useDisk
+    d2, p2 = _triangle_tables(edges)
+    assert d2 is deg and p2 is per  # cache hit: same frames
+    # cached result == uncached recompute (node -> triangles)
+    fresh = _per_node_triangles(_orient(edges)[1])
+    got = {r["node"]: r["triangles"] for r in per.collect()}
+    want = {r["node"]: r["triangles"] for r in fresh.collect()}
+    assert got == want
+    unpersist_copurchase_edges()
+    assert len(_TRICACHE) == 0
+    assert not (per.storageLevel.useMemory or per.storageLevel.useDisk)
