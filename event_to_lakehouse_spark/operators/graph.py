@@ -124,7 +124,8 @@ def unpersist_copurchase_edges() -> None:
     for slots in _TRICACHE.values():
         for dfs in slots.values():
             for df in dfs:
-                df.unpersist()
+                if isinstance(df, DataFrame):
+                    df.unpersist()
     _TRICACHE.clear()
 
 
@@ -246,9 +247,15 @@ def pagerank(
     catalog BY CONSTRUCTION); on a graph with fact-scale nodes leave
     it False and rely on bucketed/co-partitioned edges (the posture
     ``test_pagerank_round_one_exchange_on_bucketed_edges`` pins)."""
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    links = edges.join(deg, "src").localCheckpoint(eager=False)
-    n = links.select("src").distinct().count()
+    def build(e: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        links = e.join(deg, "src").localCheckpoint(eager=False)
+        return deg, links, links.select("src").distinct().count()
+
+    # (deg, links, n) is session-cached per edge frame: repeated
+    # PageRank calls (bench steady state, probe re-runs) skip the
+    # links rematerialization and the node-count job.
+    deg, links, n = _derived_tables("pr_links", edges, build)
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
@@ -335,44 +342,62 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-# applicationId -> {(semanticHash, inputFiles): (deg, pernode)}. Both
-# triangle consumers (``graph_triangle_count`` and
-# ``graph_clustering_profile``) run the SAME orientation + per-node
-# enumeration over the same edge frame; the enumeration is the graph
-# family's second-largest constant factor after the edge derivation,
-# and both results are NODE-scale — cheap to persist. Same bounded
-# discipline and collision-safe key as ``_EDGECACHE``; cleared by
-# ``unpersist_copurchase_edges()``.
-_TRICACHE: dict[str, dict[tuple, tuple[DataFrame, DataFrame]]] = {}
+# (applicationId, kind) -> {(semanticHash, inputFiles): result tuple}.
+# Generic session cache for tables DERIVED from a cached edge frame:
+# the triangle consumers share one (deg, pernode) pair, the PageRank
+# rounds share one materialized (links, n). Same bounded discipline
+# and collision-safe key as ``_EDGECACHE``; DataFrame elements are
+# persisted on insert and unpersisted on eviction; cleared by
+# ``unpersist_copurchase_edges()``. ``_TRICACHE`` remains the public
+# test hook name for the whole derived-cache store.
+_TRICACHE: dict[tuple[str, str], dict[tuple, tuple]] = {}
 _TRICACHE_SLOTS = 2
 
 
-def _triangle_tables(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(degree table, per-node triangle counts), session-cached."""
+def _derived_tables(kind: str, edges: DataFrame, build) -> tuple:
+    """Session-cached ``build(edges)`` result (a tuple; DataFrame
+    elements persisted). Falls back to an uncached build when the
+    frame has no stable identity (e.g. local-relation tests)."""
     from pyspark import StorageLevel
 
     try:
         spark = edges.sparkSession
         app = spark.sparkContext.applicationId
         key = (edges.semanticHash(), tuple(sorted(edges.inputFiles())))
-    except Exception:  # un-cacheable frame (e.g. local-relation tests)
-        deg, oriented = _orient(edges)
-        return deg, _per_node_triangles(oriented)
-    slots = _TRICACHE.setdefault(app, {})
+    except Exception:
+        return build(edges)
+    slots = _TRICACHE.setdefault((app, kind), {})
     hit = slots.get(key)
     if hit is not None:
         return hit
     while len(slots) >= _TRICACHE_SLOTS:
         oldest = next(iter(slots))
-        for df in slots.pop(oldest):
-            df.unpersist()
-    deg, oriented = _orient(edges)
-    pernode = _per_node_triangles(oriented).persist(
-        StorageLevel.MEMORY_AND_DISK
+        for item in slots.pop(oldest):
+            if isinstance(item, DataFrame):
+                item.unpersist()
+    out = tuple(
+        item.persist(StorageLevel.MEMORY_AND_DISK)
+        if isinstance(item, DataFrame)
+        else item
+        for item in build(edges)
     )
-    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
-    slots[key] = (deg, pernode)
-    return deg, pernode
+    slots[key] = out
+    return out
+
+
+def _triangle_tables(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(degree table, per-node triangle counts), session-cached: both
+    triangle consumers (``graph_triangle_count`` and
+    ``graph_clustering_profile``) run the SAME orientation + per-node
+    enumeration over the same edge frame — the family's second-largest
+    constant factor after the edge derivation — and both results are
+    NODE-scale, cheap to persist."""
+
+    def build(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+        deg, oriented = _orient(e)
+        return deg, _per_node_triangles(oriented)
+
+    return _derived_tables("tri", edges, build)
 
 
 def _orient(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
