@@ -217,7 +217,19 @@ FINAL_CATALOG: list[str] = [
     "project_cast_conditional",
     "array_hof_vector_stats",
     "join_range_follow_events",
-    "join_asof_prior_purchase",
+    # r8 swap: join_interval_overlap in, join_asof_prior_purchase
+    # retired (strict containment: the backward as-of's plan — equi
+    # join on user_id + time residual + row_number pick — is exactly
+    # the seated join_asof_forward_tolerance's plan minus its
+    # tolerance residual, so the pattern stays driver-certified; the
+    # retired entry stays registry+pytest+oracle-green, as does its
+    # new nearest-direction sibling join_asof_nearest). The promoted
+    # entry brings the one join pattern no seat certifies: an
+    # interval×interval overlap self-join rewritten as a bucketed
+    # (key, time-bucket) EQUI-join whose two sides share ONE
+    # materialized exchange (AQE ReusedExchange, plan-pinned) with
+    # pair-level dedup via DISTINCT.
+    "join_interval_overlap",
     "events_normalized_contract",
     # events_retention_cohorts: retired to the r8 swap block above
     "events_funnel_conversion",

@@ -668,6 +668,125 @@ def join_cross_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).filter(F.col("region_a") < F.col("region_b"))
 
 
+# ---------------------------------------------------------------------------
+# Interval-overlap join (§2.3 fill — interval×interval, vs. the
+# point-in-interval range join above)
+# ---------------------------------------------------------------------------
+
+# Bucket width (days) for the interval-overlap equi-join rewrite. Each
+# interval explodes into ceil(len/B)+1 coarse buckets; candidate pairs
+# meet on (key, bucket) and the exact overlap predicate runs as a join
+# residual. B trades explode fan-out (len/B rows per interval) against
+# per-bucket pair density — 30 days ≈ 18 buckets for the ~520-day
+# median fulfillment span of this corpus.
+IV_OVERLAP_BUCKET_DAYS = 30
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH span AS (
+      SELECT o.o_custkey AS custkey, o.o_orderkey AS okey,
+             CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS s,
+             greatest(
+               CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT),
+               CAST(min(floor(epoch(l.l_shipdate) / 86400)) AS BIGINT)
+             ) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.custkey AS c_custkey,
+           a.okey AS okey_a, b.okey AS okey_b,
+           a.s AS start_a, b.s AS start_b,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_days
+    FROM span a JOIN span b
+      ON a.custkey = b.custkey AND a.okey < b.okey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap self-join: pairs of the same
+    customer's orders whose fulfillment windows [order date, first
+    shipment] overlap — "how often does this customer have several
+    orders open at once". Distinct from ``join_range_follow_events``
+    (point-in-interval): BOTH sides are interval sets, the classic
+    shape Spark has no native operator for.
+
+    Scale plan (the 100 TB story): the naive theta join
+    (a.s <= b.e AND b.s <= a.e) is a per-key cross product. Instead
+    each interval explodes into ~len/30d coarse time buckets and the
+    join runs EQUI-keyed on (custkey, bucket) with the exact overlap
+    test as a residual; `.distinct()` collapses pairs that meet in
+    more than one shared bucket (every projected column is
+    functionally determined by the pair's order keys, so row-level
+    distinct == pair-level dedup). Partitioning hashes evenly on
+    (custkey, bucket); a hot customer's pairs split across its
+    buckets, and AQE skew-split covers the rest. The oracle states
+    the same semantics as the direct theta join.
+
+    `greatest(s, min(shipdate))` clamps spans: this synthetic corpus
+    ships some lines before the order date, and a negative-length
+    interval would silently drop its order from the pair space.
+    All arithmetic is epoch-day BIGINT — bit-exact cross-engine.
+    """
+    t = load_tables(spark, sf_dir)
+    day = lambda c: F.floor(F.unix_timestamp(F.col(c)) / 86400).cast("long")  # noqa: E731
+    spans = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey", "l_shipdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            day("o_orderdate").alias("s"),
+        )
+        .agg(F.greatest(F.col("s"), F.min(day("l_shipdate"))).alias("e"))
+    )
+    B = IV_OVERLAP_BUCKET_DAYS
+    exploded = spans.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / B).cast("long"),
+                F.floor(F.col("e") / B).cast("long"),
+            )
+        ),
+    )
+    # Both join inputs keep IDENTICAL column names through the
+    # (custkey, bucket) exchange and only the post-join projection
+    # renames — that keeps the two subplans canonically equal, so the
+    # physical planner emits ONE shuffle and a ReusedExchange for the
+    # other side (pinned by test_plan_shapes): the span derivation and
+    # the explode run once, not once per join side.
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.custkey") == F.col("b.custkey"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .where(
+            (F.col("a.okey") < F.col("b.okey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+        )
+        .select(
+            F.col("a.custkey").alias("c_custkey"),
+            F.col("a.okey").alias("okey_a"),
+            F.col("b.okey").alias("okey_b"),
+            F.col("a.s").alias("start_a"),
+            F.col("b.s").alias("start_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_days"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "setop_except_all_quantities",
     """
@@ -940,4 +1059,89 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("event_id", "click_id", gap.alias("gap_s"))
+    )
+
+
+# Tolerance for the nearest-direction as-of flavor: ±3 days bounds the
+# candidate band (per-key fan-in stays flat at scale) while the sparse
+# purchase stream still yields matches at every SF.
+ASOF_NEAREST_TOLERANCE_S = 259_200
+
+
+@query(
+    "join_asof_nearest",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT e.event_id, p.event_id AS purchase_id,
+                  abs(epoch_us(p.ts) - epoch_us(e.ts)) AS dist_us,
+                  CASE WHEN p.ts <= e.ts THEN 'before' ELSE 'after' END AS side,
+                  round(p.value, 4) AS purchase_value,
+                  row_number() OVER (
+                      PARTITION BY e.event_id
+                      ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)) ASC,
+                               p.event_id ASC) AS rn
+           FROM e JOIN p ON e.user_id = p.user_id
+            AND abs(epoch_us(p.ts) - epoch_us(e.ts))
+                <= CAST({ASOF_NEAREST_TOLERANCE_S} AS BIGINT) * 1000000
+         )
+    SELECT event_id, purchase_id, side,
+           dist_us // 1000000 AS dist_s, purchase_value
+    FROM cand WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: for each error, the closest
+    purchase by the same user in EITHER direction within ±3 days
+    (pandas merge_asof direction='nearest' + tolerance — the sensor/
+    trade alignment shape the backward and forward flavors above can't
+    express). Same scale-safe composition: equi join on user_id, the
+    tolerance band as join residual (bounds per-key fan-in), one
+    row_number pick over exact-µs distance with the purchase id as the
+    deterministic tie-break when a before and an after candidate are
+    equidistant. All distance arithmetic is integer microseconds —
+    bit-exact cross-engine (see the forward flavor's epoch note)."""
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["events"]
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .alias("e")
+    )
+    p = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            "value",
+        )
+        .alias("p")
+    )
+    dist_us = F.abs(F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("e.ts")))
+    w = Window.partitionBy("e.event_id").orderBy(
+        dist_us.asc(), F.asc("purchase_id")
+    )
+    return (
+        e.join(
+            p,
+            (F.col("e.user_id") == F.col("p_user"))
+            & (dist_us <= ASOF_NEAREST_TOLERANCE_S * 1_000_000),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "purchase_id",
+            F.when(F.col("p_ts") <= F.col("e.ts"), F.lit("before"))
+            .otherwise(F.lit("after"))
+            .alias("side"),
+            F.expr(
+                "abs(unix_micros(p_ts) - unix_micros(e.ts)) div 1000000"
+            ).alias("dist_s"),
+            _r4(F.col("value")).alias("purchase_value"),
+        )
     )

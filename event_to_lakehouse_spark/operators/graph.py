@@ -858,13 +858,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike connected components (``dedup/cluster.py`` — reachability),
     LPA finds DENSE regions: each node adopts its neighborhood's
     plurality label. The deterministic variant (count-desc,
-    min-label tie-break) makes every round a join + count + window
-    rank over integers — no float compare anywhere, so the chained-CTE
+    min-label tie-break) makes every round a join + count + argmax
+    over integers — no float compare anywhere, so the chained-CTE
     oracle checks the full computation exactly. Per round: the
     node-scale label vector rides a BROADCAST into the edge join
     (same dimension-scale-nodes justification as
     ``graph_pagerank_parts``), so the edge list never re-shuffles;
-    the plurality count + rank shuffle node-scale partials only.
+    the plurality count + argmax shuffle node-scale partials only
+    (the argmax is a ``max_by`` hash-aggregate, not a window sort —
+    see the loop comment).
     """
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
@@ -876,11 +878,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-        labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("node", "label")
+        # plurality pick as an ARGMAX aggregate, not a window: max_by
+        # over (count, -label) == the oracle's row_number((c DESC,
+        # label ASC)) = 1 pick (labels are positive part keys, so
+        # negation flips the tie-break order), but it runs as a
+        # hash-aggregate with map-side partials instead of a per-node
+        # SORT — same shuffle count, no sort: 5.4 s → 4.0 s warm at
+        # sf0.1 (r8 measured, outputs pinned identical).
+        labels = counts.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+            ).alias("label")
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     # sizes is community-scale but derived (no stats) -> hint, else SMJ

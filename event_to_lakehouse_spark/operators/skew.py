@@ -21,7 +21,7 @@ change the shuffle key space.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_tables
@@ -183,6 +183,104 @@ def _skew_oracle() -> str:
                 THEN 'salt' ELSE 'plain' END AS salt_verdict
     FROM cnts GROUP BY 1
     """
+
+
+# --- small-file compaction planning (ops tier) -----------------------------
+
+# Target rows per compacted output file for the ledger twin below.
+# SnapshotTable.compaction_plan applies the SAME rule to its manifest
+# (storage/snapshots.py), so the cross-engine parity here certifies
+# the packing arithmetic the table-maintenance path runs on.
+COMPACT_TARGET_ROWS = 500
+
+
+def compaction_bins(
+    files: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    rows_col: str,
+    target: int,
+) -> DataFrame:
+    """Streaming bin-pack: assign each small file (``rows < target``)
+    to compaction bin ``floor(cum_rows_of_prior_small_files / target)``
+    within its partition, in ``order_col`` order; files already at or
+    above the target keep bin -1 (never rewritten). The cumulative rule
+    is single-pass (no lookahead), so the same arithmetic runs
+    identically as this distributed window, as a stream fold, and as
+    the driver-side loop in ``SnapshotTable.compaction_plan``.
+
+    Scale: the window sorts per PARTITION (table partition key) — the
+    unit real compaction jobs plan over — and a file ledger is
+    metadata-scale (one row per file), so even the per-partition sort
+    is file-count-, not data-, sized."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    small = F.when(F.col(rows_col) < target, F.col(rows_col)).otherwise(F.lit(0))
+    staged = files.withColumn(
+        "cum_before", F.coalesce(F.sum(small).over(w), F.lit(0))
+    )
+    return staged.withColumn(
+        "compact_bin",
+        F.when(
+            F.col(rows_col) < target,
+            F.expr(f"cum_before div {target}"),
+        ).otherwise(F.lit(-1).cast("long")),
+    ).drop("cum_before")
+
+
+@query(
+    "ops_compaction_plan",
+    f"""
+    WITH f AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS part_year,
+             CAST(floor(epoch(date_trunc('month', l_shipdate)) / 86400)
+                  AS BIGINT) AS file_id,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+    ),
+    staged AS (
+      SELECT part_year, file_id, n_rows,
+             coalesce(CAST(sum(CASE WHEN n_rows < {COMPACT_TARGET_ROWS}
+                                    THEN n_rows ELSE 0 END)
+                           OVER (PARTITION BY part_year ORDER BY file_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT),
+                      0) AS cum_before
+      FROM f
+    )
+    SELECT part_year, file_id, n_rows,
+           CASE WHEN n_rows < {COMPACT_TARGET_ROWS}
+                THEN cum_before // {COMPACT_TARGET_ROWS}
+                ELSE CAST(-1 AS BIGINT) END AS compact_bin
+    FROM staged
+    """,
+)
+def ops_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner over a deterministic file ledger
+    (one "file" per l_shipdate month, partitioned by year — the shape
+    of a real lakehouse manifest): pack each partition's small files
+    into ≈``COMPACT_TARGET_ROWS``-row bins with the streaming
+    cumulative rule in ``compaction_bins``; files already at target
+    stay put (bin -1). ``SnapshotTable.compaction_plan`` /
+    ``compact_small_files`` (storage/snapshots.py) run the SAME rule
+    over real manifests — this oracle-checked twin certifies the
+    packing arithmetic cross-engine. One scan, one groupBy shuffle,
+    one per-partition file-count-scale window sort."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ledger = li.groupBy(
+        F.year("l_shipdate").cast("long").alias("part_year"),
+        F.floor(
+            F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate"))) / 86400
+        )
+        .cast("long")
+        .alias("file_id"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return compaction_bins(
+        ledger, ["part_year"], "file_id", "n_rows", COMPACT_TARGET_ROWS
+    )
 
 
 @query("ops_key_skew_profile", _skew_oracle())

@@ -1087,6 +1087,68 @@ class SnapshotTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def compaction_plan(
+        self, target_rows: int, min_group: int = 2
+    ) -> list[list[dict]]:
+        """Groups of small files (rows < ``target_rows``) to rewrite,
+        packed by the SAME streaming cumulative rule as the
+        oracle-certified ``operators.skew.compaction_bins`` twin:
+        walking the manifest's small files in path order, a file joins
+        bin ``cum_rows_of_prior_small_files // target_rows``. Groups
+        under ``min_group`` files are dropped (rewriting one file buys
+        nothing). Driver-side on purpose — a manifest is metadata-scale
+        (one dict per file), the same scale every other manifest walk
+        here runs at."""
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        bins: dict[int, list[dict]] = {}
+        cum = 0
+        for f in sorted(snap.files, key=lambda f: f["path"]):
+            if f["rows"] >= target_rows:
+                continue
+            bins.setdefault(cum // target_rows, []).append(f)
+            cum += f["rows"]
+        return [g for g in bins.values() if len(g) >= min_group]
+
+    def compact_small_files(
+        self, target_rows: int, min_group: int = 2
+    ) -> Snapshot:
+        """Rewrite each ``compaction_plan`` group as one
+        ≈``target_rows``-row file (Iceberg ``rewrite_data_files`` with
+        a small-file filter — the INCREMENTAL complement to
+        ``storage.compaction.compact_snapshot``, which rewrites the
+        whole table for global re-clustering): untouched files carry
+        by REFERENCE into the new snapshot — on a 100 TB table the
+        rewrite cost tracks the small-file backlog, not table size.
+        Batch tokens and the pinned schema are preserved
+        (compaction moves bytes, not state), and time travel to the
+        parent still reads the original small files — they are only
+        unlinked by ``vacuum`` once no retained snapshot references
+        them. No-op (same snapshot back) when nothing qualifies."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        groups = self.compaction_plan(target_rows, min_group)
+        if not groups:
+            return snap
+        replaced = {f["path"] for g in groups for f in g}
+        new_entries: list[dict] = []
+        for g in groups:
+            commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
+            df = self._read_files([f["path"] for f in g], snap.schema)
+            # one output file per group: the group was sized to the
+            # target by construction
+            df.coalesce(1).write.mode("overwrite").parquet(str(commit_dir))
+            new_entries += self._file_entries(commit_dir)
+        untouched = [f for f in snap.files if f["path"] not in replaced]
+        return self._commit(
+            untouched + new_entries,
+            list(snap.batch_tokens),
+            snap.version,
+            schema=snap.schema,
+        )
+
     def expire_snapshots(self, older_than_s: int) -> int:
         """Time-based retention (the Iceberg ``expire_snapshots``
         shape): drop snapshots whose ``committed_at`` is more than

@@ -305,3 +305,43 @@ def test_key_skew_profile_one_scan_two_exchanges(spark, qs):
     scans = re.findall(r"^\(\d+\) Scan parquet", a.text, re.MULTILINE)
     assert len(scans) == 1, f"expected 1 fact scan, saw {len(scans)}"
     assert a.shuffle_exchanges == 2
+
+
+def test_interval_overlap_bucketed_equi_join_reuses_exchange(spark, qs):
+    """The interval×interval overlap join must run as a BUCKETED
+    equi-join (never a per-key nested loop/cartesian), and — because
+    both self-join inputs keep identical column names through the
+    (custkey, bucket) exchange — the runtime plan must materialize the
+    span derivation ONCE and feed the second side from a
+    ReusedExchange."""
+    df = qs["join_interval_overlap"](spark, SF_DIR)
+    a = audit_plan(df)
+    assert a.nested_loop_joins == 0
+    assert "CartesianProduct" not in a.text
+    # equi-join on (custkey, bucket): SMJ or shuffled-hash, by size
+    assert a.sort_merge_joins + a.shuffled_hash_joins >= 1
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, "span subplan materialized twice"
+
+
+def test_asof_nearest_equi_join_with_band_residual(spark, qs):
+    """direction='nearest' as-of: equi join on user_id with the
+    tolerance band as residual — the candidate set is bounded, the
+    join never degrades to a nested loop."""
+    a = audit_plan(qs["join_asof_nearest"](spark, SF_DIR))
+    assert a.nested_loop_joins == 0
+    assert "CartesianProduct" not in a.text
+
+
+def test_compaction_plan_one_scan_two_exchanges(spark, qs):
+    """The compaction-ledger twin: ONE fact scan builds the per-
+    (year, month) file ledger; the only exchanges are the ledger
+    groupBy and the per-partition packing window — the window sorts
+    file-count-scale rows, never data-scale."""
+    import re
+
+    a = audit_plan(qs["ops_compaction_plan"](spark, SF_DIR))
+    scans = re.findall(r"^\(\d+\) Scan parquet", a.text, re.MULTILINE)
+    assert len(scans) == 1
+    assert a.shuffle_exchanges == 2

@@ -858,3 +858,67 @@ def test_apply_changes_schema_evolution(spark, tmp_dir):
     assert cur.columns == ["id", "v", "ord", "tag"]
     got = {r["id"]: (r["v"], r["tag"]) for r in cur.collect()}
     assert got == {0: (0, None), 1: (111, "patched"), 2: (2, None)}
+
+
+def test_compact_small_files_incremental(spark, tmp_dir):
+    """Size-aware incremental compaction (the rewrite_data_files
+    complement to compact_snapshot's full rewrite): small files pack
+    into ≈target groups and rewrite; files already at target carry by
+    REFERENCE (same path in the new manifest); rows, tokens, schema
+    and time travel are all preserved."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl_inc", stats_col="id")
+    # four small appends (1 file each) + one already-big file
+    for i in range(4):
+        t.append(_batch(spark, i * 10, 10).coalesce(1), batch_token=f"s{i}")
+    t.append(_batch(spark, 1000, 500).coalesce(1), batch_token="big")
+    v_before = t.snapshot().version
+    big_paths = {
+        f["path"] for f in t.snapshot().files if f["rows"] >= 40
+    }
+    # plan: the four 10-row files pack into one bin (cum 0,10,20,30 //40)
+    plan = t.compaction_plan(target_rows=40)
+    assert [sorted(f["rows"] for f in g) for g in plan] == [[10, 10, 10, 10]]
+    snap = t.compact_small_files(target_rows=40)
+    assert snap.version == v_before + 1
+    files = {f["path"]: f["rows"] for f in snap.files}
+    assert big_paths <= set(files)  # untouched file carried by reference
+    assert sorted(files.values()) == [40, 500]  # 4 smalls -> one 40-row file
+    assert t.read().count() == 540
+    assert set(snap.batch_tokens) == {"s0", "s1", "s2", "s3", "big"}
+    # replay exactly-once must still hold across the rewrite
+    t.append(_batch(spark, 0, 10), batch_token="s0")
+    assert t.snapshot().version == snap.version
+    # time travel to the pre-compaction snapshot still reads old files
+    assert t.read(version=v_before).count() == 540
+    # no-op when nothing qualifies: same snapshot returned
+    assert t.compact_small_files(target_rows=40).version == snap.version
+
+
+def test_compaction_bin_rule_matches_manifest_rule(spark):
+    """The distributed packing window (operators.skew.compaction_bins)
+    and the driver-side manifest loop (SnapshotTable.compaction_plan)
+    must implement the SAME cumulative rule: for a shared ledger of
+    file sizes, identical bin assignments."""
+    import random
+
+    from event_to_lakehouse_spark.operators.skew import compaction_bins
+
+    rng = random.Random(8)
+    target = 100
+    ledger = [(f"f{i:03d}", rng.randrange(1, 160)) for i in range(60)]
+    df = spark.createDataFrame(
+        [(p, r) for p, r in ledger], "path string, n_rows long"
+    ).withColumn("part", F.lit(0))
+    got = {
+        r["path"]: r["compact_bin"]
+        for r in compaction_bins(df, ["part"], "path", "n_rows", target).collect()
+    }
+    # reference: the manifest loop from compaction_plan
+    want, cum = {}, 0
+    for p, rows in sorted(ledger):
+        if rows >= target:
+            want[p] = -1
+            continue
+        want[p] = cum // target
+        cum += rows
+    assert got == want
