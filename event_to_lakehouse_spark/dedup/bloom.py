@@ -1,0 +1,255 @@
+"""Bloom-filter pre-filter for membership probes against a held corpus.
+
+100 TB posture: the incremental dedup probe (``incremental.py``) must
+answer "which arriving docs duplicate something we already hold?". The
+exact answer is a join against the index — correct, but every probe row
+rides that join even though, in a healthy ingest stream, the vast
+majority of arriving documents are NEW. A Bloom filter inverts the
+cost: a bitmap of ``bits_per_key × |index|`` bits (6 bits/key ≈ 0.75
+bytes/key — ~750 MB for a billion held fingerprints, broadcastable, or
+word-partitioned if larger) is built ONCE per index generation with a
+single ``groupBy(word_idx) → bit_or`` pass, and each arriving batch is
+pre-filtered against it with k pure-expression hash probes. Documents
+that miss any of the k bits are DEFINITELY new (Bloom filters have no
+false negatives) and skip the exact join entirely; only the small
+maybe-member remainder — true duplicates plus an ``(1-e^{-k/b})^k``
+false-positive sliver — pays the index join. The filter is mergeable
+(bitmaps OR together), so per-batch bitmaps can be unioned into the
+index generation the same way the band/signature stores append.
+
+Everything stays JVM-side whole-stage codegen: the k hash functions are
+the repo's portable seeded 60-bit md5 hash (``functions.hashing``), so
+the WHOLE pipeline — fingerprint, seeding, position arithmetic, word
+packing, probe — is value-checked bit-for-bit against DuckDB by the
+``dedup_bloom_prefilter`` oracle, not just pinned by planted tests.
+
+Word width is 32 bits (packed into BIGINT words): ``1 << bit`` then
+stays strictly positive in both engines, avoiding the signed-overflow
+edge at bit 63 that DuckDB rejects and Spark wraps.
+
+Relation to the PER-FILE blooms in ``storage.snapshots``: those live
+in manifests and prune which FILES a point lookup reads; this one is a
+single corpus-wide bitmap that prunes which ROWS of an arriving batch
+enter the membership join at all. Same math, opposite side of the scan.
+
+Reference parity note: the reference pipeline (6 files) has no
+membership index at all — this fills the same ABSENT-at-scale gap the
+rest of the dedup tier fills, and composes with ``NearDupIndex`` /
+``ExactIndex`` (``incremental.py``) as their probe-side admission
+filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_hash_duck, seeded_hash_spark
+from ..functions.text import fingerprint
+from ..operators.relational import query
+from ..tables import load_tables
+from .exact import FINGERPRINT_SQL
+
+# Geometry: 6 bits per held key, 4 seeded hash functions → analytic
+# false-positive rate (1 - e^{-4/6})^4 ≈ 5.6% — small enough to cut the
+# exact join's input ~18×, large enough that the gauge query observes
+# real false positives at every test SF (so the FPR column is a live
+# measurement, not a structural zero).
+BITS_PER_KEY = 6
+K_HASHES = 4
+_WORD = 32  # bits packed per bitmap word (see module docstring)
+
+
+def bloom_bits(n_keys: int, bits_per_key: int = BITS_PER_KEY) -> int:
+    """Bitmap size in bits: word-aligned, never below one word."""
+    m = bits_per_key * max(1, int(n_keys))
+    return max(_WORD, ((m + _WORD - 1) // _WORD) * _WORD)
+
+
+def build_bloom(
+    keys: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """Pack a key DataFrame into Bloom bitmap words.
+
+    Returns ``(word_idx bigint, word bigint)`` — at most ``m_bits/32``
+    rows regardless of key count. One shuffle, keyed by word index
+    (≪ key cardinality), with map-side partial ``bit_or``; the k
+    position hashes are codegen expressions, never Python.
+    """
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"{seeded_hash_spark(i, col)} % {m_bits}")
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    )
+    return pos.groupBy((F.col("p") / _WORD).cast("bigint").alias("word_idx")).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {_WORD} AS INT)))").alias(
+            "word"
+        )
+    )
+
+
+def bloom_maybe(
+    probes: DataFrame,
+    col: str,
+    words: DataFrame,
+    m_bits: int,
+    k: int = K_HASHES,
+) -> DataFrame:
+    """Annotate ``probes`` with ``bloom_maybe`` (true = possibly held).
+
+    The bitmap side is broadcast (it is ≤ m_bits/32 rows by
+    construction); each probe contributes k position rows, hits are
+    tested with one AND per row, and a probe is a maybe only if ALL k
+    bits are set — misses are guaranteed non-members. The probe
+    grouping key is the key column itself, so the k-row expansion
+    collapses without carrying payload columns through the shuffle.
+    """
+    pos = probes.select(
+        F.col(col).alias("_bf_key"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"{seeded_hash_spark(i, col)} % {m_bits}")
+                    for i in range(k)
+                ]
+            )
+        ).alias("_bf_seed", "p"),
+    ).select(
+        "_bf_key",
+        "_bf_seed",
+        (F.col("p") / _WORD).cast("bigint").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_WORD} AS INT))").alias(
+            "mask"
+        ),
+    )
+    hits = pos.join(F.broadcast(words), "word_idx", "left").select(
+        "_bf_key",
+        F.when(
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) != 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    verdict = hits.groupBy("_bf_key").agg(
+        (F.sum("hit") == F.lit(k)).alias("bloom_maybe")
+    )
+    return probes.join(
+        F.broadcast(verdict).withColumnRenamed("_bf_key", col), col, "left"
+    ).fillna({"bloom_maybe": False})
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of the whole gauge: same fingerprints, same seeded
+    hashes, same word packing, same verdicts — bit-identical."""
+    hashes = ", ".join(
+        f"({seeded_hash_duck(i, 'fp')})" for i in range(K_HASHES)
+    )
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, source, {FINGERPRINT_SQL} AS fp FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+    params AS (
+      SELECT greatest({_WORD},
+                      (({BITS_PER_KEY} * count(*) + {_WORD - 1}) // {_WORD})
+                      * {_WORD}) AS m
+      FROM idx
+    ),
+    build_pos AS (
+      SELECT unnest([{hashes}]) % (SELECT m FROM params) AS p FROM idx
+    ),
+    words AS (
+      SELECT p // {_WORD} AS word_idx,
+             bit_or((1::BIGINT) << CAST(p % {_WORD} AS INT)) AS word
+      FROM build_pos GROUP BY 1
+    ),
+    batch AS (SELECT doc_id, source, fp FROM fp WHERE doc_id % 5 = 0),
+    probe_pos AS (
+      SELECT doc_id, source, fp,
+             unnest([{hashes}]) % (SELECT m FROM params) AS p
+      FROM batch
+    ),
+    hits AS (
+      SELECT b.doc_id, b.source, b.fp,
+             CASE WHEN w.word IS NOT NULL
+                   AND (w.word & ((1::BIGINT) << CAST(b.p % {_WORD} AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe_pos b LEFT JOIN words w ON b.p // {_WORD} = w.word_idx
+    ),
+    verdicts AS (
+      SELECT doc_id, source, fp, (sum(hit) = {K_HASHES}) AS maybe
+      FROM hits GROUP BY doc_id, source, fp
+    ),
+    labeled AS (
+      SELECT v.source, v.maybe, (i.fp IS NOT NULL) AS member
+      FROM verdicts v LEFT JOIN idx i ON v.fp = i.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                                AS n_probes,
+           CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)  AS n_bloom_pass,
+           CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN maybe AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT)                                         AS n_false_pos,
+           CAST(sum(CASE WHEN member AND NOT maybe THEN 1 ELSE 0 END)
+                AS BIGINT)                                         AS n_missed
+    FROM labeled
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query("dedup_bloom_prefilter", _bloom_oracle())
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter gauge: build the bitmap over the held corpus's
+    fingerprints (doc_id % 5 != 0, the ``dedup_*_incremental`` split),
+    probe the arriving batch (doc_id % 5 = 0), and score the verdicts
+    against exact membership. ``n_missed`` is structurally zero (no
+    false negatives — pytest-pinned); ``n_false_pos`` is the live FPR
+    numerator. At 100 TB only the ``n_bloom_pass`` sliver would
+    continue to the exact index join; the bitmap itself is sized from
+    the index's maintained row stats (SnapshotTable manifests), not a
+    fresh count scan.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
+    idx = docs.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    # Metadata-scale action: one distinct-count to size the bitmap (at
+    # scale this number is read from index manifests, not recomputed).
+    m_bits = bloom_bits(idx.count())
+    words = build_bloom(idx, "fp", m_bits)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    probed = bloom_maybe(batch, "fp", words, m_bits)
+    labeled = probed.join(
+        F.broadcast(idx.withColumn("member", F.lit(True))), "fp", "left"
+    ).select(
+        "source",
+        F.col("bloom_maybe").alias("maybe"),
+        F.coalesce("member", F.lit(False)).alias("member"),
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("maybe").cast("long")).alias("n_bloom_pass"),
+            F.sum(F.col("member").cast("long")).alias("n_members"),
+            F.sum((F.col("maybe") & ~F.col("member")).cast("long")).alias(
+                "n_false_pos"
+            ),
+            F.sum((F.col("member") & ~F.col("maybe")).cast("long")).alias(
+                "n_missed"
+            ),
+        )
+        .orderBy("source")
+    )
