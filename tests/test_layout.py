@@ -277,3 +277,48 @@ def test_backcompat_single_stats_col_entries(spark, tmp_dir):
     expected = events.filter(F.col("user_id").between(lo, hi)).count()
     assert t2.read(between=(lo, hi)).count() == expected
     assert len(t2._prune_box(t2.snapshot().files, {"user_id": (lo, hi)})) < 4
+
+
+def test_zorder_gauge_pruning_claim(spark):
+    """The registry gauge's actual claim: under the z-order layout the
+    per-file extents are bounded in BOTH dimensions (the 8x8 grid cell
+    is 1/8 of each scaled range, +1 for the clamp edge), while the
+    date-sorted layout leaves the customer extent unbounded — nearly
+    every file spans (almost) the whole customer range."""
+    from event_to_lakehouse_spark.operators.layout import (
+        ops_zorder_pruning_gauge,
+    )
+
+    rows = ops_zorder_pruning_gauge(spark, SF).collect()
+    cell = (1 << 16) // 8  # one grid cell of the scaled [0, 65535] range
+    z = [r for r in rows if r.layout == "zorder"]
+    d = [r for r in rows if r.layout == "datesort"]
+    assert z and d
+    assert all(r.cust_hi - r.cust_lo <= cell for r in z)
+    assert all(r.day_hi - r.day_lo <= cell for r in z)
+    # date-sort: day extent is bounded the same way...
+    assert all(r.day_hi - r.day_lo <= cell for r in d)
+    # ...but the customer extent is not: on average the date-sorted
+    # files span several times the z-ordered customer extent (at tiny
+    # SFs sampling noise narrows some files, so assert the mean ratio,
+    # not a per-file bound).
+    mean_z = sum(r.cust_hi - r.cust_lo for r in z) / len(z)
+    mean_d = sum(r.cust_hi - r.cust_lo for r in d) / len(d)
+    assert mean_d > 4 * mean_z
+
+
+def test_zorder_gauge_no_shuffle_heavy_ops(spark):
+    """The gauge must stay projection + small-group aggregation: no
+    window (global sort) and no join in the physical plan."""
+    from event_to_lakehouse_spark.operators.layout import (
+        ops_zorder_pruning_gauge,
+    )
+
+    plan = (
+        ops_zorder_pruning_gauge(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
