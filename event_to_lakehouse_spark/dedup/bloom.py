@@ -41,6 +41,9 @@ filter.
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -146,6 +149,90 @@ def bloom_maybe(
     return probes.join(
         F.broadcast(verdict).withColumnRenamed("_bf_key", col), col, "left"
     ).fillna({"bloom_maybe": False})
+
+
+class BloomIndex:
+    """DURABLE Bloom filter — the admission side of the durable-index
+    family (``NearDupIndex`` / ``ExactDedupIndex`` / ``IVFIndex``).
+
+    The bitmap words live in a :class:`~..storage.snapshots.SnapshotTable`
+    (atomic commits, exactly-once batch tokens, time travel). Each
+    ``add_batch`` bit_or-merges the batch's words into the held bitmap
+    and commits via ``overwrite`` — the bitmap is metadata-scale
+    (``m_bits/32`` rows max), so the rewrite cost is constant no matter
+    how many keys it summarizes. ``bit_or`` is commutative, associative
+    and idempotent, so indexing in any batch order — or replaying a
+    batch — yields EXACTLY the bitmap of one build over the union
+    (pytest-pinned), and a replayed ``batch_token`` is a storage no-op.
+
+    Geometry (``m_bits``, ``k``) is pinned in a sidecar ``geometry.json``
+    at creation and adopted on reopen — a probe against a bitmap built
+    with different geometry would be silently wrong, so reopening with
+    conflicting explicit geometry raises.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        m_bits: int | None = None,
+        k: int = K_HASHES,
+    ):
+        from ..storage.snapshots import SnapshotTable
+
+        self.spark = spark
+        self.root = Path(root)
+        geo_path = self.root / "geometry.json"
+        if geo_path.exists():
+            geo = json.loads(geo_path.read_text())
+            if m_bits is not None and (m_bits, k) != (geo["m_bits"], geo["k"]):
+                raise ValueError(
+                    f"BloomIndex at {root} has geometry {geo}, "
+                    f"got m_bits={m_bits}, k={k}"
+                )
+            self.m_bits, self.k = geo["m_bits"], geo["k"]
+        else:
+            if m_bits is None:
+                raise ValueError("new BloomIndex needs m_bits")
+            self.m_bits, self.k = m_bits, k
+            self.root.mkdir(parents=True, exist_ok=True)
+            geo_path.write_text(json.dumps({"m_bits": m_bits, "k": k}))
+        self.table = SnapshotTable(spark, str(self.root / "words"))
+
+    def _stored(self) -> DataFrame | None:
+        try:
+            return self.table.read()
+        except FileNotFoundError:
+            return None
+
+    def add_batch(
+        self, keys: DataFrame, col: str, batch_token: str | None = None
+    ):
+        """Merge a batch's keys into the held bitmap (exactly-once under
+        ``batch_token``). Returns the committed snapshot."""
+        words = build_bloom(keys, col, self.m_bits, self.k)
+        held = self._stored()
+        if held is not None:
+            words = (
+                held.unionByName(words)
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(word)").alias("word"))
+            )
+        return self.table.overwrite(words, batch_token=batch_token)
+
+    def probe(self, df: DataFrame, col: str) -> DataFrame:
+        """``df`` + ``bloom_maybe``: False rows are GUARANTEED absent
+        from every batch ever added; True rows go on to the exact
+        index. An empty index admits nothing."""
+        held = self._stored()
+        if held is None:
+            return df.withColumn("bloom_maybe", F.lit(False))
+        return bloom_maybe(df, col, held, self.m_bits, self.k)
+
+    def word_count(self) -> int:
+        """Bitmap rows held — metadata-scale (≤ m_bits/32)."""
+        held = self._stored()
+        return 0 if held is None else held.count()
 
 
 def _bloom_oracle() -> str:

@@ -84,3 +84,59 @@ def test_gauge_invariants_on_documents(spark):
         assert r.n_bloom_pass >= r.n_members
         assert r.n_false_pos == r.n_bloom_pass - r.n_members
     assert sum(r.n_bloom_pass for r in rows) < sum(r.n_probes for r in rows)
+
+
+def test_bloom_index_union_equivalence(spark, tmp_dir):
+    """bit_or is commutative/associative/idempotent: indexing two
+    batches must yield EXACTLY the bitmap of one build over the union."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex, build_bloom
+
+    m = bloom_bits(400)
+    idx = BloomIndex(spark, f"{tmp_dir}/bf", m_bits=m)
+    idx.add_batch(_keys(spark, "a-", 200), "k", batch_token="b1")
+    idx.add_batch(_keys(spark, "b-", 200), "k", batch_token="b2")
+    got = {(r.word_idx, r.word) for r in idx._stored().collect()}
+    want = {
+        (r.word_idx, r.word)
+        for r in build_bloom(
+            _keys(spark, "a-", 200).unionAll(_keys(spark, "b-", 200)), "k", m
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bloom_index_reopen_replay_and_geometry(spark, tmp_dir):
+    """Reopen adopts the stored geometry; a replayed batch_token is a
+    storage no-op; probes after reopen still admit every held key and
+    conflicting explicit geometry raises."""
+    import pytest as _pytest
+
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+
+    m = bloom_bits(300)
+    idx = BloomIndex(spark, f"{tmp_dir}/bf2", m_bits=m)
+    idx.add_batch(_keys(spark, "a-", 300), "k", batch_token="b1")
+    v1 = idx.table.snapshot().version
+
+    re = BloomIndex(spark, f"{tmp_dir}/bf2")  # geometry from sidecar
+    assert (re.m_bits, re.k) == (m, K_HASHES)
+    re.add_batch(_keys(spark, "a-", 300), "k", batch_token="b1")  # replay
+    assert re.table.snapshot().version == v1
+
+    got = re.probe(_keys(spark, "a-", 300), "k")
+    assert got.filter(~F.col("bloom_maybe")).count() == 0
+
+    with _pytest.raises(ValueError):
+        BloomIndex(spark, f"{tmp_dir}/bf2", m_bits=m * 2)
+
+
+def test_bloom_index_empty_probe(spark, tmp_dir):
+    """An index with no batches admits nothing (all guaranteed-new)."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+
+    idx = BloomIndex(spark, f"{tmp_dir}/bf3", m_bits=64)
+    assert idx.word_count() == 0
+    assert (
+        idx.probe(_keys(spark, "x-", 10), "k").filter("bloom_maybe").count()
+        == 0
+    )
