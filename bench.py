@@ -150,6 +150,8 @@ HEADLINE = [
     "graph_clustering_profile",
     "graph_triangle_count",  # r8: the rewired edge-iterator core, perf-tracked
     "ops_key_skew_profile",  # r8: one-scan skew gauge
+    "dedup_bloom_prefilter",  # r9: bitmap build + broadcast bitwise probe
+    "ops_zorder_pruning_gauge",  # r9: Morton interleave + zone-map gauge
 ]
 
 PKG = "event_to_lakehouse_spark"

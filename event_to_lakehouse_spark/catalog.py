@@ -105,7 +105,20 @@ FINAL_CATALOG: list[str] = [
     "q9_product_profit",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
-    "dedup_ngram_jaccard",
+    # r9 swap: dedup_bloom_prefilter in, dedup_ngram_jaccard retired
+    # (established multi-sibling containment: its blocked candidate
+    # equi-join stays driver-certified through the seated
+    # dedup_minhash_lsh_portable's band-bucket join, and its
+    # explode+groupBy overlap counting through the seated
+    # text_tfidf_topterms' posting aggregation; the retired entry stays
+    # registry+pytest+oracle-green and its no-nested-loop plan stays
+    # pinned by test_plan_shapes::test_jaccard_pairs_equi_join). The
+    # promoted entry brings plan nodes NO seat exercises: a bitwise
+    # bitmap build (posexplode k seeded hashes -> groupBy(word_idx) ->
+    # bit_or word packing), a broadcast bitwise-AND membership probe,
+    # and the zero-false-negative verdict aggregation — the admission
+    # filter the durable-index family runs in front of its exact joins.
+    "dedup_bloom_prefilter",
     "dedup_cluster_labels",
     # r4: portable-hash successors of dedup_minhash_lsh /
     # dedup_simhash_pairs — same pipelines, DuckDB-oracle-checkable
