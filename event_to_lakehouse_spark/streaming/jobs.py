@@ -380,6 +380,63 @@ def exact_dedup_index_stream(
     return writer.start()
 
 
+def bloom_admission_stream(
+    docs,
+    index_root: str,
+    out_path: str,
+    checkpoint: str,
+    m_bits: int = 1 << 20,
+    available_now: bool = True,
+):
+    """Streaming admission filter — the ingest topology of
+    ``dedup.bloom.BloomIndex``: each arriving micro-batch is probed
+    against the durable bitmap BEFORE anything joins anything, so docs
+    whose fingerprint was never seen in ANY earlier batch (or earlier
+    run — the bitmap survives restarts) carry ``bloom_maybe = false``
+    and can skip the exact/near-dup index joins entirely; only the
+    maybe-sliver (true re-crawls + the analytic false-positive rate)
+    needs the expensive path. After probing, the batch's fingerprints
+    bit_or-merge into the bitmap with ``batch_id`` as the exactly-once
+    token. Replay is exactly-once on BOTH artifacts: if the batch's
+    token is already in the bitmap chain, the whole callback is a no-op
+    (re-probing would see the batch's OWN fingerprints in the merged
+    bitmap and flip its verdicts — the guard, not the probe, is what
+    makes the verdicts idempotent); if the first run crashed between
+    writing verdicts and committing the bitmap, the replay re-probes an
+    unchanged bitmap and overwrites byte-identical verdicts.
+
+    State is the ≤ m_bits/32-row bitmap table, not the state store: no
+    watermark, bounded size forever, constant per-batch merge cost —
+    the property ``dedup_documents_stream``'s watermark horizon and the
+    exact index's growing key table each trade away.
+
+    ``m_bits`` sizes the bitmap on FIRST use only (then the geometry
+    sidecar pins it); default 2^20 bits = 128 KiB ≈ 175k held keys at
+    the module's 6-bit/key operating point."""
+    from ..dedup.bloom import BloomIndex
+    from ..functions.text import fingerprint
+
+    def _write(batch_df, batch_id: int) -> None:
+        idx = BloomIndex(batch_df.sparkSession, index_root, m_bits=m_bits)
+        snap = idx.table.snapshot()
+        if snap is not None and f"b{batch_id}" in snap.batch_tokens:
+            return  # replay of a fully-committed batch: verdicts stand
+        fps = batch_df.withColumn("fp", fingerprint("text"))
+        idx.probe(fps, "fp").write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+        idx.add_batch(
+            fps.select("fp").distinct(), "fp", batch_token=f"b{batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def scd2_history_stream(
     events,
     table_root: str,

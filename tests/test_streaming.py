@@ -838,3 +838,74 @@ def test_user_type_counts_stream_serves_entropy(spark, tmp_dir):
     assert served == want_served
     # bounded metadata posture
     assert len(tbl.snapshot().batch_tokens) <= 65
+
+
+def test_bloom_admission_stream_cross_batch(spark, tmp_dir):
+    """Streaming Bloom admission: a doc re-crawled in a LATER batch is
+    flagged maybe (the bitmap remembers across micro-batches with no
+    watermark); first-seen docs are guaranteed-new; a checkpointed
+    re-run leaves bitmap AND verdicts untouched (token no-op)."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+    from event_to_lakehouse_spark.streaming.jobs import bloom_admission_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = Path(tmp_dir) / "docs"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [{"doc_id": 1, "text": "alpha beta"},
+                      {"doc_id": 2, "text": "gamma delta"}]
+        )
+    )
+    (src / "b1.json").write_text(
+        _json.dumps({"doc_id": 9, "text": "alpha beta"})  # re-crawl of doc 1
+    )
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = bloom_admission_stream(
+            stream,
+            index_root=f"{tmp_dir}/bloomidx",
+            out_path=f"{tmp_dir}/out",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _run(f"{tmp_dir}/ckpt")
+    got = {
+        r.doc_id: r.bloom_maybe
+        for r in spark.read.parquet(f"{tmp_dir}/out").collect()
+    }
+    # batch 0 probed an empty bitmap -> guaranteed new; the batch-1
+    # re-crawl shares doc 1's fingerprint -> maybe (no false negatives).
+    assert got == {1: False, 2: False, 9: True}
+    idx = BloomIndex(spark, f"{tmp_dir}/bloomidx")
+    v = idx.table.snapshot().version
+
+    # replay from a FRESH checkpoint: same batches, same tokens -> the
+    # callback no-ops; bitmap version and verdicts are unchanged.
+    _run(f"{tmp_dir}/ckpt2")
+    assert BloomIndex(spark, f"{tmp_dir}/bloomidx").table.snapshot().version == v
+    got2 = {
+        r.doc_id: r.bloom_maybe
+        for r in spark.read.parquet(f"{tmp_dir}/out").collect()
+    }
+    assert got2 == got
