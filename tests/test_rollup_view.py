@@ -1,0 +1,101 @@
+"""Incremental aggregate-view maintenance: fold-equals-recompute after
+any append sequence, replay no-ops, multi-commit catch-up, and the
+rewrite-commit full-rebuild fallback."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.storage.rollup import RollupView
+from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+from event_to_lakehouse_spark.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return load_tables(spark, SF)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _expected(df):
+    return {
+        (r.o_orderstatus, r.n_rows, round(r.sum_o_totalprice, 2))
+        for r in df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_totalprice").alias("sum_o_totalprice"),
+        )
+        .collect()
+    }
+
+
+def _got(view):
+    return {
+        (r.o_orderstatus, r.n_rows, round(r.sum_o_totalprice, 2))
+        for r in view.read().collect()
+    }
+
+
+def test_fold_equals_recompute_across_appends(spark, tmp_dir):
+    """Three appends, refreshed at different cadences (after #1, then
+    once spanning #2+#3): the maintained view equals the full groupBy
+    at every point."""
+    orders = _orders(spark)
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark, f"{tmp_dir}/view", keys=["o_orderstatus"], sums=["o_totalprice"]
+    )
+
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b2 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    b3 = orders.filter(F.col("o_orderkey") % 3 == 2)
+
+    fact.append(b1)
+    view.refresh(fact)
+    assert _got(view) == _expected(b1)
+
+    fact.append(b2)
+    fact.append(b3)  # two fact commits, ONE catch-up refresh
+    view.refresh(fact)
+    assert _got(view) == _expected(orders)
+
+    # derived means are projections over the partials
+    row = view.read().filter(F.col("o_orderstatus") == "O").first()
+    assert abs(row.avg_o_totalprice - row.sum_o_totalprice / row.n_rows) < 1e-9
+
+
+def test_refresh_is_replay_safe(spark, tmp_dir):
+    """A refresh with nothing new (or a crash-replayed refresh) leaves
+    the view's version untouched."""
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark, f"{tmp_dir}/view", keys=["o_orderstatus"], sums=["o_totalprice"]
+    )
+    fact.append(_orders(spark))
+    view.refresh(fact)
+    v = view.table.snapshot().version
+    view.refresh(fact)  # no new fact commits
+    assert view.table.snapshot().version == v
+
+
+def test_rewrite_commit_triggers_full_rebuild(spark, tmp_dir):
+    """A COW merge in the fact's unfolded range can't be folded as
+    inserts — the refresh must fall back to one full rebuild and still
+    match the recompute."""
+    orders = _orders(spark)
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark, f"{tmp_dir}/view", keys=["o_orderstatus"], sums=["o_totalprice"]
+    )
+    fact.append(orders)
+    view.refresh(fact)
+
+    # COW-merge an update: flip some orders' status (rewrite commit)
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus", F.lit("Z")
+    )
+    fact.merge(upd, key="o_orderkey", order_col="o_totalprice")
+    view.refresh(fact)
+    assert _got(view) == _expected(fact.read())
