@@ -152,6 +152,8 @@ HEADLINE = [
     "ops_key_skew_profile",  # r8: one-scan skew gauge
     "dedup_bloom_prefilter",  # r9: bitmap build + broadcast bitwise probe
     "ops_zorder_pruning_gauge",  # r9: Morton interleave + zone-map gauge
+    "ann_pq_rerank_topk",  # r9: PQ encode + ADC shortlist + exact refine
+    "ops_rollup_view_maintenance",  # r9: incremental agg-view fold
 ]
 
 PKG = "event_to_lakehouse_spark"

@@ -169,7 +169,17 @@ FINAL_CATALOG: list[str] = [
     #        ⊂ same melt + broadcast referential join + verdicts)
     #   text_token_topk -> text_tfidf_topterms (explode+agg+topk ⊂
     #        tf×df weighting + per-group window topk)
-    "ann_hard_negatives",
+    # r9 swap: ann_pq_rerank_topk in, ann_hard_negatives retired
+    # (strict containment: hard negatives = broadcast-anchor join ×
+    # corpus scan → per-group window rank → a label-mismatch residual
+    # filter; the re-rank stage runs the IDENTICAL broadcast-join ×
+    # scan → window-rank plan — minus only that trivial filter — and
+    # ADDS the whole PQ front no seat exercises: subspace explode,
+    # broadcast-codebook argmin via struct-min partial agg, the
+    # broadcast per-query LUT join on (subspace, code), and the
+    # integer-micro-grid ADC sum. The retired entry stays
+    # registry+pytest+oracle-green.)
+    "ann_pq_rerank_topk",
     "events_interval_islands",
     "gold_scd2_history",
     "quality_constraints",
