@@ -115,13 +115,127 @@ def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
 def pq_adc_topk(
     emb: DataFrame, codes: DataFrame, codebook: DataFrame, k: int = PQ_TOPK
 ) -> DataFrame:
-    """Asymmetric-distance top-k: per-query LUT of subspace distances
+    """Asymmetric-distance top-k over the gauge query set (the fixed
+    ``vec_id < PQ_NQ`` convention): per-query LUT of subspace distances
     (query subvector × codebook, PQ_M·PQ_K rows/query) broadcast
     against the codes scan; approx distance = exact integer sum of the
     PQ_M looked-up micro distances."""
-    qsub = _sub_explode(
-        emb.filter(F.col("vec_id") < PQ_NQ), "query_id"
+    return pq_adc_topk_with_queries(
+        emb.filter(F.col("vec_id") < PQ_NQ), codes, codebook, k=k
     )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    shortlist: int = PQ_SHORTLIST,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """The production composition (FAISS's IVF-PQ + refine): the cheap
+    compressed scan nominates a ``shortlist`` per query, then ONLY
+    those rows' full vectors are read back for an exact-distance
+    re-rank — final top-k is exactly ordered within the shortlist, so
+    end-to-end recall equals shortlist recall (≈ 0.6 at the 2%%
+    shortlist here; pytest-pinned with a safe floor) while the full-
+    vector work drops from |corpus| to |shortlist| per query."""
+    return pq_rerank_topk_with_queries(
+        emb,
+        codes,
+        codebook,
+        emb.filter(F.col("vec_id") < PQ_NQ),
+        shortlist=shortlist,
+        k=k,
+    )
+
+
+class PQIndex:
+    """DURABLE PQ index — the compressed-codes member of the durable-
+    index family (``NearDupIndex`` / ``ExactDedupIndex`` / ``IVFIndex``
+    / ``BloomIndex``).
+
+    Two SnapshotTables under ``root``: ``codebook`` (written once, the
+    PQ_M×PQ_K subvector centroids — re-encoding batches against a
+    MOVING codebook would silently mix incomparable codes, so the
+    codebook is pinned at creation) and ``codes`` (one append per
+    batch, ``batch_token`` exactly-once). ``add_batch`` encodes ONLY
+    the arriving vectors (batch-cost-only, like ``IVFIndex.add_batch``);
+    ``topk`` serves ADC + exact re-rank against the stored codes with
+    the query set broadcast — held embeddings are re-read only for the
+    per-query shortlist rows, never scanned wholesale.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        from ..storage.snapshots import SnapshotTable
+
+        self.spark = spark
+        self.codebook_table = SnapshotTable(spark, f"{root}/codebook")
+        self.codes_table = SnapshotTable(spark, f"{root}/codes")
+
+    def _codebook(self) -> DataFrame | None:
+        try:
+            return self.codebook_table.read()
+        except FileNotFoundError:
+            return None
+
+    def add_batch(
+        self, emb: DataFrame, batch_token: str | None = None
+    ):
+        """Encode the batch against the pinned codebook (trained from
+        the FIRST batch's seed rows) and append its codes."""
+        cb = self._codebook()
+        if cb is None:
+            self.codebook_table.append(pq_codebook(emb))
+            cb = self.codebook_table.read()
+        snap = self.codes_table.snapshot()
+        if (
+            batch_token is not None
+            and snap is not None
+            and batch_token in snap.batch_tokens
+        ):
+            return snap  # replay: codes already held
+        return self.codes_table.append(
+            pq_encode(emb, cb), batch_token=batch_token
+        )
+
+    def topk(
+        self,
+        emb: DataFrame,
+        queries: DataFrame,
+        shortlist: int = PQ_SHORTLIST,
+        k: int = PQ_TOPK,
+    ) -> DataFrame:
+        """ADC shortlist over the STORED codes + exact re-rank.
+        ``emb`` supplies full vectors for the shortlist re-read and the
+        query vectors; equivalence with the one-shot batch pipeline
+        over everything ever added is pytest-pinned."""
+        return pq_rerank_topk_with_queries(
+            emb,
+            self.codes_table.read(),
+            self._codebook(),
+            queries,
+            shortlist=shortlist,
+            k=k,
+        )
+
+    def vec_count(self) -> int:
+        """Vectors held (codes rows / PQ_M) — metadata-scale."""
+        try:
+            return self.codes_table.read().count() // PQ_M
+        except FileNotFoundError:
+            return 0
+
+
+def pq_adc_topk_with_queries(
+    emb_queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """ADC top-k for an explicit query frame (vec_id, embedding) —
+    the general form ``pq_adc_topk`` specializes with the fixed
+    ``vec_id < PQ_NQ`` gauge set."""
+    qsub = _sub_explode(emb_queries, "query_id")
     lut = qsub.join(F.broadcast(codebook), "j").select(
         "query_id",
         "j",
@@ -150,24 +264,19 @@ def pq_adc_topk(
     )
 
 
-def pq_rerank_topk(
+def pq_rerank_topk_with_queries(
     emb: DataFrame,
     codes: DataFrame,
     codebook: DataFrame,
+    queries: DataFrame,
     shortlist: int = PQ_SHORTLIST,
     k: int = PQ_TOPK,
 ) -> DataFrame:
-    """The production composition (FAISS's IVF-PQ + refine): the cheap
-    compressed scan nominates a ``shortlist`` per query, then ONLY
-    those rows' full vectors are read back for an exact-distance
-    re-rank — final top-k is exactly ordered within the shortlist, so
-    end-to-end recall equals shortlist recall (≈ 0.6 at the 2%%
-    shortlist here; pytest-pinned with a safe floor) while the full-
-    vector work drops from |corpus| to |shortlist| per query."""
-    short = pq_adc_topk(emb, codes, codebook, k=shortlist).select(
-        "query_id", "vec_id"
-    )
-    qv = emb.filter(F.col("vec_id") < PQ_NQ).select(
+    """Shortlist + exact re-rank for an explicit query frame."""
+    short = pq_adc_topk_with_queries(
+        queries, codes, codebook, k=shortlist
+    ).select("query_id", "vec_id")
+    qv = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     exact = (

@@ -97,3 +97,52 @@ def test_rerank_is_exactly_ordered_within_shortlist(spark):
     for dists in by_q.values():
         assert len(dists) == PQ_TOPK
         assert dists == sorted(dists)
+
+
+def test_pq_index_batches_equal_oneshot(spark, tmp_dir):
+    """Two add_batch calls against the pinned codebook hold exactly the
+    codes of one encode over the union, topk over the stored artifacts
+    equals the one-shot batch pipeline, and a replayed batch_token is a
+    storage no-op."""
+    from event_to_lakehouse_spark.similarity.pq import (
+        PQIndex,
+        pq_rerank_topk,
+    )
+
+    emb = load_tables(spark, SF)["embeddings"]
+    idx = PQIndex(spark, f"{tmp_dir}/pqidx")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    # the codebook is pinned from the FIRST batch, so bootstrap with
+    # the seed rows explicitly (the realistic flow: train/pin the
+    # codebook on an initial corpus, then stream batches against it)
+    boot = emb.filter(F.col("vec_id") < PQ_K)
+    idx.add_batch(boot, batch_token="boot")
+    idx.add_batch(b1.filter(F.col("vec_id") >= PQ_K), batch_token="b1")
+    idx.add_batch(b2.filter(F.col("vec_id") >= PQ_K), batch_token="b2")
+    assert idx.vec_count() == emb.count()
+
+    cb = pq_codebook(emb)
+    want = {
+        (r.vec_id, r.j, r.code) for r in pq_encode(emb, cb).collect()
+    }
+    got = {
+        (r.vec_id, r.j, r.code) for r in idx.codes_table.read().collect()
+    }
+    assert got == want
+
+    v = idx.codes_table.snapshot().version
+    idx.add_batch(b1.filter(F.col("vec_id") >= PQ_K), batch_token="b1")
+    assert idx.codes_table.snapshot().version == v  # replay no-op
+
+    # served topk == one-shot pipeline (reopened object, from disk)
+    re = PQIndex(spark, f"{tmp_dir}/pqidx")
+    served = {
+        (r.query_id, r.rank, r.vec_id, r.l2_dist)
+        for r in re.topk(emb, emb.filter(F.col("vec_id") < PQ_NQ)).collect()
+    }
+    oneshot = {
+        (r.query_id, r.rank, r.vec_id, r.l2_dist)
+        for r in pq_rerank_topk(emb, pq_encode(emb, cb), cb).collect()
+    }
+    assert served == oneshot
