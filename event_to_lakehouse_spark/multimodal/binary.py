@@ -14,11 +14,16 @@ the REAL decoders are pure-stdlib — uncompressed 24-bit BMP via
 (``decode_audio``/``encode_wav``). Real pixels and samples flow
 through the same Arrow-batched ``mapInPandas`` harness the synthetic
 feature path uses (``extract_media_features``, ``resize_images``).
-Only video remains a stub (no container parser in the stdlib). The
-deterministic-fake paths (``extract_features``/``resize_assets``/
-``sample_frames``) stay as-is: they are what the DuckDB oracle can
-recompute over the text-backed asset table, so the registered queries
-keep hash-parity.
+Since round 9 VIDEO is real too: a RIFF/AVI container parser for
+uncompressed 24-bit DIB frames (``decode_video``/``encode_avi``/
+``frame_sample`` — the same struct-level byte slicing as the BMP
+codec, golden-frame pytests), closing the one stub the earlier rounds
+carried. Compressed codecs (H.264 etc.) genuinely need ffmpeg and stay
+out of scope — the container walk, frame timing, and sampling math are
+the real pipeline's shape. The deterministic-fake paths
+(``extract_features``/``resize_assets``/``sample_frames``) stay as-is:
+they are what the DuckDB oracle can recompute over the text-backed
+asset table, so the registered queries keep hash-parity.
 """
 
 from __future__ import annotations
@@ -165,11 +170,157 @@ def encode_wav(
     return buf.getvalue()
 
 
-def frame_sample(payload: bytes, every_ms: int = 1000) -> "object":
-    """STUB: video frame sampling needs a container/codec parser
-    (ffmpeg) that no stdlib module provides; the 1:N mapInPandas
-    plumbing it would plug into is real (``sample_frames``)."""
-    raise NotImplementedError("video codecs not available in this environment")
+def _walk_riff(data: bytes, off: int, end: int):
+    """Yield (fourcc, list_type_or_None, payload_span) for each chunk
+    in ``data[off:end]``; chunks are even-padded per the RIFF spec."""
+    while off + 8 <= end:
+        fourcc = data[off : off + 4]
+        size = int.from_bytes(data[off + 4 : off + 8], "little")
+        body = (off + 8, off + 8 + size)
+        if fourcc == b"LIST":
+            yield fourcc, data[body[0] : body[0] + 4], (body[0] + 4, body[1])
+        else:
+            yield fourcc, None, body
+        off = body[1] + (size & 1)  # pad to even
+
+
+def _dib_to_rgb(data: bytes, w: int, h: int) -> bytes:
+    """Bottom-up padded BGR rows (the BMP/AVI-DIB pixel layout) →
+    row-major top-down RGB."""
+    row_size = (3 * w + 3) & ~3
+    out = bytearray(3 * w * h)
+    for i in range(h):
+        y = h - 1 - i
+        row = data[i * row_size : i * row_size + 3 * w]
+        for x in range(w):
+            b, g, r = row[3 * x : 3 * x + 3]
+            idx = 3 * (y * w + x)
+            out[idx], out[idx + 1], out[idx + 2] = r, g, b
+    return bytes(out)
+
+
+def decode_video(payload: bytes) -> dict:
+    """Decode an uncompressed-DIB AVI (RIFF) with no third-party codec:
+    walk the container (hdrl → avih for frame timing, strl → strf for
+    the BITMAPINFOHEADER, movi → ``00db``/``00dc`` frame chunks) and
+    convert each raw DIB frame to top-down RGB. Returns ``{"width",
+    "height", "frame_ms", "n_frames", "frames": [rgb bytes, ...]}``.
+
+    This is the BMP decoder's discipline applied to the container
+    layer; compressed streams (a non-zero ``biCompression``) raise —
+    those genuinely need ffmpeg."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frame_us = w = h = bpp = comp = None
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal frame_us, w, h, bpp, comp
+        for fourcc, ltype, (b0, b1) in _walk_riff(payload, off, end):
+            if fourcc == b"LIST":
+                walk(b0, b1)
+            elif fourcc == b"avih":
+                frame_us = int.from_bytes(payload[b0 : b0 + 4], "little")
+            elif fourcc == b"strf" and w is None:
+                w = int.from_bytes(payload[b0 + 4 : b0 + 8], "little", signed=True)
+                h = abs(
+                    int.from_bytes(payload[b0 + 8 : b0 + 12], "little", signed=True)
+                )
+                bpp = int.from_bytes(payload[b0 + 14 : b0 + 16], "little")
+                comp = int.from_bytes(payload[b0 + 16 : b0 + 20], "little")
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(payload[b0:b1])
+
+    walk(12, len(payload))
+    if w is None or frame_us is None:
+        raise ValueError("AVI missing strf/avih headers")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit DIB frames are supported")
+    return {
+        "width": w,
+        "height": h,
+        "frame_ms": frame_us // 1000,
+        "n_frames": len(frames),
+        "frames": [_dib_to_rgb(fr, w, h) for fr in frames],
+    }
+
+
+def encode_avi(
+    width: int, height: int, frames_rgb: list[bytes], frame_ms: int = 40
+) -> bytes:
+    """Encode top-down RGB frames as an uncompressed-DIB AVI — the
+    inverse of ``decode_video`` and the test-fixture builder, exactly
+    as ``encode_bmp`` is to ``decode_image``."""
+    row_size = (3 * width + 3) & ~3
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def rgb_to_dib(rgb: bytes) -> bytes:
+        if len(rgb) != 3 * width * height:
+            raise ValueError("frame buffer does not match width*height")
+        rows = []
+        pad = b"\x00" * (row_size - 3 * width)
+        for i in range(height):
+            y = height - 1 - i  # bottom-up
+            row = bytearray()
+            for x in range(width):
+                idx = 3 * (y * width + x)
+                r, g, b = rgb[idx : idx + 3]
+                row += bytes((b, g, r))
+            rows.append(bytes(row) + pad)
+        return b"".join(rows)
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row_size * height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,  # flags, priority, language, initial frames
+            frame_ms, 1000,  # dwScale/dwRate: fps = rate/scale... see note
+            0, len(frames_rgb), row_size * height, 0, 0,
+            0, 0, width, height,
+        )
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        frame_ms * 1000, 0, 0, 0, len(frames_rgb), 0, 1,
+        row_size * height, width, height, 0, 0, 0, 0,
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(
+        b"LIST",
+        b"movi" + b"".join(chunk(b"00db", rgb_to_dib(fr)) for fr in frames_rgb),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def frame_sample(payload: bytes, every_ms: int = 1000) -> list[dict]:
+    """REAL video frame sampling (was the repo's one labeled stub):
+    decode the AVI, then pick the frame covering each multiple of
+    ``every_ms`` across the clip — ``frame_idx = t // frame_ms`` — the
+    sampling math an ffmpeg-backed pipeline runs, over real pixels."""
+    v = decode_video(payload)
+    dur_ms = v["frame_ms"] * v["n_frames"]
+    out = []
+    for t in range(0, max(dur_ms, 1), max(every_ms, 1)):
+        k = min(t // v["frame_ms"], v["n_frames"] - 1) if v["n_frames"] else 0
+        if v["n_frames"]:
+            out.append(
+                {
+                    "t_ms": t,
+                    "frame_idx": k,
+                    "width": v["width"],
+                    "height": v["height"],
+                    "pixels": v["frames"][k],
+                }
+            )
+    return out
 
 
 def as_assets(docs: DataFrame) -> DataFrame:

@@ -67,12 +67,11 @@ def test_frame_fanout(assets):
     assert by_asset[1][0].frame_sha == hashlib.sha256(b"a" * FRAME_STRIDE).hexdigest()
 
 
-def test_video_stub_is_gated():
-    """Only video remains environment-gated (no container parser in the
-    stdlib); image/audio decode are real now."""
-    with pytest.raises(NotImplementedError):
+def test_decoders_fail_loudly_on_garbage():
+    """All three REAL decoders (image/audio/video — video since r9)
+    reject non-media bytes loudly, never silently."""
+    with pytest.raises(ValueError):
         frame_sample(b"payload")
-    # non-media bytes into the REAL decoders fail loudly, not silently
     with pytest.raises(ValueError):
         decode_image(b"payload")
     with pytest.raises(Exception):
@@ -193,3 +192,69 @@ def test_no_shuffle_in_multimodal_pipeline(assets):
 
     a = audit_plan(sample_frames(resize_assets(assets)))
     assert a.exchanges == 0  # decode chain is fully partition-local
+
+
+def test_avi_roundtrip_golden_frames():
+    """encode_avi -> decode_video is pixel-exact per frame; header
+    fields (size, timing, count) survive; the container math matches
+    the BMP codec's DIB layout (cross-checked via encode_bmp)."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_image,
+        decode_video,
+        encode_avi,
+        encode_bmp,
+    )
+
+    w, h = 4, 3
+    f0 = bytes([255, 0, 0] * (w * h))           # solid red
+    f1 = bytes([0, 255, 0] * (w * h))           # solid green
+    f2 = bytes(range(3 * w * h))                # gradient
+    avi = encode_avi(w, h, [f0, f1, f2], frame_ms=40)
+
+    v = decode_video(avi)
+    assert (v["width"], v["height"]) == (w, h)
+    assert v["frame_ms"] == 40 and v["n_frames"] == 3
+    assert v["frames"] == [f0, f1, f2]
+
+    # the AVI frame layout IS the BMP pixel layout: a BMP built from
+    # the same RGB decodes to the same pixels
+    assert decode_image(encode_bmp(w, h, f2))["pixels"] == f2
+
+
+def test_frame_sample_real_sampling_math():
+    """frame_sample picks the covering frame at each every_ms tick —
+    the stub this replaces used to raise NotImplementedError."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        encode_avi,
+        frame_sample,
+    )
+
+    w, h = 2, 2
+    frames = [bytes([i] * (3 * w * h)) for i in range(5)]  # 5 x 100ms
+    avi = encode_avi(w, h, frames, frame_ms=100)
+    got = frame_sample(avi, every_ms=200)  # 500ms clip -> t=0,200,400
+    assert [(s["t_ms"], s["frame_idx"]) for s in got] == [
+        (0, 0), (200, 2), (400, 4),
+    ]
+    assert all(s["pixels"] == frames[s["frame_idx"]] for s in got)
+    # denser than the frame rate: clamps to the last frame, never IOOB
+    dense = frame_sample(avi, every_ms=60)
+    assert [s["frame_idx"] for s in dense] == [0, 0, 1, 1, 2, 3, 3, 4, 4]
+
+
+def test_decode_video_rejects_non_avi_and_compressed():
+    import pytest as _pytest
+
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_video,
+        encode_avi,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_video(b"not an avi at all")
+    # flip biCompression in the strf header: compressed streams raise
+    avi = bytearray(encode_avi(2, 2, [bytes(12)], frame_ms=40))
+    at = avi.index(b"strf") + 8 + 16
+    avi[at:at + 4] = (1).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="uncompressed"):
+        decode_video(bytes(avi))
