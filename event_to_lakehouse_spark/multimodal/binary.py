@@ -547,6 +547,58 @@ MEDIA_FEATURE_SCHEMA = T.StructType(
 )
 
 
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video sampling inside the Arrow-batched 1:N harness: AVI
+    payloads decode through the container parser and emit one row per
+    ``every_ms`` tick with true frame geometry + mean intensity (the
+    pixel buffer itself stays in the worker — ship features, not
+    frames). Non-video mimes and corrupt payloads contribute no rows —
+    the quarantine philosophy, media edition. Partition-local; at
+    100 TB the only cross-node traffic is the feature rows."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["mime"] != "video/avi":
+                    continue
+                try:
+                    samples = frame_sample(bytes(payload), every_ms)
+                except ValueError:
+                    continue  # corrupt container -> no rows, batch survives
+                for s in samples:
+                    px = s["pixels"]
+                    recs.append(
+                        {
+                            "asset_id": asset_id,
+                            "t_ms": s["t_ms"],
+                            "frame_idx": s["frame_idx"],
+                            "width": s["width"],
+                            "height": s["height"],
+                            "px_mean": sum(px) / len(px) if px else 0.0,
+                        }
+                    )
+            yield pd.DataFrame.from_records(
+                recs, columns=VIDEO_FRAME_SCHEMA.names
+            )
+
+    return assets.mapInPandas(_sample, VIDEO_FRAME_SCHEMA)
+
+
 def extract_media_features(assets: DataFrame) -> DataFrame:
     """Mime-dispatched REAL decode inside the Arrow-batched harness:
     BMP payloads yield true pixel dimensions + mean intensity, WAV

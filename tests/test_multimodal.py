@@ -258,3 +258,34 @@ def test_decode_video_rejects_non_avi_and_compressed():
     avi[at:at + 4] = (1).to_bytes(4, "little")
     with _pytest.raises(ValueError, match="uncompressed"):
         decode_video(bytes(avi))
+
+
+def test_sample_video_frames_real_pipeline(spark):
+    """Real AVI payloads flow through the Arrow 1:N harness: true
+    geometry and intensities out, non-video and corrupt rows silently
+    contribute nothing, and the chain stays shuffle-free."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        encode_avi,
+        sample_video_frames,
+    )
+    from event_to_lakehouse_spark.plans import audit_plan
+
+    w, h = 2, 2
+    clip = encode_avi(
+        w, h, [bytes([40 * i] * (3 * w * h)) for i in range(5)], frame_ms=100
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(clip), {"mime": "video/avi", "width": None, "height": None, "dur_ms": None}),
+            (2, bytearray(b"RIFFgarbage"), {"mime": "video/avi", "width": None, "height": None, "dur_ms": None}),
+            (3, bytearray(b"text"), {"mime": "text/plain", "width": None, "height": None, "dur_ms": None}),
+        ],
+        "asset_id long, payload binary, meta struct<mime:string,width:int,height:int,dur_ms:bigint>",
+    )
+    out = sample_video_frames(assets, every_ms=200)
+    rows = sorted(out.collect(), key=lambda r: r.t_ms)
+    assert [r.asset_id for r in rows] == [1, 1, 1]
+    assert [(r.t_ms, r.frame_idx, r.px_mean) for r in rows] == [
+        (0, 0, 0.0), (200, 2, 80.0), (400, 4, 160.0),
+    ]
+    assert audit_plan(out).exchanges == 0
