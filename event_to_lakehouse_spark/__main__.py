@@ -60,6 +60,26 @@ def _cmd_normalize(args) -> int:
     return 0
 
 
+def _cmd_refresh_rollup(args) -> int:
+    from .storage.rollup import RollupView
+    from .storage.snapshots import SnapshotTable
+
+    spark = get_spark("rollup-refresh")
+    fact = SnapshotTable(spark, args.fact)
+    view = RollupView(
+        spark,
+        args.view,
+        keys=[c for c in args.keys.split(",") if c],
+        sums=[c for c in args.sums.split(",") if c],
+    )
+    snap = view.refresh(fact)
+    print(
+        f"[OK] view at v{snap.version if snap else 0}, "
+        f"folded through fact v{view._folded_version()}"
+    )
+    return 0
+
+
 def _cmd_refresh_gold(args) -> int:
     from .pipeline.gold import refresh_gold, start_gold_refresh_stream
 
@@ -244,6 +264,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="watch silver and rebuild marts per micro-batch")
     s.add_argument("--checkpoint")
     s.set_defaults(fn=_cmd_refresh_gold)
+
+    s = sub.add_parser(
+        "refresh-rollup",
+        help="fold a fact table's new commits into a maintained "
+        "aggregate view (O(delta)+O(view) per run)",
+    )
+    s.add_argument("--fact", required=True, help="fact SnapshotTable root")
+    s.add_argument("--view", required=True, help="view SnapshotTable root")
+    s.add_argument("--keys", required=True, help="comma-separated group keys")
+    s.add_argument("--sums", default="", help="comma-separated sum measures")
+    s.set_defaults(fn=_cmd_refresh_rollup)
 
     s = sub.add_parser("compact", help="bin-pack small parquet files")
     s.add_argument("--path", required=True)

@@ -201,3 +201,47 @@ def test_snapshot_tag_cli(spark, tmp_dir, capsys):
     assert SnapshotTable(spark, root).read(tag="baseline").count() == 4
     assert main(["snapshot", "drop-tag", "--root", root, "--name", "baseline"]) == 0
     assert SnapshotTable(spark, root).tags() == {}
+
+
+def test_refresh_rollup_cli(spark, tmp_dir, capsys):
+    """Two CLI runs: the first bootstraps the view, the second folds
+    only the newly appended fact commit; the served view equals the
+    full groupBy at each point."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.tables import load_tables
+
+    orders = load_tables(spark, "/root/testdata/sf0.001")["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    fact.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+
+    argv = [
+        "refresh-rollup",
+        "--fact", f"{tmp_dir}/fact",
+        "--view", f"{tmp_dir}/view",
+        "--keys", "o_orderstatus",
+        "--sums", "o_totalprice",
+    ]
+    assert main(argv) == 0
+    assert "folded through fact v1" in capsys.readouterr().out
+
+    fact.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    assert main(argv) == 0
+    assert "folded through fact v2" in capsys.readouterr().out
+
+    got = {
+        (r.o_orderstatus, r.n_rows)
+        for r in spark.read.parquet(
+            *SnapshotTable(spark, f"{tmp_dir}/view").snapshot().paths
+        ).collect()
+    }
+    want = {
+        (r.o_orderstatus, r.n)
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
