@@ -345,3 +345,30 @@ def test_compaction_plan_one_scan_two_exchanges(spark, qs):
     scans = re.findall(r"^\(\d+\) Scan parquet", a.text, re.MULTILINE)
     assert len(scans) == 1
     assert a.shuffle_exchanges == 2
+
+
+def test_pq_pipeline_broadcast_only(spark, qs):
+    """PQ encode + ADC + re-rank must never sort-merge: the codebook,
+    LUTs, shortlist, and query vectors are all broadcast; the only
+    shuffles are the argmin partial-agg groupBy and the final
+    per-query window."""
+    a = audit_plan(qs["ann_pq_rerank_topk"](spark, SF_DIR))
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 3  # codebook, LUT, shortlist/query
+    assert a.has_partial_aggregate  # struct-min argmin combines map-side
+
+
+def test_zorder_gauge_projection_only(spark, qs):
+    """The layout gauge is projection + one aggregation: no join, no
+    window, and the Morton arithmetic stays in the scan projection."""
+    a = audit_plan(qs["ops_zorder_pruning_gauge"](spark, SF_DIR))
+    assert a.broadcast_hash_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.has_partial_aggregate
+
+
+def test_bloom_gauge_no_sort_merge(spark, qs):
+    """Bitmap build and probe ride broadcast joins end-to-end — at
+    100 TB neither the bitmap nor the verdicts may shuffle the batch."""
+    a = audit_plan(qs["dedup_bloom_prefilter"](spark, SF_DIR))
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_hash_joins >= 2  # words probe + verdict rejoin
