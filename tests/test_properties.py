@@ -376,3 +376,62 @@ def test_entropy_from_counts_bounds_and_exactness(counts):
             assert abs(
                 r.norm_entropy - round(want / math.log(len(cs)), 4)
             ) < 1e-9
+
+
+# -- round-9 pure logic: AVI codec, Morton interleave ------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=4),
+    st.randoms(use_true_random=False),
+)
+def test_avi_roundtrip_any_geometry(w, h, n_frames, rnd):
+    """encode_avi → decode_video is pixel-exact for ANY geometry —
+    including odd widths (row padding) and odd chunk sizes (RIFF even
+    padding)."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_video,
+        encode_avi,
+    )
+
+    frames = [
+        bytes(rnd.randrange(256) for _ in range(3 * w * h))
+        for _ in range(n_frames)
+    ]
+    v = decode_video(encode_avi(w, h, frames, frame_ms=33))
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, n_frames)
+    assert v["frames"] == frames
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_morton_interleave_is_injective_and_monotone_per_dim(pts):
+    """The pure-python Morton reference (mirrors zorder_key's bit
+    placement): distinct points map to distinct keys, and fixing one
+    coordinate makes the key strictly monotone in the other — the
+    property zone-map pruning relies on."""
+
+    def morton(x, y, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    keys = {(x, y): morton(x, y) for x, y in pts}
+    assert len(set(keys.values())) == len(keys)  # injective
+    for (x, y) in pts:
+        if x + 1 < (1 << 16):
+            assert morton(x + 1, y) > morton(x, y)
+        if y + 1 < (1 << 16):
+            assert morton(x, y + 1) > morton(x, y)
