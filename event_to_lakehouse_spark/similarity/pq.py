@@ -264,18 +264,12 @@ def pq_adc_topk_with_queries(
     )
 
 
-def pq_rerank_topk_with_queries(
-    emb: DataFrame,
-    codes: DataFrame,
-    codebook: DataFrame,
-    queries: DataFrame,
-    shortlist: int = PQ_SHORTLIST,
-    k: int = PQ_TOPK,
+def _exact_rerank(
+    emb: DataFrame, short: DataFrame, queries: DataFrame, k: int
 ) -> DataFrame:
-    """Shortlist + exact re-rank for an explicit query frame."""
-    short = pq_adc_topk_with_queries(
-        queries, codes, codebook, k=shortlist
-    ).select("query_id", "vec_id")
+    """Exact-L2 re-rank of a (query_id, vec_id) shortlist: full vectors
+    are re-read for the shortlist rows ONLY (both join sides broadcast
+    against one emb scan), then ranked on the integer micro grid."""
     qv = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -299,6 +293,21 @@ def pq_rerank_topk_with_queries(
             F.round(F.col("d_micro") / 1_000_000.0, 6).alias("l2_dist"),
         )
     )
+
+
+def pq_rerank_topk_with_queries(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    shortlist: int = PQ_SHORTLIST,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """Shortlist + exact re-rank for an explicit query frame."""
+    short = pq_adc_topk_with_queries(
+        queries, codes, codebook, k=shortlist
+    ).select("query_id", "vec_id")
+    return _exact_rerank(emb, short, queries, k)
 
 
 def _pq_oracle() -> str:
@@ -413,3 +422,135 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebook(emb)
     codes = pq_encode(emb, cb)
     return pq_rerank_topk(emb, codes, cb).orderBy("query_id", "rank")
+
+
+def _ivfpq_oracle() -> str:
+    """The full FAISS architecture replayed in SQL: coarse assignment
+    (the certified IVF math), candidate restriction to the probed
+    cells, ADC over candidates only, exact re-rank."""
+    from .ann import _COS_SQL, CENT_STRIDE, N_PROBE
+
+    base = _pq_oracle()
+    pq_ctes = base[: base.index("adc AS (")].rstrip().rstrip(",")
+    cos = _COS_SQL.format(a="e.embedding", b="c.cc_emb")
+    d2 = (
+        "CAST(round((list_dot_product({a}, {a})"
+        " - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})) * 1000000) AS BIGINT)"
+    )
+    full = "CAST({e} AS DOUBLE[])"
+    return f"""{pq_ctes},
+    centc AS (
+      SELECT vec_id AS ccent_id, embedding AS cc_emb
+      FROM embeddings WHERE vec_id % {CENT_STRIDE} = 0
+    ),
+    affin AS (
+      SELECT e.vec_id, c.ccent_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round({cos}, 6) DESC, c.ccent_id) AS crank
+      FROM embeddings e CROSS JOIN centc c
+    ),
+    assigned AS (SELECT vec_id, ccent_id FROM affin WHERE crank = 1),
+    qcells AS (
+      SELECT vec_id AS query_id, ccent_id FROM affin
+      WHERE vec_id < {PQ_NQ} AND crank <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT q.query_id, a.vec_id
+      FROM assigned a JOIN qcells q ON a.ccent_id = q.ccent_id
+      WHERE a.vec_id <> q.query_id
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.vec_id,
+             CAST(sum(l.qd_micro) AS BIGINT) AS adc_micro
+      FROM cand cd
+      JOIN codes co ON co.vec_id = cd.vec_id
+      JOIN lut l ON l.query_id = cd.query_id
+               AND l.j = co.j AND l.cent_id = co.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_micro, vec_id) AS rank
+      FROM adc
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM ranked WHERE rank <= {PQ_SHORTLIST}
+    ),
+    exact AS (
+      SELECT s.query_id, s.vec_id,
+             {d2.format(a=full.format(e="q.embedding"),
+                        b=full.format(e="e.embedding"))} AS d_micro
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    rr AS (
+      SELECT query_id, vec_id, d_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d_micro, vec_id) AS rank
+      FROM exact
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+           round(d_micro / 1000000.0, 6) AS l2_dist
+    FROM rr WHERE rank <= {PQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("ann_ivfpq_topk", _ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ + refine — the complete billion-scale serving stack
+    (the FAISS IVFPQ,Refine factory), every stage oracle-checked:
+
+    1. coarse quantizer (the certified ``ivf_affinity`` math) assigns
+       every vector to a cell; queries probe their ``N_PROBE`` cells —
+       the corpus-pruning stage (only probed cells are scored at all);
+    2. PQ ADC scores ONLY the candidate (query, vector) pairs, over
+       codes, via broadcast LUTs — the compression stage (candidates
+       are scored without touching their embeddings);
+    3. exact re-rank of the per-query shortlist — the refine stage
+       (full vectors re-read for |shortlist| rows, not the corpus).
+
+    At 100 TB the three stages multiply: cells cut candidates ~k/probe
+    ×, codes cut candidate bytes 64×, refine caps full-vector reads at
+    shortlist × queries. Nothing fact-sized shuffles in any stage."""
+    from .ann import N_PROBE, ivf_affinity
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    affin = ivf_affinity(spark, sf_dir)
+    assigned = affin.filter(F.col("crank") == 1).select("vec_id", "cent_id")
+    qcells = affin.filter(
+        (F.col("vec_id") < PQ_NQ) & (F.col("crank") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cent_id")
+    cand = (
+        assigned.join(F.broadcast(qcells), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    cb = pq_codebook(emb)
+    codes = pq_encode(emb, cb)
+    qsub = _sub_explode(emb.filter(F.col("vec_id") < PQ_NQ), "query_id")
+    lut = qsub.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        F.col("cent_id").alias("lut_cent"),
+        _d2_micro(F.col("sub"), F.col("c_sub")).alias("qd_micro"),
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "j"])
+        .filter(F.col("code") == F.col("lut_cent"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    short = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    return _exact_rerank(
+        emb, short, emb.filter(F.col("vec_id") < PQ_NQ), PQ_TOPK
+    ).orderBy("query_id", "rank")

@@ -146,3 +146,29 @@ def test_pq_index_batches_equal_oneshot(spark, tmp_dir):
         for r in pq_rerank_topk(emb, pq_encode(emb, cb), cb).collect()
     }
     assert served == oneshot
+
+
+def test_ivfpq_results_within_probed_cells(spark):
+    """Every IVF+PQ result must live in one of its query's probed
+    cells — the candidate-restriction invariant that makes the stack
+    sub-corpus — and the final ordering is exact-L2 within shortlist."""
+    from collections import defaultdict as _dd
+
+    from event_to_lakehouse_spark.similarity.ann import N_PROBE, ivf_affinity
+    from event_to_lakehouse_spark.similarity.pq import ann_ivfpq_topk
+
+    got = ann_ivfpq_topk(spark, SF).collect()
+    affin = ivf_affinity(spark, SF)
+    assign = {
+        r.vec_id: r.cent_id for r in affin.filter("crank = 1").collect()
+    }
+    probed = _dd(set)
+    for r in affin.filter(f"vec_id < {PQ_NQ} AND crank <= {N_PROBE}").collect():
+        probed[r.vec_id].add(r.cent_id)
+    assert got, "IVF+PQ returned nothing"
+    for r in got:
+        assert assign[r.vec_id] in probed[r.query_id]
+    dists = _dd(list)
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        dists[r.query_id].append(r.l2_dist)
+    assert all(d == sorted(d) for d in dists.values())
