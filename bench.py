@@ -154,6 +154,7 @@ HEADLINE = [
     "ops_zorder_pruning_gauge",  # r9: Morton interleave + zone-map gauge
     "ann_pq_rerank_topk",  # r9: PQ encode + ADC shortlist + exact refine
     "ops_rollup_view_maintenance",  # r9: incremental agg-view fold
+    "ann_ivfpq_topk",  # r9: the composed IVF+PQ+refine serving stack
 ]
 
 PKG = "event_to_lakehouse_spark"
