@@ -239,7 +239,11 @@ def decode_video(payload: bytes) -> dict:
     return {
         "width": w,
         "height": h,
-        "frame_ms": frame_us // 1000,
+        # Clamp to >= 1: an avih dwMicroSecPerFrame below 1000 (or a
+        # zeroed header) would yield frame_ms == 0 and turn every
+        # downstream `t // frame_ms` into a ZeroDivisionError that
+        # kills the task instead of quarantining the payload.
+        "frame_ms": max(1, frame_us // 1000),
         "n_frames": len(frames),
         "frames": [_dib_to_rgb(fr, w, h) for fr in frames],
     }
@@ -578,7 +582,7 @@ def sample_video_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                     continue
                 try:
                     samples = frame_sample(bytes(payload), every_ms)
-                except ValueError:
+                except (ValueError, ZeroDivisionError):
                     continue  # corrupt container -> no rows, batch survives
                 for s in samples:
                     px = s["pixels"]

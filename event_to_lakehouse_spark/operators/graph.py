@@ -429,8 +429,10 @@ def _orient(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _per_node_triangles(oriented: DataFrame) -> DataFrame:
     """Per-node triangle counts via the EDGE-ITERATOR form: build the
-    oriented adjacency list per node (total cells = |oriented edges|,
-    so node-catalog scale → broadcastable), then for each oriented
+    oriented adjacency list per node (total cells = |oriented edges| —
+    EDGE scale, so the broadcast below is justified only while the
+    support-capped edge list stays modest; see the escape hatch at the
+    end of this docstring), then for each oriented
     edge (a,b) the closing vertices are ``array_intersect(adj(a),
     adj(b))`` — the wedge filtering happens inside a codegen'd array
     expression instead of materializing the wedge stream through a

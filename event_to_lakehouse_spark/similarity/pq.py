@@ -136,7 +136,7 @@ def pq_rerank_topk(
     compressed scan nominates a ``shortlist`` per query, then ONLY
     those rows' full vectors are read back for an exact-distance
     re-rank — final top-k is exactly ordered within the shortlist, so
-    end-to-end recall equals shortlist recall (≈ 0.6 at the 2%%
+    end-to-end recall equals shortlist recall (≈ 0.6 at the 2%
     shortlist here; pytest-pinned with a safe floor) while the full-
     vector work drops from |corpus| to |shortlist| per query."""
     return pq_rerank_topk_with_queries(

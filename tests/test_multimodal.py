@@ -242,6 +242,27 @@ def test_frame_sample_real_sampling_math():
     assert [s["frame_idx"] for s in dense] == [0, 0, 1, 1, 2, 3, 3, 4, 4]
 
 
+def test_sub_millisecond_frame_interval_never_divides_by_zero():
+    """An AVI with dwMicroSecPerFrame < 1000 decodes with frame_ms
+    clamped to 1 — frame_sample's `t // frame_ms` must not raise, so
+    one hostile header can't kill a whole Spark task (ADVICE r9)."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_video,
+        encode_avi,
+        frame_sample,
+    )
+
+    w, h = 2, 2
+    avi = bytearray(encode_avi(w, h, [bytes(12), bytes(12)], frame_ms=40))
+    # rewrite avih dwMicroSecPerFrame (first DWORD of the avih body)
+    at = avi.index(b"avih") + 8
+    avi[at:at + 4] = (500).to_bytes(4, "little")  # 0.5ms/frame
+    v = decode_video(bytes(avi))
+    assert v["frame_ms"] == 1
+    got = frame_sample(bytes(avi), every_ms=1)
+    assert [s["frame_idx"] for s in got] == [0, 1]
+
+
 def test_decode_video_rejects_non_avi_and_compressed():
     import pytest as _pytest
 
