@@ -80,8 +80,14 @@ class RollupView:
 
     # -- maintenance ---------------------------------------------------------
 
-    def _folded_version(self) -> int:
-        snap = self.table.snapshot()
+    # Token-chain bound: _folded_version only needs the NEWEST fact:vN
+    # token, so each refresh carries just this many parent tokens
+    # forward — without it the view manifest grows O(#refreshes) over a
+    # long-running maintenance loop (the ADVICE-r5 keep_tokens valve,
+    # which ADVICE r9 flagged this module had not applied to itself).
+    KEEP_TOKENS = 8
+
+    def _folded_version(self, snap) -> int:
         done = [
             int(tok.rsplit(":v", 1)[1])
             for tok in (snap.batch_tokens if snap else [])
@@ -89,28 +95,49 @@ class RollupView:
         ]
         return max(done, default=0)
 
-    def refresh(self, fact: SnapshotTable):
+    def refresh(self, fact: SnapshotTable, max_retries: int = 5):
         """Fold fact commits ``(last_folded, latest]`` into the view.
-        Returns the view's snapshot (unchanged on no-op/replay)."""
-        cur_v = fact._latest_version()
-        snap = self.table.snapshot()
-        last = self._folded_version()
-        if cur_v <= last:
-            return snap  # nothing new, or a replayed refresh
-        token = f"fact:v{cur_v}"
-        try:
-            delta = fact.changes(last, cur_v)
-            full = snap is None
-        except ValueError:  # rewrite commit in range → one full rebuild
-            delta, full = fact.read(cur_v), True
-        if full:
-            return self.table.overwrite(
-                self._partials(delta), batch_token=token
-            )
-        folded = self._fold(self.table.read(), self._partials(delta))
-        # The view is group-keys-sized: a full rewrite of it per refresh
-        # is the cheap side of the trade (vs. re-scanning the fact).
-        return self.table.overwrite(folded, batch_token=token)
+        Returns the view's snapshot (unchanged on no-op/replay).
+
+        The fold is a read-merge-overwrite, so the commit is ANCHORED
+        on the view version the state was read at (ADVICE r9): two
+        concurrent refreshes can't both succeed with one silently
+        dropping the other's fold — the loser collides, re-reads, and
+        either no-ops (the winner already folded its fact range) or
+        re-merges against the winner's state."""
+        for _ in range(max_retries):
+            cur_v = fact._latest_version()
+            snap = self.table.snapshot()
+            last = self._folded_version(snap)
+            if cur_v <= last:
+                return snap  # nothing new, or a replayed refresh
+            token = f"fact:v{cur_v}"
+            try:
+                delta = fact.changes(last, cur_v)
+                full = snap is None
+            except ValueError:  # rewrite commit in range → one full rebuild
+                delta, full = fact.read(cur_v), True
+            if full:
+                folded = self._partials(delta)
+            else:
+                folded = self._fold(
+                    self.table.read(snap.version), self._partials(delta)
+                )
+            # The view is group-keys-sized: a full rewrite of it per
+            # refresh is the cheap side of the trade (vs. re-scanning
+            # the fact).
+            try:
+                return self.table.overwrite(
+                    folded,
+                    batch_token=token,
+                    keep_tokens=self.KEEP_TOKENS,
+                    parent_version=snap.version if snap else 0,
+                )
+            except FileExistsError:
+                continue  # a racing refresh committed first: re-resolve
+        raise RuntimeError(
+            f"refresh lost the commit race {max_retries} times"
+        )
 
     # -- serving -------------------------------------------------------------
 

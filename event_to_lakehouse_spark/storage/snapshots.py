@@ -204,6 +204,15 @@ class SnapshotTable:
             int(p.stem[1:]) for p in (self.root / "meta").glob("v*.json")
         )
 
+    def row_count(self, version: int | None = None) -> int:
+        """Rows in the snapshot, from manifest per-file stats — a pure
+        metadata read (no data files touched). This is the count a
+        100 TB consumer (e.g. Bloom-bitmap sizing) must use instead of
+        a fresh ``read().count()`` scan; Iceberg serves the same number
+        from its manifest ``record_count`` fields."""
+        snap = self.snapshot(version)
+        return 0 if snap is None else sum(f["rows"] for f in snap.files)
+
     def _commit(
         self,
         files: list[dict],
@@ -546,6 +555,7 @@ class SnapshotTable:
         df: DataFrame,
         keep_tokens: bool | int = True,
         batch_token: str | None = None,
+        parent_version: int | None = None,
     ) -> Snapshot:
         """Commit a snapshot containing ONLY ``df`` (logical truncate +
         load). Old files stay on disk for time travel until vacuum.
@@ -564,7 +574,16 @@ class SnapshotTable:
         re-delivers batches at-or-after its last committed offset, so a
         token older than the horizon can never be presented again.
         ``batch_token`` joins the carried chain (replay of an
-        already-applied token is a no-op, as in ``append``)."""
+        already-applied token is a no-op, as in ``append``).
+
+        ``parent_version`` anchors the commit: unlike appends (which
+        commute), an overwrite whose CONTENT was derived from a read of
+        the table — a read-merge-overwrite like ``BloomIndex.add_batch``
+        or ``RollupView.refresh`` — silently drops a racer's merge if
+        it resolves the parent at commit time. Passing the version the
+        content was derived from makes the racing loser collide
+        (``FileExistsError``) so it can re-read, re-merge and retry
+        instead of manufacturing a lost update."""
         parent = self.snapshot()
         if parent and keep_tokens:
             tokens = list(parent.batch_tokens)
@@ -582,7 +601,10 @@ class SnapshotTable:
         # allowed here — the snapshot holds only df's rows); prior
         # snapshots keep their own pinned schema for time travel.
         return self._commit(
-            self._file_entries(commit_dir), tokens, schema=df.schema.jsonValue()
+            self._file_entries(commit_dir),
+            tokens,
+            parent_version,
+            schema=df.schema.jsonValue(),
         )
 
     # -- write-audit-publish (staged commits) --------------------------------

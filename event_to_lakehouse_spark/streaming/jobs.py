@@ -387,6 +387,7 @@ def bloom_admission_stream(
     checkpoint: str,
     m_bits: int = 1 << 20,
     available_now: bool = True,
+    size_from_root: str | None = None,
 ):
     """Streaming admission filter — the ingest topology of
     ``dedup.bloom.BloomIndex``: each arriving micro-batch is probed
@@ -412,12 +413,25 @@ def bloom_admission_stream(
 
     ``m_bits`` sizes the bitmap on FIRST use only (then the geometry
     sidecar pins it); default 2^20 bits = 128 KiB ≈ 175k held keys at
-    the module's 6-bit/key operating point."""
+    the module's 6-bit/key operating point. When the bloom fronts an
+    existing durable index, pass that index's SnapshotTable root as
+    ``size_from_root`` and the geometry comes from its MANIFEST row
+    stats instead (``BloomIndex.for_table`` — a metadata read, never a
+    fact-scale count)."""
     from ..dedup.bloom import BloomIndex
     from ..functions.text import fingerprint
 
     def _write(batch_df, batch_id: int) -> None:
-        idx = BloomIndex(batch_df.sparkSession, index_root, m_bits=m_bits)
+        if size_from_root is not None:
+            from ..storage.snapshots import SnapshotTable
+
+            idx = BloomIndex.for_table(
+                batch_df.sparkSession,
+                index_root,
+                SnapshotTable(batch_df.sparkSession, size_from_root),
+            )
+        else:
+            idx = BloomIndex(batch_df.sparkSession, index_root, m_bits=m_bits)
         snap = idx.table.snapshot()
         if snap is not None and f"b{batch_id}" in snap.batch_tokens:
             return  # replay of a fully-committed batch: verdicts stand

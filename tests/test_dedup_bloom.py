@@ -59,17 +59,39 @@ def test_bitmap_is_word_bounded(spark):
 
 
 def test_probe_plan_is_broadcast_only(spark):
-    """The probe side must never shuffle the bitmap or the verdicts:
-    both joins in bloom_maybe are broadcast-hash, so at 100 TB the
-    arriving batch is filtered where it already sits."""
+    """The probe side must never shuffle, aggregate, or re-broadcast
+    anything batch-sized: bloom_maybe is k broadcast-hash joins of the
+    (word-scale) bitmap against the probe scan with an inline AND
+    verdict — no explode, no groupBy on probe keys, no verdict rejoin
+    (ADVICE r9: the old shape broadcast the whole batch's key set)."""
     held = _keys(spark, "held-", 200)
     m = bloom_bits(200)
     words = build_bloom(held, "k", m)
     plan = bloom_maybe(
         _keys(spark, "new-", 200), "k", words, m
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") == K_HASHES
     assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(k#" not in plan  # probe keys never shuffle
+
+
+def test_stored_probe_plan_has_no_aggregate_or_shuffle(spark, tmp_dir):
+    """Against a STORED bitmap (the production probe: BloomIndex on
+    disk) the whole probe plan is scan + k broadcast joins + project —
+    zero exchanges, zero aggregates of any scale."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+
+    idx = BloomIndex(spark, f"{tmp_dir}/bfplan", m_bits=bloom_bits(200))
+    idx.add_batch(_keys(spark, "held-", 200), "k", batch_token="b1")
+    plan = (
+        idx.probe(_keys(spark, "new-", 200), "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == K_HASHES
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_gauge_invariants_on_documents(spark):
@@ -128,6 +150,69 @@ def test_bloom_index_reopen_replay_and_geometry(spark, tmp_dir):
 
     with _pytest.raises(ValueError):
         BloomIndex(spark, f"{tmp_dir}/bf2", m_bits=m * 2)
+
+
+def test_bloom_add_batch_anchored_merge_survives_race(spark, tmp_dir):
+    """The ADVICE-r9 lost-update window: a writer that read the bitmap
+    at version N must NOT commit over a racer's version N+1 merge —
+    that would drop the racer's bits and manufacture false negatives.
+    The anchored overwrite makes the stale writer collide and re-merge;
+    the final bitmap must equal one build over all three batches, and
+    every batch's keys must still probe as maybe."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+
+    m = bloom_bits(600)
+    root = f"{tmp_dir}/bfrace"
+    idx = BloomIndex(spark, root, m_bits=m)
+    idx.add_batch(_keys(spark, "a-", 200), "k", batch_token="a")
+
+    real_snapshot = idx.table.snapshot
+    state = {"interleaved": False}
+
+    def racy_snapshot(*args, **kwargs):
+        s = real_snapshot(*args, **kwargs)
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # another writer merges batch C AFTER we resolved our parent
+            BloomIndex(spark, root).add_batch(
+                _keys(spark, "c-", 200), "k", batch_token="c"
+            )
+        return s
+
+    idx.table.snapshot = racy_snapshot
+    try:
+        idx.add_batch(_keys(spark, "b-", 200), "k", batch_token="b")
+    finally:
+        idx.table.snapshot = real_snapshot
+
+    union = (
+        _keys(spark, "a-", 200)
+        .unionAll(_keys(spark, "b-", 200))
+        .unionAll(_keys(spark, "c-", 200))
+    )
+    got = {(r.word_idx, r.word) for r in idx._stored().collect()}
+    want = {(r.word_idx, r.word) for r in build_bloom(union, "k", m).collect()}
+    assert got == want  # no batch's bits were dropped
+    assert idx.probe(union, "k").filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_index_sized_from_manifest_stats(spark, tmp_dir):
+    """BloomIndex.for_table derives its geometry from the source
+    table's manifest row stats — identical to sizing from a count, with
+    no data files read — and reopening through for_table adopts the
+    pinned sidecar geometry."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    src = SnapshotTable(spark, f"{tmp_dir}/src")
+    src.append(_keys(spark, "h-", 350))
+    assert src.row_count() == 350
+    idx = BloomIndex.for_table(spark, f"{tmp_dir}/bf4", src)
+    assert idx.m_bits == bloom_bits(350)
+    idx.add_batch(src.read(), "k", batch_token="b1")
+    re = BloomIndex.for_table(spark, f"{tmp_dir}/bf4", src)  # reopen
+    assert re.m_bits == idx.m_bits
+    assert re.probe(src.read(), "k").filter(~F.col("bloom_maybe")).count() == 0
 
 
 def test_bloom_index_empty_probe(spark, tmp_dir):

@@ -80,6 +80,66 @@ def test_refresh_is_replay_safe(spark, tmp_dir):
     assert view.table.snapshot().version == v
 
 
+def test_concurrent_refresh_race_loses_no_fold(spark, tmp_dir):
+    """ADVICE r9: two concurrent refreshes must not both 'succeed' with
+    the second silently dropping the first's fold. The anchored commit
+    makes the stale refresher collide; on re-resolve it sees the fact
+    version already folded and no-ops — the view still equals the
+    recompute and carries exactly one fold commit for that range."""
+    orders = _orders(spark)
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    root = f"{tmp_dir}/view"
+    view = RollupView(
+        spark, root, keys=["o_orderstatus"], sums=["o_totalprice"]
+    )
+    fact.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    view.refresh(fact)
+    fact.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+
+    real_snapshot = view.table.snapshot
+    state = {"interleaved": False}
+
+    def racy_snapshot(*args, **kwargs):
+        s = real_snapshot(*args, **kwargs)
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            # a racing maintenance job folds the same delta first
+            RollupView(
+                spark, root, keys=["o_orderstatus"], sums=["o_totalprice"]
+            ).refresh(fact)
+        return s
+
+    view.table.snapshot = racy_snapshot
+    try:
+        view.refresh(fact)
+    finally:
+        view.table.snapshot = real_snapshot
+
+    assert _got(view) == _expected(orders)  # nothing double- or un-folded
+    toks = view.table.snapshot().batch_tokens
+    assert len([t for t in toks if t == f"fact:v{fact._latest_version()}"]) == 1
+
+
+def test_refresh_token_chain_is_bounded(spark, tmp_dir):
+    """Each refresh carries at most KEEP_TOKENS parent tokens (ADVICE
+    r9: unbounded carry grew the manifest O(#refreshes)); replay
+    protection only needs the newest fact:vN, which survives."""
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark, f"{tmp_dir}/view", keys=["o_orderstatus"], sums=["o_totalprice"]
+    )
+    orders = _orders(spark)
+    for i in range(RollupView.KEEP_TOKENS + 4):
+        fact.append(orders.filter(F.col("o_orderkey") % 16 == i))
+        view.refresh(fact)
+    toks = view.table.snapshot().batch_tokens
+    assert len(toks) <= RollupView.KEEP_TOKENS + 1
+    assert f"fact:v{fact._latest_version()}" in toks
+    v = view.table.snapshot().version
+    view.refresh(fact)  # replay: still a no-op under the bounded chain
+    assert view.table.snapshot().version == v
+
+
 def test_rewrite_commit_triggers_full_rebuild(spark, tmp_dir):
     """A COW merge in the fact's unfolded range can't be folded as
     inserts — the refresh must fall back to one full rebuild and still

@@ -909,3 +909,41 @@ def test_bloom_admission_stream_cross_batch(spark, tmp_dir):
         for r in spark.read.parquet(f"{tmp_dir}/out").collect()
     }
     assert got2 == got
+
+
+def test_bloom_admission_stream_sized_from_index_manifests(spark, tmp_dir):
+    """When the bloom fronts an existing durable index, its geometry
+    comes from that index's manifest row stats (size_from_root →
+    BloomIndex.for_table) — no caller-supplied m_bits, no count scan."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex, bloom_bits
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import bloom_admission_stream
+
+    held = SnapshotTable(spark, f"{tmp_dir}/heldidx")
+    held.append(
+        spark.range(700).select(F.concat(F.lit("fp"), "id").alias("fp"))
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = Path(tmp_dir) / "docs"
+    src.mkdir()
+    (src / "b0.json").write_text(_json.dumps({"doc_id": 1, "text": "alpha"}))
+    stream = spark.readStream.format("json").schema(schema).load(str(src))
+    q = bloom_admission_stream(
+        stream,
+        index_root=f"{tmp_dir}/bloomidx",
+        out_path=f"{tmp_dir}/out",
+        checkpoint=f"{tmp_dir}/ckpt",
+        size_from_root=f"{tmp_dir}/heldidx",
+    )
+    q.awaitTermination(120)
+    idx = BloomIndex(spark, f"{tmp_dir}/bloomidx")
+    assert idx.m_bits == bloom_bits(held.row_count())  # manifest-sized
