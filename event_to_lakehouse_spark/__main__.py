@@ -71,11 +71,13 @@ def _cmd_refresh_rollup(args) -> int:
         args.view,
         keys=[c for c in args.keys.split(",") if c],
         sums=[c for c in args.sums.split(",") if c],
+        mins=[c for c in args.mins.split(",") if c],
+        maxs=[c for c in args.maxs.split(",") if c],
     )
     snap = view.refresh(fact)
     print(
         f"[OK] view at v{snap.version if snap else 0}, "
-        f"folded through fact v{view._folded_version()}"
+        f"folded through fact v{view._folded_version(view.table.snapshot())}"
     )
     return 0
 
@@ -274,6 +276,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--view", required=True, help="view SnapshotTable root")
     s.add_argument("--keys", required=True, help="comma-separated group keys")
     s.add_argument("--sums", default="", help="comma-separated sum measures")
+    s.add_argument("--mins", default="", help="comma-separated min measures")
+    s.add_argument("--maxs", default="", help="comma-separated max measures")
     s.set_defaults(fn=_cmd_refresh_rollup)
 
     s = sub.add_parser("compact", help="bin-pack small parquet files")

@@ -883,6 +883,64 @@ class SnapshotTable:
             return self._read_files([ref.paths[0]], schema).limit(0)
         return self._read_files(added, schema)
 
+    def change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED scan: the net ``(+/-)`` row stream between
+        two versions — rows carry the table schema plus ``_change``
+        (``'+'`` applied row, ``'-'`` retracted pre-image). Append
+        commits contribute their added rows as ``'+'`` (manifest-only,
+        no sidecar needed); ``apply_changes(changelog=True)`` commits
+        contribute their recorded retraction sidecar; any other rewrite
+        in the range (compaction, plain ``merge``, a CDC commit without
+        its sidecar) raises ValueError — the consumer must full-refresh
+        across it, exactly like ``changes``. This is the primitive that
+        lets a delete-aware incremental consumer (``RollupView``) fold
+        U/D commits as retractions instead of rebuilding."""
+        latest = self._latest_version()
+        if latest == 0:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        to_v = latest if to_version is None else to_version
+        if not 0 <= from_version <= to_v <= latest:
+            raise ValueError(
+                f"bad version range [{from_version}, {to_v}] (latest {latest})"
+            )
+        prev = self.snapshot(from_version) if from_version > 0 else None
+        prev_paths = set(prev.paths) if prev else set()
+        frames: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            snap = self.snapshot(v)
+            cur_paths = set(snap.paths)
+            clog = self.root / "changelog" / f"v{v}"
+            if clog.exists():
+                frames.append(self.spark.read.parquet(str(clog)))
+            elif prev_paths - cur_paths:
+                raise ValueError(
+                    f"v{v} is a rewrite commit with no changelog sidecar; "
+                    "the feed cannot express it — full-refresh across it "
+                    "or commit via apply_changes(changelog=True)"
+                )
+            else:
+                added = [p for p in snap.paths if p not in prev_paths]
+                if added:
+                    frames.append(
+                        self._read_files(added, snap.schema).withColumn(
+                            "_change", F.lit("+")
+                        )
+                    )
+            prev_paths = cur_paths
+        if not frames:
+            ref = self.snapshot(to_v) or self.snapshot()
+            return (
+                self._read_files([ref.paths[0]], ref.schema)
+                .withColumn("_change", F.lit("+"))
+                .limit(0)
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def merge(
         self,
         updates: DataFrame,
@@ -986,6 +1044,7 @@ class SnapshotTable:
         tiebreak: str | None = None,
         batch_token: str | None = None,
         keep_tokens: bool | int = True,
+        changelog: bool = False,
     ) -> Snapshot:
         """CDC APPLY: one commit applying a change-log batch — rows
         tagged ``'I'``/``'U'`` in ``op_col`` upsert latest-wins, rows
@@ -993,6 +1052,20 @@ class SnapshotTable:
         ``APPLY CHANGES INTO`` / Iceberg ``MERGE`` shape; the
         reference's blind-append sink has no delete path at all —
         ``bronze_assets_to_silver_assets.py:277``).
+
+        ``changelog=True`` additionally records the commit's net
+        retraction stream (the Delta CHANGE DATA FEED shape, opt-in
+        exactly as Delta's ``enableChangeDataFeed``): one ``'-'`` row
+        per replaced-or-deleted pre-image and one ``'+'`` row per
+        applied upsert, under ``changelog/v{N}/``. ``change_feed``
+        replays it, which is what lets an incremental consumer (e.g.
+        ``RollupView``) fold a delete-bearing commit as retractions
+        instead of a full rebuild. Volume is changed-keys-sized; the
+        pre-images come from the touched files the merge already read.
+        The sidecar is written AFTER the manifest commit — a crash
+        between the two leaves a feed gap, which ``change_feed``
+        surfaces as ValueError (consumers fall back to a rebuild, never
+        to silently wrong deltas).
 
         Semantics: the per-key verdict is the NEWEST change in the
         batch by ``order_col`` (ties broken by ``tiebreak``, falling
@@ -1045,6 +1118,7 @@ class SnapshotTable:
             ]
             untouched = [f for f in snap.files if f not in touched]
         evolved = self._evolve(snap.schema, upserts)
+        pre_images = None
         if touched:
             base = self._read_files([f["path"] for f in touched], snap.schema)
             kept = base.join(del_keys, key, "left_anti")
@@ -1054,6 +1128,13 @@ class SnapshotTable:
                 order_col,
                 tiebreak,
             )
+            if changelog:
+                # pre-images: every base row whose key the batch touched
+                # (replaced by an upsert or removed by a delete) — read
+                # from the SAME touched files the merge rewrites.
+                pre_images = base.join(
+                    net.select(key).distinct(), key, "semi"
+                )
         else:
             merged = upserts
         commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
@@ -1063,12 +1144,21 @@ class SnapshotTable:
             tokens = tokens[-int(keep_tokens):] if keep_tokens else []
         if batch_token is not None:
             tokens.append(batch_token)
-        return self._commit(
+        committed = self._commit(
             untouched + self._file_entries(commit_dir),
             tokens,
             snap.version,
             schema=evolved,
         )
+        if changelog:
+            feed = upserts.withColumn("_change", F.lit("+"))
+            if pre_images is not None:
+                feed = pre_images.withColumn("_change", F.lit("-")).unionByName(
+                    feed, allowMissingColumns=True
+                )
+            clog = self.root / "changelog" / f"v{committed.version}"
+            feed.write.mode("overwrite").parquet(str(clog))
+        return committed
 
     def delete_where(self, predicate) -> Snapshot:
         """Copy-on-write row-level DELETE: files whose stats range

@@ -80,6 +80,136 @@ def test_refresh_is_replay_safe(spark, tmp_dir):
     assert view.table.snapshot().version == v
 
 
+def test_cdc_refresh_folds_feed_not_rebuild(spark, tmp_dir):
+    """A delete/upsert commit recorded via apply_changes(changelog=True)
+    must maintain the view through the RETRACTION fold (count/sum
+    signed, min/max per affected group), not a full rebuild — pinned by
+    spying on the fold paths — and still equal the recompute, including
+    a group migration and a fully-deleted group dropping out."""
+    orders = _orders(spark).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    ).drop("o_totalprice")
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark,
+        f"{tmp_dir}/view",
+        keys=["o_orderstatus"],
+        sums=["cents"],
+        mins=["cents"],
+        maxs=["cents"],
+    )
+    fact.append(orders)
+    view.refresh(fact)
+
+    k = F.col("o_orderkey")
+    upd = (
+        orders.filter(k % 5 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))  # group migration
+        .withColumn("cents", F.col("cents") + 700)
+        .withColumn("_op", F.lit("U"))
+    )
+    dels = orders.filter((k % 5 != 0) & (k % 2 == 0)).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("long").alias("cents"),
+        F.lit("D").alias("_op"),
+    )
+    fact.apply_changes(
+        upd.unionByName(dels),
+        key="o_orderkey",
+        order_col="cents",
+        changelog=True,
+    )
+
+    paths = {"feed": 0, "rebuild": 0}
+    real_fold_feed, real_partials = view._fold_feed, view._partials
+
+    def spy_feed(*a, **kw):
+        paths["feed"] += 1
+        return real_fold_feed(*a, **kw)
+
+    view._fold_feed = spy_feed
+    view.refresh(fact)
+    view._fold_feed = real_fold_feed
+    assert paths["feed"] == 1  # the CDC commit folded, not rebuilt
+
+    got = {
+        (r.o_orderstatus, r.n_rows, r.sum_cents, r.min_cents, r.max_cents)
+        for r in view.read().collect()
+    }
+    want = {
+        (r.o_orderstatus, r.n_rows, r.sum_cents, r.min_cents, r.max_cents)
+        for r in fact.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert view.equals_recompute(fact)
+    del real_partials
+
+
+def test_minmax_fold_under_appends_uses_least_greatest(spark, tmp_dir):
+    """Insert-only refreshes maintain min/max by folding partials —
+    equal to the recompute across a multi-commit catch-up. (Measure on
+    the integer cents grid so the exact-compare audit can't split on
+    double summation order.)"""
+    orders = _orders(spark).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    ).drop("o_totalprice")
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark,
+        f"{tmp_dir}/view",
+        keys=["o_orderstatus"],
+        sums=["cents"],
+        mins=["cents"],
+        maxs=["cents"],
+    )
+    fact.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    view.refresh(fact)
+    fact.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    view.refresh(fact)
+    assert view.equals_recompute(fact)
+
+
+def test_change_feed_contents_and_gap_handling(spark, tmp_dir):
+    """change_feed: appends emit '+', a CDC commit emits its recorded
+    -pre-image/+post-image pairs, and a rewrite WITHOUT a sidecar
+    (plain merge) raises instead of yielding a silently wrong delta."""
+    import pytest as _pytest
+
+    orders = _orders(spark).limit(100)
+    t = SnapshotTable(spark, f"{tmp_dir}/t")
+    t.append(orders)
+    v1 = t.snapshot().version
+    upd = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("_op", F.lit("U"))
+    )
+    t.apply_changes(upd, key="o_orderkey", order_col="o_totalprice",
+                    changelog=True)
+    feed = t.change_feed(0).collect()
+    n_upd = upd.count()
+    plus = [r for r in feed if r._change == "+"]
+    minus = [r for r in feed if r._change == "-"]
+    assert len(minus) == n_upd  # one pre-image per replaced key
+    assert len(plus) == 100 + n_upd  # initial append + post-images
+    # net replay of the feed == the table's current state
+    assert t.change_feed(v1).count() == 2 * n_upd
+
+    t.merge(upd.drop("_op"), key="o_orderkey", order_col="o_totalprice")
+    with _pytest.raises(ValueError, match="changelog"):
+        t.change_feed(0)
+
+
 def test_concurrent_refresh_race_loses_no_fold(spark, tmp_dir):
     """ADVICE r9: two concurrent refreshes must not both 'succeed' with
     the second silently dropping the first's fold. The anchored commit
