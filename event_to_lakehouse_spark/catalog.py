@@ -127,7 +127,23 @@ FINAL_CATALOG: list[str] = [
     # master registry, pytest-pinned.
     "dedup_minhash_lsh_portable",
     "dedup_simhash_pairs_portable",
-    "dedup_embedding_neardup",
+    # r10 swap: ann_pq_trained_adc_topk in, dedup_embedding_neardup
+    # retired (multi-sibling containment: its blocked-pair generation —
+    # posexplode block keys -> hash-partitioned equi self-join ->
+    # DISTINCT -> re-fetch scoring joins — is the IDENTICAL shape of
+    # the seated dedup_minhash_lsh_portable's band-bucket pipeline,
+    # and its hyperplane bucket math is the same lsh_bucket expression
+    # the seated ann_lsh_bucketed_topk value-checks, table 0
+    # bit-identical; the retired entry stays registry+pytest+oracle-
+    # green with its auto_n_bits scaling still parity-checked at every
+    # SF). The promoted entry brings the one plan family NO seat
+    # exercises: an ITERATIVE integer-grid Lloyd trainer — chained
+    # assignment argmin via struct-min over zip_with BIGINT distances,
+    # posexplode centroid update folded through exact integer division,
+    # empty-cell coalesce carry — feeding the certified encode->LUT->
+    # ADC pipeline, with every iteration value-checked by chained CTEs
+    # (the graph_pagerank_parts discipline applied to vector training).
+    "ann_pq_trained_adc_topk",
     "ann_lsh_bucketed_topk",
     "text_decontaminate",
     "multimodal_features",
@@ -179,7 +195,17 @@ FINAL_CATALOG: list[str] = [
     # broadcast per-query LUT join on (subspace, code), and the
     # integer-micro-grid ADC sum. The retired entry stays
     # registry+pytest+oracle-green.)
-    "ann_pq_rerank_topk",
+    # r10 swap: ann_ivfpq_index_persisted in, ann_pq_rerank_topk
+    # retired (STRICT containment: the persisted serve runs the
+    # IDENTICAL codebook -> encode -> broadcast-LUT -> integer-grid ADC
+    # -> _exact_rerank pipeline — _exact_rerank is literally the same
+    # shared function — and ADDS the coarse-quantizer cell probe, the
+    # candidate-restriction join, and the durable-index path no ANN
+    # seat certified: quantizer commits pinned at build, TWO
+    # exactly-once batch appends, and serving entirely from
+    # SnapshotTable artifacts. The retired entry stays
+    # registry+pytest+oracle-green.)
+    "ann_ivfpq_index_persisted",
     "events_interval_islands",
     "gold_scd2_history",
     "quality_constraints",

@@ -43,7 +43,41 @@ from pyspark.sql.window import Window
 
 from ..storage.snapshots import SnapshotTable
 
-__all__ = ["IVFIndex"]
+__all__ = ["IVFIndex", "rank_against_centroids"]
+
+
+def rank_against_centroids(
+    vectors: DataFrame, cent: DataFrame, top: int
+) -> DataFrame:
+    """(vec_id, embedding, _norm, cent_id, crank<=top): each vector
+    ranked against the broadcast centroid table (cent_id, c_emb,
+    c_norm) — partition-local broadcast-NL + per-row window; the SAME
+    math (round(cos, 6) desc, cent_id tiebreak) as ``ann.ivf_affinity``
+    so every IVF flavor assigns identically. Shared by ``IVFIndex`` and
+    ``IVFPQIndex``."""
+    from ..functions.vectors import dot, l2_norm
+
+    v = vectors.select("vec_id", "embedding").withColumn(
+        "_norm", l2_norm("embedding")
+    )
+    denom = F.col("_norm") * F.col("c_norm")
+    c_cos = F.when(denom > 0, dot("embedding", "c_emb") / denom)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cent_id")
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "_norm",
+            "cent_id",
+            F.round(c_cos, 6).alias("c_cos"),
+        )
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= top)
+        .drop("c_cos")
+    )
 
 
 class IVFIndex:
@@ -67,25 +101,31 @@ class IVFIndex:
         corpus: DataFrame,
         cent_stride: int = 50,
         batch_token: str = "build",
+        centroids: list[list[float]] | None = None,
     ) -> "IVFIndex":
         """Create the index over ``corpus`` (vec_id, embedding).
-        Centroids are the deterministic every-``cent_stride``-th-vector
-        sample — same coarse quantizer as ``ann_ivf_topk`` (swap in
-        k-means centroids via ``ann.kmeans_step`` for production
-        recall; every plan shape below is centroid-source-agnostic)."""
+        Centroids default to the deterministic every-``cent_stride``-th-
+        vector sample — same coarse quantizer as ``ann_ivf_topk``; pass
+        ``centroids`` (e.g. the matrix ``ann.kmeans_fit`` returns) to
+        build on a Lloyd-FITTED quantizer instead — every plan shape
+        below is centroid-source-agnostic, and the fitted flavor's
+        recall gain is pinned in tests/test_incremental.py."""
         from ..functions.vectors import l2_norm
 
         idx = cls(spark, root)
         if idx.n_centroids is not None:
             raise ValueError(f"index already built at {root}")
-        cent = (
-            corpus.filter(F.col("vec_id") % cent_stride == 0)
-            .select(
+        if centroids is not None:
+            cent = spark.createDataFrame(
+                [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+                "cent_id BIGINT, c_emb ARRAY<DOUBLE>",
+            ).withColumn("c_norm", l2_norm("c_emb"))
+        else:
+            cent = corpus.filter(F.col("vec_id") % cent_stride == 0).select(
                 F.col("vec_id").alias("cent_id"),
                 F.col("embedding").alias("c_emb"),
                 l2_norm("embedding").alias("c_norm"),
             )
-        )
         idx.centroids_table.append(cent, batch_token=batch_token)
         idx.n_centroids = idx.centroids_table.read().count()
         (idx.root / "index.json").write_text(
@@ -100,31 +140,8 @@ class IVFIndex:
         return self.centroids_table.read()
 
     def _affinity(self, vectors: DataFrame, top: int) -> DataFrame:
-        """(vec_id, embedding, _norm, cent_id, crank<=top): each vector
-        ranked against the broadcast centroid set — partition-local."""
-        from ..functions.vectors import dot, l2_norm
-
-        v = vectors.select("vec_id", "embedding").withColumn(
-            "_norm", l2_norm("embedding")
-        )
-        denom = F.col("_norm") * F.col("c_norm")
-        c_cos = F.when(denom > 0, dot("embedding", "c_emb") / denom)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("c_cos").desc(), F.col("cent_id")
-        )
-        return (
-            v.crossJoin(F.broadcast(self._centroids()))
-            .select(
-                "vec_id",
-                "embedding",
-                "_norm",
-                "cent_id",
-                F.round(c_cos, 6).alias("c_cos"),
-            )
-            .withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= top)
-            .drop("c_cos")
-        )
+        """See :func:`rank_against_centroids` (shared assignment math)."""
+        return rank_against_centroids(vectors, self._centroids(), top)
 
     # -- API ----------------------------------------------------------------
 

@@ -1,0 +1,275 @@
+"""Durable IVF+PQ+refine index — the persisted form of the composed
+``ann_ivfpq_topk`` batch stack (``similarity/pq.py``), completing the
+durable-index family (NearDup / ExactDedup / Bloom / IVF / PQ / this).
+
+The batch entry proves the math; this class makes it a SERVING artifact
+with the lakehouse contracts the other indexes carry: quantizers pinned
+at build, per-batch exactly-once appends, replay no-ops, maintain()
+compaction, and a probe whose cost tracks the PROBED CELLS — not the
+corpus — as the index grows (the property SCALING.md measures).
+
+Layout (SnapshotTables under ``root``):
+
+- ``centroids``: (cent_id, c_emb, c_norm) — the coarse quantizer,
+  written ONCE at build (stride sample or a Lloyd-fitted matrix).
+- ``codebook``: the PQ subspace centroids, written ONCE at build
+  (seed rows, or ``train_iters`` Lloyd iterations — a moving codebook
+  would mix incomparable codes, same pinning rule as ``PQIndex``).
+- ``codes``: (vec_id, cent_id, j, code) — each indexed vector's cell
+  plus its PQ_M 4-bit-capable codes: ~6 bytes of index state per
+  vector instead of the 256-byte embedding.
+
+Serving plan (the 100 TB case, all three FAISS stages multiplying):
+queries rank against the broadcast centroid table and probe their
+``n_probe`` cells; the codes scan is semi-filtered to probed cells
+(cell-clustered files + zone maps prune it further after
+``maintain()``); ADC scores the survivors via broadcast per-query LUTs
+without touching any embedding; only the per-query shortlist re-reads
+full vectors for the exact re-rank. Nothing corpus-sized shuffles or
+broadcasts in any stage.
+
+Reference parity note: the reference pipeline (6 files) has no vector
+search at all — this tier fills the ABSENT-at-scale gap the brief's
+LLM-data-pipeline section names, re-expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..storage.snapshots import SnapshotTable
+from .ann import CENT_STRIDE, N_PROBE
+from .ivf_index import rank_against_centroids
+from .pq import (
+    PQ_K,
+    PQ_M,
+    PQ_SHORTLIST,
+    PQ_TOPK,
+    _d2_micro,
+    _exact_rerank,
+    _sub_explode,
+    pq_codebook,
+    pq_codebook_trained,
+    pq_encode,
+)
+
+__all__ = ["IVFPQIndex"]
+
+
+class IVFPQIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.centroids_table = SnapshotTable(spark, str(self.root / "centroids"))
+        self.codebook_table = SnapshotTable(spark, str(self.root / "codebook"))
+        self.codes_table = SnapshotTable(spark, str(self.root / "codes"))
+        meta = self.root / "index.json"
+        self.n_centroids = (
+            json.loads(meta.read_text())["n_centroids"] if meta.exists() else None
+        )
+
+    # -- build: train & pin the quantizers (no data rows) --------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        root: str,
+        train: DataFrame,
+        cent_stride: int = CENT_STRIDE,
+        train_iters: int = 0,
+    ) -> "IVFPQIndex":
+        """Train and pin BOTH quantizers from ``train`` (vec_id,
+        embedding) — the coarse centroids (deterministic stride sample;
+        swap in ``ann.kmeans_fit`` output via ``IVFIndex``'s pattern for
+        fitted cells) and the PQ codebook (seed rows, or Lloyd-trained
+        when ``train_iters > 0``). No data rows are indexed here —
+        ``add_batch`` streams those in, so the quantizer-training corpus
+        and the indexed corpus are decoupled exactly as in a production
+        ANN deployment (train on a sample, index the firehose)."""
+        from ..functions.vectors import l2_norm
+
+        idx = cls(spark, root)
+        if idx.n_centroids is not None:
+            raise ValueError(f"index already built at {root}")
+        # validate the codebook BEFORE committing anything, so a bad
+        # training frame can't leave a half-built index on disk
+        cb = (
+            pq_codebook_trained(train, train_iters)
+            if train_iters
+            else pq_codebook(train)
+        ).localCheckpoint()
+        n = cb.count()
+        if n != PQ_M * PQ_K:
+            raise ValueError(
+                f"codebook trained with {n} entries, expected "
+                f"{PQ_M * PQ_K}: the training frame must contain the "
+                f"vec_id < {PQ_K} seed rows"
+            )
+        cent = train.filter(F.col("vec_id") % cent_stride == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+        )
+        idx.centroids_table.append(cent, batch_token="build")
+        idx.codebook_table.append(cb, batch_token="build")
+        idx.n_centroids = idx.centroids_table.read().count()
+        (idx.root / "index.json").write_text(
+            json.dumps({"n_centroids": idx.n_centroids})
+        )
+        return idx
+
+    # -- internals -----------------------------------------------------------
+
+    def _centroids(self) -> DataFrame:
+        return self.centroids_table.read()
+
+    def _codebook(self) -> DataFrame:
+        try:
+            return self.codebook_table.read()
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"IVFPQIndex at {self.root} has no pinned codebook — "
+                "build() it first"
+            ) from None
+
+    # -- API -----------------------------------------------------------------
+
+    def add_batch(self, vectors: DataFrame, batch_token: str | None = None):
+        """Cell-assign + PQ-encode the batch and append its
+        (vec_id, cent_id, j, code) rows — batch cost only; held codes
+        are untouched. Replayed tokens are storage no-ops."""
+        snap = self.codes_table.snapshot()
+        if (
+            batch_token is not None
+            and snap is not None
+            and batch_token in snap.batch_tokens
+        ):
+            return snap
+        assigned = rank_against_centroids(vectors, self._centroids(), 1).select(
+            "vec_id", "cent_id"
+        )
+        codes = pq_encode(vectors, self._codebook()).withColumnRenamed(
+            "code", "pq_code"
+        )
+        rows = codes.join(assigned, "vec_id").select(
+            "vec_id", "cent_id", "j", F.col("pq_code").alias("code")
+        )
+        return self.codes_table.append(rows, batch_token=batch_token)
+
+    def topk(
+        self,
+        emb: DataFrame,
+        queries: DataFrame,
+        k: int = PQ_TOPK,
+        n_probe: int = N_PROBE,
+        shortlist: int = PQ_SHORTLIST,
+    ) -> DataFrame:
+        """The three-stage serve over STORED artifacts: probe cells →
+        ADC over probed codes → exact re-rank of the shortlist.
+        ``emb`` supplies full vectors for the shortlist re-read only
+        (and the query vectors); equivalence with the one-shot
+        ``ann_ivfpq_topk`` pipeline over everything ever added is
+        pytest-pinned AND oracle-checked via
+        ``ann_ivfpq_index_persisted``."""
+        cb = self._codebook()
+        qcells = rank_against_centroids(
+            queries, self._centroids(), n_probe
+        ).select(F.col("vec_id").alias("query_id"), "embedding", "cent_id")
+        cells = qcells.select("cent_id").distinct()
+        probed = self.codes_table.read().join(
+            F.broadcast(cells), "cent_id", "semi"
+        )
+        qsub = _sub_explode(
+            qcells.select("query_id", "embedding").dropDuplicates(["query_id"])
+            .withColumnRenamed("query_id", "vec_id"),
+            "query_id",
+        )
+        lut = qsub.join(F.broadcast(cb), "j").select(
+            "query_id",
+            "j",
+            F.col("cent_id").alias("lut_cent"),
+            _d2_micro(F.col("sub"), F.col("c_sub")).alias("qd_micro"),
+        )
+        cand = (
+            probed.join(
+                F.broadcast(qcells.select("query_id", "cent_id")), "cent_id"
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        adc = (
+            cand.join(F.broadcast(lut), ["query_id", "j"])
+            .filter(F.col("code") == F.col("lut_cent"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("qd_micro").alias("adc_micro"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+        short = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= shortlist)
+            .select("query_id", "vec_id")
+        )
+        return _exact_rerank(emb, short, queries, k)
+
+    def vec_count(self) -> int:
+        """Vectors held (codes rows / PQ_M) — metadata-scale."""
+        try:
+            return self.codes_table.read().count() // PQ_M
+        except FileNotFoundError:
+            return 0
+
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Bin-pack the codes table CLUSTERED BY (cent_id, vec_id) —
+        each cell's codes land contiguously so an n_probe-cell probe
+        touches few files and refreshed zone maps prune the rest —
+        then vacuum; batch tokens survive. Returns files removed."""
+        from ..storage.compaction import compact_snapshot
+
+        compact_snapshot(
+            self.codes_table, target_file_bytes, sort_cols=["cent_id", "vec_id"]
+        )
+        return self.codes_table.vacuum(keep_versions)
+
+
+def _persisted_oracle() -> str:
+    # Serving over the stored artifacts must equal the one-shot
+    # composed pipeline — whose every stage the IVFPQ oracle replays.
+    from .pq import _ivfpq_oracle
+
+    return _ivfpq_oracle()
+
+
+from ..operators.relational import query  # noqa: E402
+from ..tables import load_tables  # noqa: E402
+
+
+@query("ann_ivfpq_index_persisted", _persisted_oracle())
+def ann_ivfpq_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable IVF+PQ+refine index end-to-end under the full
+    composed oracle: train+pin both quantizers from the corpus, index
+    it in TWO batches (even then odd vec_ids — the incremental path),
+    and serve topk from the stored centroids/codebook/codes. Green
+    means the persisted path — quantizer commits, two-batch encode,
+    cell probe, ADC, refine — reproduces the one-shot batch stack the
+    oracle replays stage by stage."""
+    import tempfile
+
+    from .pq import PQ_NQ
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    idx = IVFPQIndex.build(
+        spark, tempfile.mkdtemp(prefix="ivfpq_idx_"), train=emb
+    )
+    idx.add_batch(emb.filter(F.col("vec_id") % 2 == 0), batch_token="even")
+    idx.add_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_token="odd")
+    return idx.topk(emb, emb.filter(F.col("vec_id") < PQ_NQ)).orderBy(
+        "query_id", "rank"
+    )

@@ -93,6 +93,110 @@ def pq_codebook(emb: DataFrame) -> DataFrame:
     )
 
 
+# --- Lloyd-trained codebooks ------------------------------------------------
+#
+# Seed-row centroids are arbitrary corpus rows; they cap ADC shortlist
+# recall at ~0.6 on this corpus (VERDICT r9's top item). The trainer
+# runs PQ_TRAIN_ITERS Lloyd iterations PER SUBSPACE, entirely on the
+# integer micro grid so every step is cross-engine bit-checkable:
+#
+# - subvectors snap to round(v × 1e6) BIGINTs once;
+# - assignment argmin uses pure-integer squared L2 (no float anywhere);
+# - the centroid update is round(CAST(sum AS DOUBLE)/n) per dim — an
+#   exact-integer division both engines evaluate identically (ties
+#   round away from zero in BOTH Spark and DuckDB — probed), snapped
+#   back to the integer grid so the NEXT iteration is integer-exact too;
+# - empty cells keep their previous centroid (deterministic, like
+#   ann.kmeans_fit).
+#
+# Scale shape per iteration: the corpus never shuffles for assignment
+# (broadcast 64-row codebook + struct-min partial agg); the update
+# shuffles only PQ_M × PQ_K × PQ_SUB partial sums per partition. The
+# driver holds nothing — the loop chains DataFrames, exactly like
+# graph_pagerank_parts chains its iterations.
+
+PQ_TRAIN_ITERS = 2
+_MICRO = 1_000_000
+
+
+def _sub_micro(emb: DataFrame, id_alias: str = "vec_id") -> DataFrame:
+    """(id, j, s): subvectors snapped to the integer micro grid."""
+    return _sub_explode(emb, id_alias).select(
+        id_alias,
+        "j",
+        F.expr(
+            f"transform(CAST(sub AS ARRAY<DOUBLE>),"
+            f" x -> CAST(round(x * {_MICRO}) AS BIGINT))"
+        ).alias("s"),
+    )
+
+
+_D2_INT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+def pq_codebook_trained(
+    emb: DataFrame, n_iters: int = PQ_TRAIN_ITERS
+) -> DataFrame:
+    """(cent_id, j, c_sub): Lloyd-trained subspace centroids, served in
+    the same shape as ``pq_codebook`` (c_sub as ARRAY<DOUBLE> =
+    micro/1e6 — both engines divide the same exact integers, so the
+    doubles are bit-identical cross-engine and every downstream stage
+    (``pq_encode``'s argmin, the ADC LUTs) stays deterministic."""
+    subs = _sub_micro(emb)
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cent_id"), "j", F.col("s").alias("c")
+    )
+    for _ in range(n_iters):
+        paired = subs.join(F.broadcast(cents), "j")
+        assigned = (
+            paired.groupBy("vec_id", "j")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.expr(_D2_INT.format(a="s", b="c")).alias("d"),
+                        F.col("cent_id"),
+                    )
+                ).alias("m")
+            )
+            .select("vec_id", "j", F.col("m.cent_id").alias("cent_id"))
+        )
+        upd = (
+            assigned.join(subs, ["vec_id", "j"])
+            .select("j", "cent_id", F.posexplode("s").alias("d0", "v"))
+            .groupBy("j", "cent_id", "d0")
+            .agg(
+                F.round(F.sum("v") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("nv")
+            )
+            .groupBy("j", "cent_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d0, nv))),"
+                    " p -> p.nv)"
+                ).alias("new_c")
+            )
+        )
+        cents = (
+            cents.join(upd, ["j", "cent_id"], "left")
+            .select(
+                "cent_id",
+                "j",
+                F.coalesce("new_c", "c").alias("c"),  # empty cell: keep
+            )
+        )
+    return cents.select(
+        "cent_id",
+        "j",
+        F.expr(f"transform(c, x -> CAST(x AS DOUBLE) / {_MICRO})").alias(
+            "c_sub"
+        ),
+    )
+
+
 def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, j, code): per-subspace argmin centroid. One broadcast
     join + one struct-min groupBy (map-side partials; ties break to the
@@ -157,18 +261,23 @@ class PQIndex:
     Two SnapshotTables under ``root``: ``codebook`` (written once, the
     PQ_M×PQ_K subvector centroids — re-encoding batches against a
     MOVING codebook would silently mix incomparable codes, so the
-    codebook is pinned at creation) and ``codes`` (one append per
-    batch, ``batch_token`` exactly-once). ``add_batch`` encodes ONLY
-    the arriving vectors (batch-cost-only, like ``IVFIndex.add_batch``);
-    ``topk`` serves ADC + exact re-rank against the stored codes with
-    the query set broadcast — held embeddings are re-read only for the
-    per-query shortlist rows, never scanned wholesale.
+    codebook is pinned at creation; ``train_iters > 0`` runs the Lloyd
+    trainer over the first batch before pinning) and ``codes`` (one
+    append per batch, ``batch_token`` exactly-once). ``add_batch``
+    encodes ONLY the arriving vectors (batch-cost-only, like
+    ``IVFIndex.add_batch``); ``topk`` serves ADC + exact re-rank
+    against the stored codes with the query set broadcast — held
+    embeddings are re-read only for the per-query shortlist rows,
+    never scanned wholesale.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, train_iters: int = 0
+    ):
         from ..storage.snapshots import SnapshotTable
 
         self.spark = spark
+        self.train_iters = train_iters
         self.codebook_table = SnapshotTable(spark, f"{root}/codebook")
         self.codes_table = SnapshotTable(spark, f"{root}/codes")
 
@@ -182,10 +291,28 @@ class PQIndex:
         self, emb: DataFrame, batch_token: str | None = None
     ):
         """Encode the batch against the pinned codebook (trained from
-        the FIRST batch's seed rows) and append its codes."""
+        the FIRST batch — seed rows, Lloyd-refined when the index was
+        created with ``train_iters > 0``) and append its codes. The
+        first batch must contain the ``vec_id < PQ_K`` seed rows: a
+        codebook silently trained empty would make every later encode
+        join produce zero codes and the index would serve empty results
+        with no error (ADVICE r9), so an incomplete codebook raises."""
         cb = self._codebook()
         if cb is None:
-            self.codebook_table.append(pq_codebook(emb))
+            built = (
+                pq_codebook_trained(emb, self.train_iters)
+                if self.train_iters
+                else pq_codebook(emb)
+            ).localCheckpoint()  # validate-then-pin without recompute
+            n = built.count()
+            if n != PQ_M * PQ_K:
+                raise ValueError(
+                    f"codebook trained from the first batch has {n} "
+                    f"entries, expected {PQ_M * PQ_K}: bootstrap the "
+                    f"index with a batch containing the vec_id < "
+                    f"{PQ_K} seed rows"
+                )
+            self.codebook_table.append(built)
             cb = self.codebook_table.read()
         snap = self.codes_table.snapshot()
         if (
@@ -208,11 +335,19 @@ class PQIndex:
         """ADC shortlist over the STORED codes + exact re-rank.
         ``emb`` supplies full vectors for the shortlist re-read and the
         query vectors; equivalence with the one-shot batch pipeline
-        over everything ever added is pytest-pinned."""
+        over everything ever added is pytest-pinned. An index with no
+        codebook raises instead of silently joining against nothing
+        (ADVICE r9)."""
+        cb = self._codebook()
+        if cb is None:
+            raise FileNotFoundError(
+                "PQIndex has no codebook yet — add_batch a first batch "
+                "containing the seed rows before serving topk"
+            )
         return pq_rerank_topk_with_queries(
             emb,
             self.codes_table.read(),
-            self._codebook(),
+            cb,
             queries,
             shortlist=shortlist,
             k=k,
@@ -224,6 +359,21 @@ class PQIndex:
             return self.codes_table.read().count() // PQ_M
         except FileNotFoundError:
             return 0
+
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Bin-pack the codes table CLUSTERED BY (vec_id, j) — each
+        vector's PQ_M codes land contiguously and refreshed zone maps
+        prune the shortlist re-reads — then vacuum old snapshots; batch
+        tokens survive the rewrite (same contract as the other durable
+        indexes' ``maintain``). Returns files removed."""
+        from ..storage.compaction import compact_snapshot
+
+        compact_snapshot(
+            self.codes_table, target_file_bytes, sort_cols=["vec_id", "j"]
+        )
+        return self.codes_table.vacuum(keep_versions)
 
 
 def pq_adc_topk_with_queries(
@@ -410,6 +560,88 @@ def _pq_rerank_oracle() -> str:
     FROM rr WHERE rank <= {PQ_TOPK}
     ORDER BY query_id, rank
     """
+
+
+def _pq_trained_cent_ctes(n_iters: int) -> str:
+    """The Lloyd loop as chained CTEs (the graph_pagerank_parts
+    discipline): subvectors snap to the BIGINT micro grid, each
+    iteration is integer-argmin assignment + integer-division update,
+    and the final ``cent`` CTE serves micro/1e6 doubles in exactly the
+    shape the certified ADC pipeline consumes."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    parts = [
+        f"""subm AS (
+      SELECT vec_id, j,
+             [CAST(round(x * {_MICRO}) AS BIGINT) for x in sub] AS s
+      FROM sub
+    ),
+    c0 AS (SELECT vec_id AS cent_id, j, s AS c FROM subm
+           WHERE vec_id < {PQ_K})"""
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, j, cent_id FROM (
+        SELECT s.vec_id, s.j, c.cent_id,
+               row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                 {d2.format(a="s.s", b="c.c")}, c.cent_id) AS rn
+        FROM subm s JOIN c{i - 1} c ON s.j = c.j)
+      WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT j, cent_id, list(nv ORDER BY d) AS new_c FROM (
+        SELECT a.j, a.cent_id, r.d AS d,
+               CAST(round(CAST(sum(s.s[r.d]) AS DOUBLE) / count(*))
+                    AS BIGINT) AS nv
+        FROM a{i} a
+        JOIN subm s ON a.vec_id = s.vec_id AND a.j = s.j
+        CROSS JOIN range(1, {PQ_SUB + 1}) r(d)
+        GROUP BY a.j, a.cent_id, r.d)
+      GROUP BY j, cent_id
+    ),
+    c{i} AS (
+      SELECT c.cent_id, c.j, coalesce(u.new_c, c.c) AS c
+      FROM c{i - 1} c LEFT JOIN u{i} u
+        ON c.cent_id = u.cent_id AND c.j = u.j
+    )"""
+        )
+    parts.append(
+        f"""cent AS (
+      SELECT cent_id, j,
+             [CAST(x AS DOUBLE) / {_MICRO} for x in c] AS c_sub
+      FROM c{n_iters}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _pq_trained_oracle() -> str:
+    """The seed-codebook ADC oracle with its ``cent`` CTE swapped for
+    the full multi-iteration training chain — codebook, every
+    iteration's assignments and updates, codes, LUTs, and rankings are
+    ALL value-checked."""
+    base = _pq_oracle()
+    head = base[: base.index("cent AS (")]
+    tail = base[base.index("dmat AS (") :]
+    return head + _pq_trained_cent_ctes(PQ_TRAIN_ITERS) + ",\n    " + tail
+
+
+@query("ann_pq_trained_adc_topk", _pq_trained_oracle())
+def ann_pq_trained_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with a LLOYD-TRAINED codebook ({PQ_TRAIN_ITERS}
+    iterations) instead of seed rows — the r9 verdict's top quality
+    item. The oracle replays the training loop iteration by iteration
+    on the integer micro grid (assignment argmin, centroid update,
+    empty-cell carry), then the whole certified encode→LUT→ADC→rank
+    pipeline over the trained codebook. Recall improvement over the
+    seed codebook is pinned separately in tests/test_pq.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cb = pq_codebook_trained(emb)
+    codes = pq_encode(emb, cb)
+    return pq_adc_topk(emb, codes, cb).orderBy("query_id", "rank")
 
 
 @query("ann_pq_rerank_topk", _pq_rerank_oracle())

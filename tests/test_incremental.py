@@ -259,3 +259,80 @@ def test_index_maintain_compacts_and_preserves_results(spark, tmp_dir):
         for r in ivf.query(queries, k=10, n_probe=ivf.n_centroids).collect()
     }
     assert after_q == before_q
+
+    from event_to_lakehouse_spark.similarity.pq import PQIndex
+
+    pq = PQIndex(spark, f"{tmp_dir}/pq")
+    pq.add_batch(emb.filter(F.col("vec_id") < 16), batch_token="boot")
+    pq.add_batch(
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 0)),
+        batch_token="b1",
+    )
+    pq.add_batch(
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1)),
+        batch_token="b2",
+    )
+    before_pq = {
+        (r.query_id, r.rank, r.vec_id, r.l2_dist)
+        for r in pq.topk(emb, queries).collect()
+    }
+    removed_pq = pq.maintain()
+    assert removed_pq > 0
+    # replay protection survives the rewrite
+    v = pq.codes_table.snapshot().version
+    pq.add_batch(
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 0)),
+        batch_token="b1",
+    )
+    assert pq.codes_table.snapshot().version == v
+    after_pq = {
+        (r.query_id, r.rank, r.vec_id, r.l2_dist)
+        for r in pq.topk(emb, queries).collect()
+    }
+    assert after_pq == before_pq
+
+
+def test_ivf_index_kmeans_fitted_centroids(spark, tmp_dir):
+    """IVFIndex.build(centroids=...) on a Lloyd-fitted quantizer: the
+    exactness escape hatch (full probe == brute force) must hold for
+    ANY centroid source, and the fitted index's partial-probe recall
+    must at least match the stride-sample index's at the same budget."""
+    from event_to_lakehouse_spark.similarity.ann import (
+        brute_force_topk,
+        kmeans_fit,
+    )
+    from event_to_lakehouse_spark.similarity.ivf_index import IVFIndex
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    cents, iters, shifts = kmeans_fit(emb, init_stride=50, max_iter=3)
+    assert iters >= 1 and len(shifts) == iters
+    fitted = IVFIndex.build(
+        spark, f"{tmp_dir}/ivf_km", emb, centroids=cents
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in fitted.query(
+            queries, k=10, n_probe=fitted.n_centroids
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assert got == want  # full probe exact, centroid-source-agnostic
+
+    stride = IVFIndex.build(spark, f"{tmp_dir}/ivf_st", emb, cent_stride=50)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+
+    def recall(idx):
+        hits = {
+            (r.query_id, r.vec_id)
+            for r in idx.query(queries, k=10, n_probe=5).collect()
+        }
+        return len(hits & exact) / len(exact)
+
+    assert recall(fitted) >= recall(stride)
