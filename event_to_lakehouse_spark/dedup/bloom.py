@@ -287,14 +287,14 @@ class BloomIndex:
         return 0 if held is None else held.count()
 
 
-def _bloom_oracle() -> str:
-    """DuckDB twin of the whole gauge: same fingerprints, same seeded
-    hashes, same word packing, same verdicts — bit-identical."""
+def _bloom_cte_block() -> str:
+    """The fp → bitmap → probe → per-doc verdict CTE chain, shared by
+    the aggregate gauge oracle and the per-doc verdict face the
+    admission-pipeline oracle composes."""
     hashes = ", ".join(
         f"({seeded_hash_duck(i, 'fp')})" for i in range(K_HASHES)
     )
-    return f"""
-    WITH fp AS (
+    return f"""fp AS (
       SELECT doc_id, source, {FINGERPRINT_SQL} AS fp FROM documents
     ),
     idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
@@ -328,7 +328,20 @@ def _bloom_oracle() -> str:
     verdicts AS (
       SELECT doc_id, source, fp, (sum(hit) = {K_HASHES}) AS maybe
       FROM hits GROUP BY doc_id, source, fp
-    ),
+    )"""
+
+
+def _bloom_verdict_sql() -> str:
+    """Per-doc verdicts (doc_id, maybe) — the face the composed
+    ``dedup_admission_pipeline`` oracle consumes."""
+    return f"WITH {_bloom_cte_block()} SELECT doc_id, maybe FROM verdicts"
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of the whole gauge: same fingerprints, same seeded
+    hashes, same word packing, same verdicts — bit-identical."""
+    return f"""
+    WITH {_bloom_cte_block()},
     labeled AS (
       SELECT v.source, v.maybe, (i.fp IS NOT NULL) AS member
       FROM verdicts v LEFT JOIN idx i ON v.fp = i.fp

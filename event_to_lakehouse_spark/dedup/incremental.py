@@ -302,16 +302,38 @@ class ExactDedupIndex:
             return None
 
     def index_batch(
-        self, docs: DataFrame, batch_token: str | None = None
+        self, docs: DataFrame, batch_token: str | None = None, bloom=None
     ) -> DataFrame:
+        """Resolve ``docs`` against the index (see class docstring).
+
+        ``bloom`` (a :class:`~..dedup.bloom.BloomIndex` kept in sync
+        with this index's content) turns on ADMISSION: every doc is
+        probed against the bitmap first, and only the ``bloom_maybe``
+        sliver's fingerprints enter the held-index join — bloom-false
+        docs are GUARANTEED absent (no false negatives), so skipping
+        the join for them cannot change any verdict. The batch's
+        new-unique fingerprints are then merged into the bitmap under
+        the same ``batch_token``, keeping filter and index content in
+        lock-step. The output gains a ``bloom_maybe`` column — an
+        ADMISSION observation: on a crash-replay the resolution columns
+        are reproduced exactly (the self-held rule below), but a
+        replayed doc's own fingerprint is now in the bitmap, so its
+        bloom_maybe reads True — callers that persist verdicts should
+        guard replays at the batch level, as
+        ``streaming.jobs.bloom_admission_stream`` does."""
         from ..functions.text import fingerprint
 
         fps = docs.select("doc_id", fingerprint(self.text_col).alias("fp"))
+        if bloom is not None:
+            fps = bloom.probe(fps, "fp")
         bm = fps.groupBy("fp").agg(F.min("doc_id").alias("batch_survivor"))
         per = fps.join(bm, "fp")
         held = self._stored()
         if held is not None:
-            keys = fps.select("fp").distinct()
+            probe_side = (
+                fps if bloom is None else fps.filter(F.col("bloom_maybe"))
+            )
+            keys = probe_side.select("fp").distinct()
             matched = held.join(F.broadcast(keys), "fp", "semi").select(
                 "fp", F.col("doc_id").alias("held_survivor")
             )
@@ -323,6 +345,7 @@ class ExactDedupIndex:
         self_held = F.col("held_survivor") == F.col("doc_id")
         out = per.select(
             "doc_id",
+            *(["bloom_maybe"] if bloom is not None else []),
             (
                 (F.col("held_survivor").isNull() | self_held)
                 & (F.col("doc_id") == F.col("batch_survivor"))
@@ -342,6 +365,10 @@ class ExactDedupIndex:
             & (F.col("doc_id") == F.col("batch_survivor"))
         ).select("fp", "doc_id")
         self.table.append(new_uniques, batch_token=batch_token)
+        if bloom is not None:
+            bloom.add_batch(
+                new_uniques.select("fp"), "fp", batch_token=batch_token
+            )
         return out
 
     def doc_count(self) -> int:
@@ -385,6 +412,115 @@ def _exact_incremental_oracle() -> str:
     JOIN bm ON b.fp = bm.fp
     ORDER BY b.doc_id
     """
+
+
+def _admission_oracle() -> str:
+    """The three certified tiers composed as CTEs (the corpus_scorecard
+    pattern): the bloom verdict SQL, the exact first-arrival-wins
+    resolution SQL, and the portable minhash SQL — the last with its
+    document universe restricted to held ∪ new-unique (exactly the
+    rows the near-dup index holds when the probe runs), which is what
+    makes probe == recompute hold for the SUBSET probe the pipeline
+    issues (same theorem ``dedup_incremental`` certifies for the full
+    batch)."""
+    from .bloom import _bloom_verdict_sql
+    from .portable import _minhash_oracle
+
+    nd_restricted = _minhash_oracle().replace(
+        "FROM documents", "FROM vis_docs"
+    )
+    assert "FROM documents" not in nd_restricted  # exactly one universe
+    return f"""
+    WITH bloomv AS ({_bloom_verdict_sql()}),
+    exact AS ({_exact_incremental_oracle()}),
+    nu AS (SELECT doc_id FROM exact WHERE is_new_unique),
+    vis_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 <> 0 OR doc_id IN (SELECT doc_id FROM nu)
+    ),
+    ndp AS ({nd_restricted}),
+    touched AS (
+      SELECT doc_id_a AS doc_id FROM ndp
+      UNION ALL
+      SELECT doc_id_b AS doc_id FROM ndp
+    ),
+    ndc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM touched
+      WHERE doc_id IN (SELECT doc_id FROM nu) GROUP BY doc_id
+    )
+    SELECT e.doc_id,
+           b.maybe AS bloom_maybe,
+           e.is_new_unique,
+           e.dup_of,
+           coalesce(ndc.n, 0) AS n_neardup
+    FROM exact e
+    JOIN bloomv b ON e.doc_id = b.doc_id
+    LEFT JOIN ndc ON e.doc_id = ndc.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+@query("dedup_admission_pipeline", _admission_oracle())
+def dedup_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ingest admission chain, end-to-end as one
+    driver-checkable entry (VERDICT r9 #7): an arriving batch flows
+    bloom → exact-fingerprint index → near-dup index —
+
+    1. the Bloom bitmap (sized from the exact index's MANIFEST row
+       stats, built over its held fingerprints) pre-filters the batch:
+       bloom-false docs skip the held join entirely (guaranteed new);
+    2. the ExactDedupIndex resolves first-arrival-wins content
+       identity over the admitted sliver + within-batch survivors;
+    3. only the NEW-UNIQUE docs probe the NearDupIndex — content dups
+       don't pay the LSH path at all — and each gets its candidate
+       near-duplicate count.
+
+    Per-doc output: (doc_id, bloom_maybe, is_new_unique, dup_of,
+    n_neardup). The oracle composes the three certified SQLs as CTEs,
+    so every verdict, survivor id, and pair count is value-checked
+    through the composition. At 100 TB each stage cuts the next
+    stage's input: the bitmap is metadata-scale, the exact probe is
+    bloom-pass-sized, the LSH probe is new-unique-sized."""
+    import tempfile
+
+    from .bloom import BloomIndex
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    held = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="admission_")
+
+    ex = ExactDedupIndex(spark, f"{root}/exact")
+    ex.index_batch(held, batch_token="held")
+    bloom = BloomIndex.for_table(spark, f"{root}/bloom", ex.table)
+    bloom.add_batch(ex.table.read(), "fp", batch_token="held")
+    nd = NearDupIndex(spark, f"{root}/nd", hash_flavor="portable")
+    nd.index_batch(held, batch_token="held")
+
+    resolved = ex.index_batch(
+        batch, batch_token="new", bloom=bloom
+    ).localCheckpoint()  # read thrice below; verdicts are batch-scale
+    nu = resolved.filter(F.col("is_new_unique")).select("doc_id")
+    pairs = nd.index_batch(batch.join(nu, "doc_id"), batch_token="new")
+    touched = pairs.select(F.col("doc_id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+    )
+    ndc = (
+        touched.join(F.broadcast(nu), "doc_id", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        resolved.join(ndc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            "is_new_unique",
+            "dup_of",
+            F.coalesce("n", F.lit(0)).alias("n_neardup"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("dedup_exact_incremental", _exact_incremental_oracle())

@@ -292,6 +292,43 @@ def test_index_maintain_compacts_and_preserves_results(spark, tmp_dir):
     assert after_pq == before_pq
 
 
+def test_bloom_gated_exact_index_matches_ungated(spark, tmp_dir):
+    """Admission composition soundness: routing only the bloom-maybe
+    sliver into the held join must produce EXACTLY the ungated
+    resolutions (no false negatives ⇒ skipped joins can't change a
+    verdict), every held-dup verdict must sit inside the bloom-pass
+    set, and the bitmap absorbs the batch's new uniques under the same
+    token."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+
+    docs = _docs(spark)
+    held = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    plain = ExactDedupIndex(spark, f"{tmp_dir}/plain")
+    plain.index_batch(held, batch_token="held")
+    want = {
+        (r.doc_id, r.is_new_unique, r.dup_of)
+        for r in plain.index_batch(batch, batch_token="new").collect()
+    }
+
+    ex = ExactDedupIndex(spark, f"{tmp_dir}/gated")
+    ex.index_batch(held, batch_token="held")
+    bloom = BloomIndex.for_table(spark, f"{tmp_dir}/gbloom", ex.table)
+    bloom.add_batch(ex.table.read(), "fp", batch_token="held")
+    w0 = bloom.table.snapshot().version
+    gated = ex.index_batch(batch, batch_token="new", bloom=bloom).collect()
+
+    assert {(r.doc_id, r.is_new_unique, r.dup_of) for r in gated} == want
+    held_ids = {r.doc_id for r in held.collect()}
+    for r in gated:  # a held-dup verdict implies the bloom admitted it
+        if r.dup_of is not None and r.dup_of in held_ids:
+            assert r.bloom_maybe
+    assert bloom.table.snapshot().version > w0  # new uniques absorbed
+    assert ex.doc_count() == plain.doc_count()
+
+
 def test_ivf_index_kmeans_fitted_centroids(spark, tmp_dir):
     """IVFIndex.build(centroids=...) on a Lloyd-fitted quantizer: the
     exactness escape hatch (full probe == brute force) must hold for
