@@ -154,7 +154,12 @@ HEADLINE = [
     "ops_zorder_pruning_gauge",  # r9: Morton interleave + zone-map gauge
     "ann_pq_rerank_topk",  # r9: PQ encode + ADC shortlist + exact refine
     "ops_rollup_view_maintenance",  # r9: incremental agg-view fold
+    # (r10: gained the CDC/change-feed retraction leg — not
+    # wall-comparable with its r9 self; see BENCH_AB cpu_ratio)
     "ann_ivfpq_topk",  # r9: the composed IVF+PQ+refine serving stack
+    "ann_pq_trained_adc_topk",  # r10: integer-grid Lloyd trainer + ADC
+    "ann_ivfpq_index_persisted",  # r10: durable IVFPQ build+serve
+    "dedup_admission_pipeline",  # r10: bloom -> exact -> near-dup chain
 ]
 
 PKG = "event_to_lakehouse_spark"
@@ -230,11 +235,53 @@ def _load_queries(root: Path):
     return cat.QUERIES
 
 
-def _run_pass(spark, qs, sf_dir: str, acc: dict[str, list[float]]) -> float:
+def _tree_cpu_sec() -> float:
+    """CPU seconds (user+sys) consumed so far by this process AND its
+    live descendant tree via one /proc walk — the JVM (a child of this
+    driver) does the actual work, so ``time.process_time()`` alone is
+    blind to it. Per-query CPU deltas over this clock are what makes
+    the A/B verdict drift-proof (VERDICT r9 #5): a co-tenant load
+    spike stretches wall time but not this process tree's CPU."""
+    import resource
+
+    tick = os.sysconf("SC_CLK_TCK")
+    me = resource.getrusage(resource.RUSAGE_SELF)
+    reaped = resource.getrusage(resource.RUSAGE_CHILDREN)
+    total = me.ru_utime + me.ru_stime + reaped.ru_utime + reaped.ru_stime
+    procs: dict[str, tuple[str, int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+        except OSError:
+            continue  # raced a process exit
+        procs[p] = (parts[1], int(parts[11]) + int(parts[12]))
+    root = str(os.getpid())
+    desc: set[str] = set()
+    changed = True
+    while changed:
+        changed = False
+        for p, (ppid, _) in procs.items():
+            if p not in desc and p != root and (ppid == root or ppid in desc):
+                desc.add(p)
+                changed = True
+    return total + sum(procs[p][1] for p in desc) / tick
+
+
+def _run_pass(
+    spark,
+    qs,
+    sf_dir: str,
+    acc: dict[str, list[float]],
+    acc_cpu: dict[str, list[float]],
+) -> float:
     """One timed pass over HEADLINE; returns the summed timed seconds.
     A fresh engine import has an empty table/plan cache, so the pass
     first replays q1 untimed to repay the per-import parquet-listing
-    cost once, outside the timings."""
+    cost once, outside the timings. Each query records wall seconds
+    AND process-tree CPU seconds (see ``_tree_cpu_sec``)."""
     first = qs.get(HEADLINE[0]) or next(iter(qs.values()))
     first(spark, sf_dir).write.format("noop").mode("overwrite").save()
     total = 0.0
@@ -242,10 +289,12 @@ def _run_pass(spark, qs, sf_dir: str, acc: dict[str, list[float]]) -> float:
         fn = qs.get(name)
         if fn is None:  # query absent on this side (renamed/new)
             continue
+        c0 = _tree_cpu_sec()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         acc.setdefault(name, []).append(dt)
+        acc_cpu.setdefault(name, []).append(_tree_cpu_sec() - c0)
         total += dt
     return total
 
@@ -280,6 +329,8 @@ def main() -> None:
 
     a_times: dict[str, list[float]] = {}
     b_times: dict[str, list[float]] = {}
+    a_cpu: dict[str, list[float]] = {}
+    b_cpu: dict[str, list[float]] = {}
     totals: list[float] = []
     for run in range(n_runs):
         # Alternate pass order (A,B then B,A) so neither side
@@ -291,11 +342,11 @@ def main() -> None:
                     continue
                 # A-pass: previous round's code, same session, same minute.
                 a_qs = _load_queries(baseline[1])
-                _run_pass(spark, a_qs, sf_dir, a_times)
+                _run_pass(spark, a_qs, sf_dir, a_times, a_cpu)
             else:
                 # B-pass: current code — these are the headline numbers.
                 cur_qs = _load_queries(REPO)
-                totals.append(_run_pass(spark, cur_qs, sf_dir, b_times))
+                totals.append(_run_pass(spark, cur_qs, sf_dir, b_times, b_cpu))
 
     # EMISSION CONTRACT (VERDICT r5 #1): the driver records only the
     # LAST ~2 KB of stdout, and r5's single output line (48 query means
@@ -317,6 +368,9 @@ def main() -> None:
     detail: dict = {"queries_full": {
         n: [round(x, 4) for x in v] for n, v in b_times.items()
     }}
+    detail["queries_cpu_full"] = {
+        n: [round(x, 4) for x in v] for n, v in b_cpu.items()
+    }
     if baseline is not None and a_times:
         ab = {}
         for name, bt in b_times.items():
@@ -331,11 +385,29 @@ def main() -> None:
                 "a_sd": round(statistics.stdev(at), 3) if len(at) > 1 else 0.0,
                 "b_sd": round(statistics.stdev(bt), 3) if len(bt) > 1 else 0.0,
             }
+            act, bct = a_cpu.get(name), b_cpu.get(name)
+            if act and bct:
+                acm, bcm = statistics.median(act), statistics.median(bct)
+                ab[name]["a_cpu"] = round(acm, 3)
+                ab[name]["b_cpu"] = round(bcm, 3)
+                ab[name]["cpu_ratio"] = (
+                    round(bcm / acm, 3) if acm > 0 else None
+                )
         detail["ab"] = ab
         out["ab_baseline_ref"] = baseline[0][:12]
         ratios = sorted(v["ratio"] for v in ab.values() if v["ratio"])
         if ratios:
             out["ab_median_ratio"] = round(ratios[len(ratios) // 2], 3)
+        # CPU-seconds median ratio: insensitive to co-tenant wall drift
+        # (VERDICT r9 #4/#5) — THE number the round verdict should cite
+        # when wall and CPU disagree.
+        cpu_ratios = sorted(
+            v["cpu_ratio"] for v in ab.values() if v.get("cpu_ratio")
+        )
+        if cpu_ratios:
+            out["ab_median_cpu_ratio"] = round(
+                cpu_ratios[len(cpu_ratios) // 2], 3
+            )
         # Total over only the queries BOTH sides ran — the number to
         # compare against the previous round's total when HEADLINE
         # gained entries this round (the raw "value" would inflate).
