@@ -1,0 +1,256 @@
+"""Governance gauges: re-identification risk (k-anonymity) and
+optimizer-facing table statistics with a join-strategy advisor.
+
+Two capabilities a lakehouse platform team runs over every table, both
+expressed as one-pass relational gauges so they cost a scan — not a
+pipeline — at 100 TB:
+
+- ``privacy_k_anonymity`` — the classic k-anonymity audit (Sweeney
+  2002): group the table by a quasi-identifier (QI) tuple and measure
+  the smallest group. Rows in groups of size < k are re-identifiable
+  by linking the QI against public data. The gauge evaluates a
+  GENERALIZATION LADDER (three QI coarsenings) in one report, which is
+  exactly how an anonymization pass picks the least-destructive level
+  that clears the k threshold. Each level is a groupBy + 1-row
+  aggregate — the whole ladder is |levels| scans of the dimension, and
+  each rung's group table is QI-cardinality, never row-cardinality.
+
+- ``ops_table_stats_advisor`` — ANALYZE-style per-relation statistics
+  (row count, join-key NDV) plus the System-R estimate they exist for:
+  ``|L ⋈ R| ≈ |L|·|R| / max(ndv_L, ndv_R)`` under the containment
+  assumption, and the physical-strategy call (broadcast the small
+  side / sort-merge two facts) that Spark's CBO and AQE make from the
+  same numbers. Expressing the advisor as a relational gauge makes the
+  planner's reasoning auditable: when a production join misbehaves,
+  this report says what the stats believed. Exact ``count(DISTINCT)``
+  keeps the DuckDB oracle bit-exact (the ``profile`` discipline —
+  ``profile_documents`` docstring); a 100 TB deployment swaps in
+  ``approx_count_distinct`` or reads NDV straight from table-manifest
+  stats (``storage/snapshots.py`` manifests carry per-commit row
+  counts already).
+
+All arithmetic that crosses the oracle boundary is integer (``div`` /
+``//`` and basis points), per the repo's round(4)-of-double-divide
+parity rule (``operators/relational.py`` docstring).
+
+Reference parity: the reference (a 2-script event ETL) ships neither a
+privacy audit nor planner statistics; this module is part of the
+SURVEY §2 "beyond the reference" governance/ops fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_tables
+from .relational import query
+
+K_ANON = 5  # groups smaller than this are re-identifiable
+
+# Generalization ladder: level -> (description, DuckDB QI exprs).
+# L0 is the finest cut (nation x segment x $100 balance band), L1
+# coarsens the band 10x, L2 generalizes nation -> region and the band
+# to its sign — the standard hierarchy walk (suppress precision until
+# min group size clears k).
+_QI_SQL = {
+    0: (
+        "nation,segment,balance_100",
+        [
+            "c_nationkey",
+            "c_mktsegment",
+            "CAST(floor(c_acctbal / 100) AS BIGINT)",
+        ],
+        "customer",
+    ),
+    1: (
+        "nation,segment,balance_1000",
+        [
+            "c_nationkey",
+            "c_mktsegment",
+            "CAST(floor(c_acctbal / 1000) AS BIGINT)",
+        ],
+        "customer",
+    ),
+    2: (
+        "region,segment,balance_sign",
+        [
+            "n_regionkey",
+            "c_mktsegment",
+            "CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END",
+        ],
+        "customer JOIN nation ON n_nationkey = c_nationkey",
+    ),
+}
+
+
+def _k_level_sql(level: int) -> str:
+    desc, qi, src = _QI_SQL[level]
+    keys = ", ".join(qi)
+    return f"""
+    SELECT {level} AS level, '{desc}' AS qi, count(*) AS groups,
+           min(sz) AS min_k,
+           CAST(coalesce(sum(CASE WHEN sz < {K_ANON} THEN sz END), 0)
+                AS BIGINT) AS rows_below_k,
+           CAST((10000 * CAST(coalesce(sum(CASE WHEN sz < {K_ANON} THEN sz END), 0)
+                         AS BIGINT)) // CAST(sum(sz) AS BIGINT) AS BIGINT) AS risk_bp
+    FROM (
+        SELECT count(*) AS sz FROM {src} GROUP BY {keys}
+    )
+    """
+
+
+def k_anonymity_level(
+    df: DataFrame, qi: list, level: int, desc: str, k: int = K_ANON
+) -> DataFrame:
+    """One rung of the ladder: group sizes over the QI tuple, then the
+    1-row risk summary. The group table is QI-cardinality (bounded by
+    the generalization, not the data), so the only row-scale work is
+    the first groupBy's map-side partial aggregation."""
+    sizes = df.groupBy(*qi).agg(F.count(F.lit(1)).alias("sz"))
+    below = F.coalesce(
+        F.sum(F.when(F.col("sz") < k, F.col("sz"))), F.lit(0)
+    ).cast("long")
+    return sizes.agg(
+        F.lit(level).alias("level"),
+        F.lit(desc).alias("qi"),
+        F.count(F.lit(1)).alias("groups"),
+        F.min("sz").alias("min_k"),
+        below.alias("rows_below_k"),
+        F.expr(
+            f"(10000 * CAST(coalesce(sum(CASE WHEN sz < {k} THEN sz END), 0)"
+            " AS BIGINT)) div sum(sz)"
+        ).alias("risk_bp"),
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    " UNION ALL ".join(_k_level_sql(lv) for lv in sorted(_QI_SQL))
+    + " ORDER BY level",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer dimension across a 3-level
+    generalization ladder. ``min_k`` rising (and ``risk_bp`` — basis
+    points of rows in below-k groups — falling) down the report is the
+    anonymization trade-off curve; a release gate picks the first
+    level with ``min_k >= K_ANON``. All ratios are integer basis
+    points (``div``), never rounded doubles, for bit-exact parity."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    band100 = F.floor(F.col("c_acctbal") / 100).cast("long")
+    band1000 = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    sign = F.when(F.col("c_acctbal") < 0, 0).otherwise(1)
+    with_region = cust.join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    )
+    lv0 = k_anonymity_level(
+        cust.select("c_nationkey", "c_mktsegment", band100.alias("b")),
+        ["c_nationkey", "c_mktsegment", "b"],
+        0,
+        _QI_SQL[0][0],
+    )
+    lv1 = k_anonymity_level(
+        cust.select("c_nationkey", "c_mktsegment", band1000.alias("b")),
+        ["c_nationkey", "c_mktsegment", "b"],
+        1,
+        _QI_SQL[1][0],
+    )
+    lv2 = k_anonymity_level(
+        with_region.select("n_regionkey", "c_mktsegment", sign.alias("b")),
+        ["n_regionkey", "c_mktsegment", "b"],
+        2,
+        _QI_SQL[2][0],
+    )
+    return lv0.unionByName(lv1).unionByName(lv2).orderBy("level")
+
+
+# --- optimizer statistics + join-strategy advisor ---------------------------
+
+# (join_name, left table, left key, right table, right key). Keys are
+# the schema's natural join edges — the same edges every TPC-H entry
+# in operators/tpch_full.py actually joins on.
+_ADVISOR_JOINS = [
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("nation-customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+]
+
+# Broadcast if the smaller side is under this many rows — a row-count
+# stand-in for spark.sql.autoBroadcastJoinThreshold's byte bound, kept
+# in rows so the gauge is storage-format independent.
+ADVISOR_BROADCAST_ROWS = 100_000
+
+
+def _advisor_sql(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+    SELECT '{name}' AS join_name,
+           ls.rows AS left_rows, rs.rows AS right_rows,
+           ls.ndv AS left_ndv, rs.ndv AS right_ndv,
+           (ls.rows * rs.rows) // greatest(ls.ndv, rs.ndv) AS est_out_rows,
+           CASE WHEN ls.rows <= rs.rows THEN 'left' ELSE 'right'
+                END AS build_side,
+           CASE WHEN least(ls.rows, rs.rows) <= {ADVISOR_BROADCAST_ROWS}
+                THEN 'broadcast' ELSE 'sort_merge' END AS strategy
+    FROM (SELECT count(*) AS rows, count(DISTINCT {lk}) AS ndv FROM {lt}) ls,
+         (SELECT count(*) AS rows, count(DISTINCT {rk}) AS ndv FROM {rt}) rs
+    """
+
+
+def table_join_stats(left: DataFrame, lk: str, right: DataFrame, rk: str) -> DataFrame:
+    """1x1 crossJoin of the two sides' (rows, ndv) aggregates — each
+    side is one scan with map-side partials, the combine is a 1-row
+    exchange. The product/greatest math is System R's containment
+    estimate; integer ``div`` keeps it oracle-exact."""
+    ls = left.agg(
+        F.count(F.lit(1)).alias("left_rows"),
+        F.countDistinct(lk).alias("left_ndv"),
+    )
+    rs = right.agg(
+        F.count(F.lit(1)).alias("right_rows"),
+        F.countDistinct(rk).alias("right_ndv"),
+    )
+    return ls.crossJoin(rs)
+
+
+@query(
+    "ops_table_stats_advisor",
+    " UNION ALL ".join(_advisor_sql(*j) for j in _ADVISOR_JOINS)
+    + " ORDER BY join_name",
+)
+def ops_table_stats_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE + EXPLAIN-advisor gauge over the schema's five natural
+    join edges: per-side row counts and join-key NDV, the System-R
+    output-cardinality estimate, and the strategy call (broadcast vs
+    sort-merge, build side = smaller input) a cost-based planner makes
+    from exactly these statistics. The per-side aggregates are full
+    scans HERE because the oracle must match bit-for-bit; the
+    production source for the same numbers is manifest-stats + NDV
+    sketches (see module docstring), making the advisor metadata-only
+    at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    out = None
+    for name, lt, lk, rt, rk in _ADVISOR_JOINS:
+        est = F.expr("(left_rows * right_rows) div greatest(left_ndv, right_ndv)")
+        row = table_join_stats(t[lt], lk, t[rt], rk).select(
+            F.lit(name).alias("join_name"),
+            "left_rows",
+            "right_rows",
+            "left_ndv",
+            "right_ndv",
+            est.alias("est_out_rows"),
+            F.when(F.col("left_rows") <= F.col("right_rows"), "left")
+            .otherwise("right")
+            .alias("build_side"),
+            F.when(
+                F.least("left_rows", "right_rows") <= ADVISOR_BROADCAST_ROWS,
+                "broadcast",
+            )
+            .otherwise("sort_merge")
+            .alias("strategy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_name")

@@ -1,0 +1,82 @@
+"""Invariants for operators/audit.py — the k-anonymity privacy gauge
+and the table-stats join advisor (beyond the per-value parity that
+tools/parity.py already certifies against DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.operators.audit import (
+    ADVISOR_BROADCAST_ROWS,
+    K_ANON,
+    k_anonymity_level,
+    ops_table_stats_advisor,
+    privacy_k_anonymity,
+    table_join_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_k_anonymity_ladder_is_monotone(spark):
+    """Each ladder level is a strict coarsening of the previous QI
+    tuple (band100 -> band1000 -> sign; nation -> region), so groups
+    can only MERGE: group count falls, min group size rises, and the
+    at-risk mass (rows_below_k, risk_bp) falls — the anonymization
+    trade-off curve the gauge exists to expose."""
+    rows = privacy_k_anonymity(spark, SF_DIR).collect()
+    assert [r.level for r in rows] == [0, 1, 2]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.groups <= prev.groups
+        assert cur.min_k >= prev.min_k
+        assert cur.rows_below_k <= prev.rows_below_k
+        assert cur.risk_bp <= prev.risk_bp
+    for r in rows:
+        assert 0 <= r.risk_bp <= 10000
+        # consistency: no at-risk rows exactly when every group >= k
+        assert (r.rows_below_k == 0) == (r.min_k >= K_ANON)
+
+
+def test_k_anonymity_level_exact_on_known_groups(spark):
+    """Hand-built table: QI group sizes {a:2, b:7} with k=5 ->
+    2 groups, min_k=2, 2 rows at risk, 2222 bp of 9 rows."""
+    df = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 7, ["qi_col"]
+    )
+    row = k_anonymity_level(df, ["qi_col"], 0, "test", k=5).collect()[0]
+    assert row.groups == 2
+    assert row.min_k == 2
+    assert row.rows_below_k == 2
+    assert row.risk_bp == (10000 * 2) // 9
+
+
+def test_advisor_pkfk_estimate_is_exact(spark):
+    """For every advised edge the left key is the primary key, so
+    max(ndv) == left_rows and the System-R containment estimate
+    collapses to the fact-side row count exactly — the estimate is
+    not just plausible, it is provably right on PK-FK joins."""
+    rows = ops_table_stats_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.left_ndv == r.left_rows  # PK side
+        assert r.est_out_rows == r.right_rows
+
+
+def test_advisor_strategy_follows_stats(spark):
+    """The strategy/build-side calls are pure functions of the stats
+    columns in the same row — re-derive and compare."""
+    for r in ops_table_stats_advisor(spark, SF_DIR).collect():
+        small = min(r.left_rows, r.right_rows)
+        want = "broadcast" if small <= ADVISOR_BROADCAST_ROWS else "sort_merge"
+        assert r.strategy == want
+        assert r.build_side == (
+            "left" if r.left_rows <= r.right_rows else "right"
+        )
+
+
+def test_table_join_stats_single_row(spark):
+    left = spark.range(10).select(F.col("id").alias("k"))
+    right = spark.range(30).select((F.col("id") % 10).alias("k"))
+    row = table_join_stats(left, "k", right, "k").collect()[0]
+    assert (row.left_rows, row.left_ndv) == (10, 10)
+    assert (row.right_rows, row.right_ndv) == (30, 10)
