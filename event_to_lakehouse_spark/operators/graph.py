@@ -1087,3 +1087,101 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("assortativity"),
     )
+
+
+# --- bounded multi-source BFS (k-hop reachability) --------------------------
+
+KHOP_SOURCES = 3
+KHOP_HOPS = 3
+
+
+def _khop_round_sql(prev: str, cur: str, h: int) -> str:
+    """One BFS relaxation round (DuckDB oracle): expand the whole
+    distance table over the edges at hop cost ``h``, keep the min.
+    Expanding already-settled nodes is a no-op under min (a settled
+    node at d <= h-2 reaches neighbors at <= h-1 < h), so this naive
+    full-expand is value-identical to the Spark side's frontier-only
+    expansion — the oracle checks the SEMANTICS, the Spark plan keeps
+    the SCALE shape."""
+    return f"""
+    {cur} AS (
+        SELECT node, min(hops) AS hops FROM (
+            SELECT node, hops FROM {prev}
+            UNION ALL
+            SELECT p.dst AS node, {h} AS hops
+            FROM {prev} JOIN pairs p ON p.src = {prev}.node
+        ) GROUP BY node
+    )"""
+
+
+def khop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    hops: int = KHOP_HOPS,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Minimum hop distance (<= ``hops``) from a source set — bounded
+    multi-source BFS as ``hops`` chained relational rounds, the blast-
+    radius / k-hop-neighborhood primitive (feature extraction, impact
+    analysis) the iterative family (PageRank / LPA / k-core) lacked.
+
+    Each round expands ONLY the newest frontier (nodes first reached
+    last round) — textbook BFS: settled nodes cannot improve any
+    neighbor under min — then folds the reached set into the distance
+    table with a node-scale groupBy-min. Per-round cost is
+    |frontier ⋈ edges| + a node-cardinality shuffle; the edge list
+    never shuffles (same discipline as ``pagerank``'s broadcast_ranks
+    mode: the distance table is node-scale by construction, so it
+    broadcasts; on fact-scale node sets set
+    ``broadcast_frontier=False`` and pre-bucket the edges).
+
+    ``sources`` is a (node) DataFrame; distances start at 0 there.
+    Unreached nodes are absent from the result (not +inf rows) — at
+    100 TB the k-hop neighborhood is the small output, the node
+    catalog is not.
+    """
+    hint = F.broadcast if broadcast_frontier else (lambda df: df)
+    dist = sources.select("node").withColumn("hops", F.lit(0))
+    for h in range(1, hops + 1):
+        frontier = dist.where(F.col("hops") == h - 1).select("node")
+        reached = (
+            edges.join(hint(frontier), edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"), F.lit(h).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist
+
+
+@query(
+    "graph_khop_reach",
+    f"""
+    WITH {_EDGES_CTE},
+    srcs AS (SELECT src AS node FROM deg ORDER BY src LIMIT {KHOP_SOURCES}),
+    d0 AS (SELECT node, 0 AS hops FROM srcs),
+    {_khop_round_sql('d0', 'd1', 1)},
+    {_khop_round_sql('d1', 'd2', 2)},
+    {_khop_round_sql('d2', 'd3', 3)}
+    SELECT node AS p_partkey, hops FROM d3
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (0..{KHOP_HOPS}) from the {KHOP_SOURCES} smallest
+    part keys over the co-purchase graph. Fixed round count makes the
+    whole BFS one chained plan, so the DuckDB oracle value-checks
+    every round (the PageRank/LPA/k-core discipline); the sources are
+    a deterministic ORDER BY src LIMIT n so both engines pick the
+    same seed set. Reuses the session-cached edge materialization."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(KHOP_SOURCES)
+    )
+    return khop_distances(edges, sources, KHOP_HOPS).orderBy("node").select(
+        F.col("node").alias("p_partkey"), "hops"
+    )

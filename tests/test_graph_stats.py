@@ -700,3 +700,62 @@ def test_triangle_tables_cached_and_released(spark):
     unpersist_copurchase_edges()
     assert len(_TRICACHE) == 0
     assert not (per.storageLevel.useMemory or per.storageLevel.useDisk)
+
+
+def test_khop_distances_match_local_bfs(spark):
+    """Frontier-only distributed BFS == a local BFS over the same
+    undirected edge set (sf0.001), and the entry's invariants hold:
+    sources at 0, hops bounded, every hop-h node adjacent to an
+    h-1 node."""
+    from event_to_lakehouse_spark.operators.graph import (
+        KHOP_HOPS,
+        KHOP_SOURCES,
+        graph_khop_reach,
+    )
+
+    got = {
+        r.p_partkey: r.hops for r in graph_khop_reach(spark, SF).collect()
+    }
+    und = _edges(spark)
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = sorted(adj)[:KHOP_SOURCES]
+    dist = {s: 0 for s in sources}
+    frontier = list(sources)
+    for h in range(1, KHOP_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    assert got == dist
+    assert all(got[s] == 0 for s in sources)
+    assert max(got.values()) <= KHOP_HOPS
+
+
+def test_khop_reached_set_grows_with_hops(spark):
+    """hops=1 distances are a prefix of hops=3: same values on the
+    shared nodes, and the reached set only grows."""
+    from event_to_lakehouse_spark.operators.graph import (
+        KHOP_SOURCES,
+        _copurchase_edges,
+        khop_distances,
+    )
+    from pyspark.sql import functions as F
+
+    edges = _copurchase_edges(spark, SF)
+    sources = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(KHOP_SOURCES)
+    )
+    d1 = {r.node: r.hops for r in khop_distances(edges, sources, 1).collect()}
+    d3 = {r.node: r.hops for r in khop_distances(edges, sources, 3).collect()}
+    assert set(d1) <= set(d3)
+    for n, h in d1.items():
+        assert d3[n] == h  # settled distances never change
