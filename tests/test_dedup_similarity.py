@@ -515,3 +515,91 @@ def test_ann_recall_at_k_matches_set_overlap(spark):
         assert got[qid][1] == round(hits / TOP_K, 4)
         assert 0.0 <= got[qid][1] <= 1.0
     assert sum(v[1] for v in got.values()) / len(got) > 0.2
+
+
+# --- MMR diversified re-rank (similarity/mmr.py) ---------------------------
+
+
+def test_mmr_matches_local_greedy(spark):
+    """The distributed greedy == a numpy reference MMR on the same
+    integer micro grid (sf0.001) — every pick and every score."""
+    import numpy as np
+
+    from event_to_lakehouse_spark.similarity.mmr import (
+        MMR_DIV_W,
+        MMR_K,
+        MMR_NQ,
+        MMR_POOL,
+        MMR_REL_W,
+        ann_mmr_diversified,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    }
+
+    def micro(a, b):
+        c = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+        x = c * 1_000_000.0
+        return int(np.sign(x) * np.floor(abs(x) + 0.5))  # HALF_UP
+
+    want = []
+    for q in range(MMR_NQ):
+        rel = {
+            v: micro(emb[q], e) for v, e in emb.items() if v != q
+        }
+        pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+        sel = [min(pool, key=lambda v: (-rel[v], v))]
+        want.append((q, 1, sel[0], rel[sel[0]], MMR_REL_W * rel[sel[0]]))
+        for pick in range(2, MMR_K + 1):
+            best = None
+            for c in pool:
+                if c in sel:
+                    continue
+                pen = max(micro(emb[c], emb[s]) for s in sel)
+                score = MMR_REL_W * rel[c] - MMR_DIV_W * pen
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            sel.append(best[1])
+            want.append((q, pick, best[1], rel[best[1]], best[2]))
+
+    got = [
+        (r.query_id, r.pick, r.vec_id, r.rel_micro, r.mmr_score)
+        for r in ann_mmr_diversified(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == want
+
+
+def test_mmr_skips_planted_near_duplicate(spark):
+    """THE diversity guarantee: plant a near-copy of the top result at
+    relevance rank 2 — plain top-k would return both; MMR must pick
+    the orthogonal lower-relevance candidate first."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.similarity.mmr import mmr_pool, mmr_rerank
+
+    # Query sits between two clusters; the near-dup of pick 1 is the
+    # SECOND most relevant candidate, but its ~1.0 similarity to pick
+    # 1 outweighs its tiny relevance edge over the other cluster's
+    # candidate at lambda=0.7: 7*rel(11) - 3*sim(11,10) ~ 0.3954 <
+    # 7*rel(12) - 3*sim(12,10) ~ 0.4029 (x1e6 on the micro grid).
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),       # the query
+        (10, [1.0, 0.80, 0.0, 0.0]),     # top relevance (cluster A)
+        (11, [1.0, 0.79, 0.0, 0.0]),     # near-dup of 10, relevance rank 2
+        (12, [0.78, 1.0, 0.0, 0.0]),     # cluster B: barely less relevant
+        (13, [0.0, 0.0, 1.0, 0.2]),      # orthogonal filler
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    pool = mmr_pool(df, df.filter(F.col("vec_id") == 0), pool=4)
+    picks = [r.vec_id for r in sorted(
+        mmr_rerank(pool, k=3).collect(), key=lambda r: r.pick
+    )]
+    # plain top-3 by relevance would be [10, 11, 12]; MMR demotes the dup
+    assert picks == [10, 12, 11]
