@@ -1,0 +1,183 @@
+"""Durable inverted index — BM25 lexical search as a SERVING artifact,
+completing the durable-index family (NearDup / ExactDedup / Bloom /
+IVF / PQ / IVFPQ / this).
+
+``text_bm25_search`` (textops.py) proves the scoring math over a batch
+corpus; this module makes retrieval INCREMENTAL: the posting table
+(term, doc_id, tf) and the doc-length table (doc_id, dl) persist as
+:class:`~.storage.snapshots.SnapshotTable`\\ s, each ``add_batch``
+tokenizes ONLY the arriving docs (batch cost — held text is never
+re-read), and ``topk`` serves a query from the stored postings:
+
+- the query's terms prune the posting scan (predicate pushdown on the
+  clustered ``term`` column; ``maintain()`` bin-packs postings
+  CLUSTERED BY (term, doc_id), so after compaction a 3-term query
+  opens the few files whose zone maps cover those terms — the same
+  file-skipping contract the Bloom/IVFPQ indexes carry),
+- document frequencies come from that pruned scan, never a full one,
+- the corpus stats (n_docs, avgdl) are a one-column aggregate of the
+  doc-length table — doc-cardinality, not posting-cardinality; a
+  production deployment folds them from per-commit manifest row
+  stats instead (the ``ops_table_stats_advisor`` note applies).
+
+Served results are EQUAL to the batch operator over everything ever
+added — ``text_bm25_index_persisted``'s oracle is the identical
+whole-corpus BM25 SQL that certifies ``text_bm25_search``, and pytest
+pins served == batch row-for-row, so the incremental path cannot
+drift from the certified math.
+
+Crash/replay contract: both tables carry the SAME exactly-once batch
+token; a replayed ``add_batch`` is a storage no-op per table, so a
+crash between the two commits self-heals on retry (the postings
+commit lands first; a retry skips it and completes the doc-length
+commit). Single concurrent writer per index root, like every durable
+index here (see the BloomIndex parent-anchoring note in
+``dedup/bloom.py``).
+
+Reference parity: the reference ETL has no retrieval tier (SURVEY §2
+LLM-pipeline fill); the BM25 form follows Robertson-Sparck Jones idf
+with k1/b length normalization, parameters pinned by textops.py.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.relational import query
+from .storage.snapshots import SnapshotTable
+from .tables import load_tables
+from .textops import BM25_B, BM25_K1, BM25_QUERY, BM25_TOPK
+
+__all__ = ["InvertedIndex"]
+
+
+def tokenize_postings(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for a doc batch — the same lowercase
+    whitespace tokenization as ``text_bm25_search`` so served scores
+    are bit-identical to the certified batch operator."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    return tf.select("term", "doc_id", "tf"), dl
+
+
+class InvertedIndex:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        self.postings_table = SnapshotTable(spark, str(self.root / "postings"))
+        self.doclens_table = SnapshotTable(spark, str(self.root / "doclens"))
+
+    def add_batch(self, docs: DataFrame, batch_token: str | None = None):
+        """Tokenize the batch and append postings + doc lengths. Each
+        table skips the commit if it already holds ``batch_token``, so
+        replays (and crash retries) are no-ops that converge."""
+        postings, doclens = tokenize_postings(docs)
+
+        def _tokened(table: SnapshotTable, rows: DataFrame):
+            snap = table.snapshot()
+            if (
+                batch_token is not None
+                and snap is not None
+                and batch_token in snap.batch_tokens
+            ):
+                return snap
+            return table.append(rows, batch_token=batch_token)
+
+        _tokened(self.postings_table, postings)
+        return _tokened(self.doclens_table, doclens)
+
+    def doc_count(self) -> int:
+        try:
+            return self.doclens_table.read().count()
+        except FileNotFoundError:
+            return 0
+
+    def topk(self, terms: list[str], k: int = BM25_TOPK) -> DataFrame:
+        """BM25 top-k over the stored postings: (doc_id, score,
+        n_terms_hit, rank). The `` term IN (...)`` filter reaches the
+        posting scan (pushed predicate + post-maintain zone maps), so
+        serving cost tracks the probed terms' posting lists, not the
+        corpus."""
+        tf = self.postings_table.read().filter(F.col("term").isin(terms))
+        dl = self.doclens_table.read()
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        norm = F.col("tf") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        contrib = idf * F.col("tf") * (BM25_K1 + 1.0) / norm
+        scored = (
+            tf.join(F.broadcast(df), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(
+                F.sum(contrib).alias("score"),
+                F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            )
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.select(
+                "doc_id",
+                F.round("score", 6).alias("score"),
+                "n_terms_hit",
+                F.row_number().over(w).cast("int").alias("rank"),
+            )
+            .filter(F.col("rank") <= k)
+            .orderBy("rank")
+        )
+
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Bin-pack postings CLUSTERED BY (term, doc_id) — each term's
+        posting list lands contiguously so a query's pruned scan opens
+        few files — and doc lengths by doc_id; then vacuum both.
+        Batch tokens survive. Returns files removed."""
+        from .storage.compaction import compact_snapshot
+
+        compact_snapshot(
+            self.postings_table, target_file_bytes, sort_cols=["term", "doc_id"]
+        )
+        compact_snapshot(
+            self.doclens_table, target_file_bytes, sort_cols=["doc_id"]
+        )
+        removed = self.postings_table.vacuum(keep_versions)
+        return removed + self.doclens_table.vacuum(keep_versions)
+
+
+def _persisted_oracle() -> str:
+    # Serving from the stored postings must equal the certified batch
+    # BM25 over the whole corpus — reuse that entry's exact oracle.
+    from .operators.relational import ORACLES
+
+    return ORACLES["text_bm25_search"]
+
+
+@query("text_bm25_index_persisted", _persisted_oracle())
+def text_bm25_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable inverted index end-to-end under the batch BM25
+    oracle: index the documents table in TWO batches (even then odd
+    doc_ids — the incremental path), then serve the pinned query from
+    the stored postings. Green means the persisted path — two-batch
+    tokenize, pushed term filter, pruned-df scoring — reproduces the
+    certified whole-corpus operator exactly."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    idx = InvertedIndex(spark, tempfile.mkdtemp(prefix="inv_idx_"))
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_token="even")
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_token="odd")
+    return idx.topk(BM25_QUERY)

@@ -373,3 +373,79 @@ def test_ivf_index_kmeans_fitted_centroids(spark, tmp_dir):
         return len(hits & exact) / len(exact)
 
     assert recall(fitted) >= recall(stride)
+
+
+# --- durable inverted index (textindex.py) ---------------------------------
+
+
+def test_inverted_index_serves_batch_bm25_exactly(spark, tmp_dir):
+    """Two-batch incremental indexing serves EXACTLY the certified
+    whole-corpus batch operator: same docs, same scores, same ranks."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+    from event_to_lakehouse_spark.textops import BM25_QUERY, text_bm25_search
+
+    docs = _docs(spark).select("doc_id", "text")
+    idx = InvertedIndex(spark, f"{tmp_dir}/inv")
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_token="e")
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_token="o")
+    served = [
+        (r.doc_id, r.score, r.n_terms_hit, r.rank)
+        for r in idx.topk(BM25_QUERY).collect()
+    ]
+    batch = [
+        (r.doc_id, r.score, r.n_terms_hit, r.rank)
+        for r in text_bm25_search(spark, SF).collect()
+    ]
+    assert served == batch
+    assert idx.doc_count() == docs.count()
+
+
+def test_inverted_index_replay_and_maintain(spark, tmp_dir):
+    """Replayed batch tokens are storage no-ops on BOTH tables; a
+    crash between the two commits self-heals on retry; maintain()
+    compacts without changing any answer and replay protection
+    survives the rewrite."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+    from event_to_lakehouse_spark.textops import BM25_QUERY
+
+    docs = _docs(spark).select("doc_id", "text")
+    idx = InvertedIndex(spark, f"{tmp_dir}/inv2")
+    for lo, hi, tok in ((0, 200, "b0"), (200, 350, "b1"), (350, 450, "b2")):
+        idx.add_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            batch_token=tok,
+        )
+    vp = idx.postings_table.snapshot().version
+    vd = idx.doclens_table.snapshot().version
+    idx.add_batch(docs.filter(F.col("doc_id") < 200), batch_token="b0")
+    assert idx.postings_table.snapshot().version == vp
+    assert idx.doclens_table.snapshot().version == vd
+
+    # crash between the two commits: simulate by appending postings
+    # only with a fresh token for a NOT-yet-indexed doc, then retrying
+    # the full add_batch — the postings commit is skipped, the
+    # doclens commit completes.
+    from event_to_lakehouse_spark.textindex import tokenize_postings
+
+    tail = docs.filter(F.col("doc_id") == 460)
+    postings, _ = tokenize_postings(tail)
+    idx.postings_table.append(postings, batch_token="crash")
+    idx.add_batch(tail, batch_token="crash")
+    assert "crash" in idx.postings_table.snapshot().batch_tokens
+    assert "crash" in idx.doclens_table.snapshot().batch_tokens
+
+    before = [
+        (r.doc_id, r.score, r.rank) for r in idx.topk(BM25_QUERY).collect()
+    ]
+    files_before = len(idx.postings_table.snapshot().files)
+    removed = idx.maintain()
+    assert removed > 0
+    assert len(idx.postings_table.snapshot().files) < files_before
+    after = [
+        (r.doc_id, r.score, r.rank) for r in idx.topk(BM25_QUERY).collect()
+    ]
+    assert after == before
+    # replay protection survives the rewrite
+    vp2 = idx.postings_table.snapshot().version
+    idx.add_batch(docs.filter(F.col("doc_id") < 200), batch_token="b0")
+    assert idx.postings_table.snapshot().version == vp2
