@@ -160,6 +160,14 @@ HEADLINE = [
     "ann_pq_trained_adc_topk",  # r10: integer-grid Lloyd trainer + ADC
     "ann_ivfpq_index_persisted",  # r10: durable IVFPQ build+serve
     "dedup_admission_pipeline",  # r10: bloom -> exact -> near-dup chain
+    "graph_khop_reach",  # r10: bounded multi-source BFS (shared edges)
+    "privacy_k_anonymity",  # r10: QI generalization-ladder audit
+    "ops_table_stats_advisor",  # r10: ANALYZE + join-strategy gauge
+    "text_bm25_index_persisted",  # r10: durable inverted-index serve
+    # ann_mmr_diversified stays registry-only in the bench: its cost
+    # is plan-depth overhead (k-1 chained greedy rounds over ~30-row
+    # pool tables), constant in the corpus — a wall-time entry would
+    # measure stage-scheduling latency, not engine throughput.
 ]
 
 PKG = "event_to_lakehouse_spark"

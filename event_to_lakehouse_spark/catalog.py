@@ -210,7 +210,21 @@ FINAL_CATALOG: list[str] = [
     "events_interval_islands",
     "gold_scd2_history",
     "quality_constraints",
-    "text_tfidf_topterms",
+    # r10 swap: text_bm25_index_persisted in, text_tfidf_topterms
+    # retired (containment: the tfidf seat's plan is explode ->
+    # (key, term) partial-agg groupBy -> broadcast document-frequency
+    # join -> broadcast 1-row corpus-stat crossJoin -> window top-k;
+    # the BM25 index entry runs that IDENTICAL scoring pipeline over
+    # its stored postings — explode/groupBy at indexing time, then
+    # broadcast-df join + broadcast-stats crossJoin + window rank —
+    # and ADDS the durable-retrieval path no text seat certified:
+    # two SnapshotTables with exactly-once tokens on both commits,
+    # a term-pushdown pruned posting scan, and serving equality with
+    # the certified batch operator. Per-group window top-k stays
+    # driver-certified via graph_label_propagation's per-node argmax
+    # and window_analytics' ranking suite; the retired entry stays
+    # registry+pytest+oracle-green.)
+    "text_bm25_index_persisted",
     # --- r6 swap-ins: the graph/linkage/statistics tier gets driver
     # seats (VERDICT r5 #4 — the gate's value is highest on the
     # iterative chained-CTE oracles none of which were driver-certified
