@@ -205,8 +205,9 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
         # late-r6 promotions — scalar 1-row broadcast crossJoins:
         "market_basket_rules",      # ≤600 pair rows × broadcast 1-row txn total
         "survival_kaplan_meier",    # day rows × broadcast 1-row cohort size
-        # r10 seat swap — same intended pattern as ann_ivf_topk:
+        # r10 seat swaps — same intended patterns:
         "ann_ivfpq_index_persisted",  # corpus × broadcast centroid set (assignment)
+        "text_bm25_index_persisted",  # postings × broadcast 1-row corpus stats
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():
