@@ -729,3 +729,39 @@ def entropy_from_counts(counts: DataFrame) -> DataFrame:
             "norm_entropy",
         )
     )
+
+
+def inverted_index_stream(
+    docs,
+    index_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the durable inverted index — the
+    ingest topology of ``textindex.InvertedIndex``: each micro-batch
+    tokenizes ONLY its own docs and appends postings + doc lengths
+    under ``batch_id`` as the exactly-once token. Replay is a storage
+    no-op on both tables, and a crash between the postings and
+    doc-length commits self-heals on the replayed batch (the
+    ``add_batch`` contract, pytest-pinned in ``test_incremental``) —
+    so a drained stream serves EXACTLY what one-shot batch indexing
+    would, and queries keep working mid-stream on whatever prefix has
+    committed.
+
+    Like the other index streams, state lives in the versioned tables
+    — no state store, no watermark, per-batch cost tracks the batch.
+    """
+    from ..textindex import InvertedIndex
+
+    def _write(batch_df, batch_id: int) -> None:
+        idx = InvertedIndex(batch_df.sparkSession, index_root)
+        idx.add_batch(
+            batch_df.select("doc_id", "text"), batch_token=f"b{batch_id}"
+        )
+
+    writer = docs.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -947,3 +947,86 @@ def test_bloom_admission_stream_sized_from_index_manifests(spark, tmp_dir):
     q.awaitTermination(120)
     idx = BloomIndex(spark, f"{tmp_dir}/bloomidx")
     assert idx.m_bits == bloom_bits(held.row_count())  # manifest-sized
+
+
+def test_inverted_index_stream_equals_batch(spark, tmp_dir):
+    """Draining a 2-micro-batch doc stream through the inverted-index
+    topology serves EXACTLY the one-shot batch index over the union,
+    and a checkpointed re-run leaves both tables untouched."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.streaming.jobs import inverted_index_stream
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows = [
+        {"doc_id": 1, "text": "merge window stream merge"},
+        {"doc_id": 2, "text": "window table scan"},
+        {"doc_id": 3, "text": "stream stream merge window"},
+        {"doc_id": 4, "text": "totally unrelated words"},
+    ]
+    src = Path(tmp_dir) / "docs"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:2])
+    )
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[2:])
+    )
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = inverted_index_stream(
+            stream,
+            index_root=f"{tmp_dir}/invidx",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _run(f"{tmp_dir}/ckpt")
+    idx = InvertedIndex(spark, f"{tmp_dir}/invidx")
+    assert idx.doc_count() == 4
+
+    batch_idx = InvertedIndex(spark, f"{tmp_dir}/batchidx")
+    batch_idx.add_batch(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"]
+        ),
+        batch_token="all",
+    )
+    terms = ["merge", "window", "stream"]
+    served = [
+        (r.doc_id, r.score, r.n_terms_hit, r.rank)
+        for r in idx.topk(terms).collect()
+    ]
+    oneshot = [
+        (r.doc_id, r.score, r.n_terms_hit, r.rank)
+        for r in batch_idx.topk(terms).collect()
+    ]
+    assert served == oneshot
+    # docs 1 and 3 hit all three terms with symmetric tf profiles
+    # (equal scores, doc_id tiebreak); doc 4 matches nothing
+    assert [r[0] for r in served] == [1, 3, 2]
+    assert [r[2] for r in served] == [3, 3, 1]
+
+    # replay from the same checkpoint: tokens make it a no-op
+    vp = idx.postings_table.snapshot().version
+    vd = idx.doclens_table.snapshot().version
+    _run(f"{tmp_dir}/ckpt")
+    assert idx.postings_table.snapshot().version == vp
+    assert idx.doclens_table.snapshot().version == vd
