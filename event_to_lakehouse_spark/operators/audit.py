@@ -254,3 +254,155 @@ def ops_table_stats_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("join_name")
+
+
+# --- join-order enumeration (mini-Selinger) ---------------------------------
+
+# The 4-table PK-FK chain nation - customer - orders - lineitem.
+# Left-deep orders whose every prefix is connected are exactly the
+# ways to grow a contiguous interval of the path: 2^(k-1) = 8 orders
+# (Selinger prunes the cross-product rest; so do we).
+_CHAIN = ["nation", "customer", "orders", "lineitem"]
+_CHAIN_KEYS = {  # edge (left, right) -> (left key, right key)
+    ("nation", "customer"): ("n_nationkey", "c_nationkey"),
+    ("customer", "orders"): ("c_custkey", "o_custkey"),
+    ("orders", "lineitem"): ("o_orderkey", "l_orderkey"),
+}
+
+
+def _chain_orders() -> list[list[str]]:
+    """All connected left-deep orders: start anywhere, then repeatedly
+    extend the held interval left or right."""
+    out = []
+
+    def grow(lo: int, hi: int, acc: list[str]):
+        if lo == 0 and hi == len(_CHAIN) - 1:
+            out.append(acc)
+            return
+        if lo > 0:
+            grow(lo - 1, hi, acc + [_CHAIN[lo - 1]])
+        if hi < len(_CHAIN) - 1:
+            grow(lo, hi + 1, acc + [_CHAIN[hi + 1]])
+
+    for s in range(len(_CHAIN)):
+        grow(s, s, [_CHAIN[s]])
+    return sorted(out)
+
+
+def _order_cost_exprs(order: list[str]) -> tuple[str, str]:
+    """(cost_expr, final_expr) for one join order, as engine-neutral
+    integer arithmetic over the scalar stats columns rows_<t> /
+    ndv_<key> (``{div}`` is formatted per engine). The running
+    estimate is System R's: |I ⋈ T| = |I|·|T| div max(ndv of the
+    joining keys in their BASE tables) — the independence/containment
+    assumption an actual CBO applies when only base-table stats
+    exist."""
+    held = {order[0]}
+    est = f"rows_{order[0]}"
+    intermediates = []
+    for t in order[1:]:
+        for (l, r), (lk, rk) in _CHAIN_KEYS.items():
+            if (l in held) == (r in held):
+                continue
+            if t not in (l, r):
+                continue
+            est = (
+                f"(({est}) * rows_{t} {{div}} "
+                f"greatest(ndv_{lk}, ndv_{rk}))"
+            )
+            break
+        held.add(t)
+        intermediates.append(est)
+    # cost = intermediate sizes EXCLUDING the final result (every
+    # order produces the same final relation)
+    cost = " + ".join(intermediates[:-1])
+    return cost, intermediates[-1]
+
+
+_STAT_KEYS = sorted({k for pair in _CHAIN_KEYS.values() for k in pair})
+
+
+def _joinorder_sql() -> str:
+    stats = ",\n".join(
+        f"    s_{t} AS (SELECT count(*) AS rows_{t}"
+        + "".join(
+            f", count(DISTINCT {k}) AS ndv_{k}"
+            for k in _STAT_KEYS
+            if k.startswith(t[0] + "_") or (t == "nation" and k.startswith("n_"))
+        )
+        + f" FROM {t})"
+        for t in _CHAIN
+    )
+    rows = " UNION ALL ".join(
+        "SELECT '{name}' AS join_order, CAST({cost} AS BIGINT) AS est_cost_rows, "
+        "CAST({fin} AS BIGINT) AS est_final_rows FROM allstats".format(
+            name=">".join(o),
+            cost=_order_cost_exprs(o)[0].format(div="//"),
+            fin=_order_cost_exprs(o)[1].format(div="//"),
+        )
+        for o in _chain_orders()
+    )
+    return f"""
+    WITH
+{stats},
+    allstats AS (SELECT * FROM s_nation, s_customer, s_orders, s_lineitem)
+    SELECT join_order, est_cost_rows, est_final_rows,
+           CAST(row_number() OVER (ORDER BY est_cost_rows, join_order)
+                AS INTEGER) AS rank,
+           row_number() OVER (ORDER BY est_cost_rows, join_order) = 1
+               AS chosen
+    FROM ({rows})
+    ORDER BY rank
+    """
+
+
+@query("ops_join_order_advisor", _joinorder_sql())
+def ops_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selinger-style join-order enumeration over the nation-customer-
+    orders-lineitem chain: every connected left-deep order (8 — the
+    cross-product rest is pruned, as in System R), costed as the sum
+    of estimated INTERMEDIATE sizes under the containment estimate,
+    ranked, cheapest marked ``chosen``. The ranking reproduces the
+    classic lesson — the dimension-first orders (customer/nation
+    before orders before lineitem) tie for cheapest at |C|+|O| while
+    fact-first pays |L| per early intermediate — and the gauge makes
+    the planner's arithmetic auditable the same
+    way ``ops_table_stats_advisor`` does for single joins. Both
+    engines evaluate the SAME generated integer expressions (one
+    Python spec emits the Spark ``div`` and DuckDB ``//`` forms), so
+    the whole DP table is bit-exact; the stats scans are exact-NDV
+    for the oracle, manifest-stats at 100 TB (module docstring)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    one = None
+    for name in _CHAIN:
+        aggs = [F.count(F.lit(1)).alias(f"rows_{name}")]
+        for k in _STAT_KEYS:
+            if k.startswith(name[0] + "_") or (
+                name == "nation" and k.startswith("n_")
+            ):
+                aggs.append(F.countDistinct(k).alias(f"ndv_{k}"))
+        s = t[name].agg(*aggs)
+        one = s if one is None else one.crossJoin(s)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(">".join(o)).alias("join_order"),
+                F.expr(
+                    _order_cost_exprs(o)[0].format(div="div")
+                ).cast("long").alias("est_cost_rows"),
+                F.expr(
+                    _order_cost_exprs(o)[1].format(div="div")
+                ).cast("long").alias("est_final_rows"),
+            )
+            for o in _chain_orders()
+        ]
+    )
+    melted = one.select(F.explode(rows).alias("r")).select("r.*")
+    w = Window.orderBy("est_cost_rows", "join_order")
+    return (
+        melted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("chosen", F.col("rank") == 1)
+        .orderBy("rank")
+    )

@@ -80,3 +80,47 @@ def test_table_join_stats_single_row(spark):
     row = table_join_stats(left, "k", right, "k").collect()[0]
     assert (row.left_rows, row.left_ndv) == (10, 10)
     assert (row.right_rows, row.right_ndv) == (30, 10)
+
+
+def test_join_order_advisor_ranks_dimension_first(spark):
+    """8 connected left-deep orders; the chosen order starts with the
+    two dimensions, its cost is exactly |customer| + |orders| (each
+    PK-FK intermediate collapses to the fact side), every fact-first
+    order pays |lineitem| at least once, and est_final_rows is
+    identical for all orders (join order never changes the result)."""
+    from event_to_lakehouse_spark.operators.audit import (
+        ops_join_order_advisor,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    rows = ops_join_order_advisor(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert [r.rank for r in rows] == list(range(1, 9))
+    t = load_tables(spark, SF_DIR)
+    n_c, n_o, n_l = t["customer"].count(), t["orders"].count(), t["lineitem"].count()
+    best = rows[0]
+    assert best.chosen and all(not r.chosen for r in rows[1:])
+    first_two = set(best.join_order.split(">")[:2])
+    assert first_two == {"nation", "customer"}
+    assert best.est_cost_rows == n_c + n_o
+    assert len({r.est_final_rows for r in rows}) == 1
+    for r in rows:
+        if r.join_order.startswith("lineitem") or ">lineitem>" in r.join_order:
+            assert r.est_cost_rows >= n_l
+        assert r.est_cost_rows >= best.est_cost_rows
+
+
+def test_chain_orders_enumeration_is_connected_and_complete(spark):
+    """Pure-logic pin: 2^(k-1) orders, each a permutation whose every
+    prefix is a contiguous interval of the chain (= connected)."""
+    from event_to_lakehouse_spark.operators.audit import _CHAIN, _chain_orders
+
+    orders = _chain_orders()
+    assert len(orders) == 2 ** (len(_CHAIN) - 1)
+    assert len({tuple(o) for o in orders}) == len(orders)
+    pos = {t: i for i, t in enumerate(_CHAIN)}
+    for o in orders:
+        assert sorted(o) == sorted(_CHAIN)
+        for i in range(1, len(o) + 1):
+            idxs = sorted(pos[t] for t in o[:i])
+            assert idxs == list(range(idxs[0], idxs[-1] + 1))
