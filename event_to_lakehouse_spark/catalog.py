@@ -85,6 +85,7 @@ import event_to_lakehouse_spark.curation  # noqa: F401
 import event_to_lakehouse_spark.multimodal  # noqa: F401
 import event_to_lakehouse_spark.pipeline.gold  # noqa: F401
 import event_to_lakehouse_spark.storage.rollup  # noqa: F401
+import event_to_lakehouse_spark.storage.stats_catalog  # noqa: F401
 
 from .operators.relational import ORACLES, QUERIES
 

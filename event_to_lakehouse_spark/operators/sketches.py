@@ -457,7 +457,12 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows_ab.unionAll(rows_u).unionAll(rows_i).unionAll(rows_j)
 
 
-def kmv_sketch(df: DataFrame, key_col: str, group_col: str | None = None) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    k: int = KMV_K,
+) -> DataFrame:
     """Build the KMV state: the ``KMV_K`` smallest portable hashes of
     the distinct keys (optionally per group). The state IS the sketch —
     ``kmv_merge`` of per-batch states equals the whole-corpus state
@@ -473,12 +478,12 @@ def kmv_sketch(df: DataFrame, key_col: str, group_col: str | None = None) -> Dat
     w = Window.partitionBy(*grp).orderBy("hv") if grp else Window.orderBy("hv")
     return (
         h.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KMV_K)
+        .where(F.col("rn") <= k)
         .drop("rn")
     )
 
 
-def kmv_merge(*sketches: DataFrame) -> DataFrame:
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     """Merge KMV states: k smallest of the union of k-min sets."""
     un = sketches[0]
     for s in sketches[1:]:
@@ -488,21 +493,22 @@ def kmv_merge(*sketches: DataFrame) -> DataFrame:
     w = Window.partitionBy(*grp).orderBy("hv") if grp else Window.orderBy("hv")
     return (
         dedup.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KMV_K)
+        .where(F.col("rn") <= k)
         .drop("rn")
     )
 
 
-def kmv_estimate(sketch: DataFrame) -> DataFrame:
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     """Distinct-count estimate from a KMV state (per group if any):
     (K-1)/h_(K) normalized, exact count when the population is < K."""
     grp = [c for c in sketch.columns if c != "hv"]
     w = Window.partitionBy(*grp).orderBy("hv") if grp else Window.orderBy("hv")
     ranked = sketch.withColumn("rn", F.row_number().over(w))
-    kth = F.max(F.when(F.col("rn") == KMV_K, F.col("hv")))
+    kth = F.max(F.when(F.col("rn") == k, F.col("hv")))
+    num = float((k - 1) << 60)  # exact in double for any small k
     agg = [
-        F.when(F.count("*") < KMV_K, F.count("*").cast("double"))
-        .otherwise(F.lit(_KMV_NUM) / kth.cast("double"))
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.lit(num) / kth.cast("double"))
         .alias("est")
     ]
     return ranked.groupBy(*grp).agg(*agg) if grp else ranked.agg(*agg)

@@ -1,0 +1,257 @@
+"""Durable statistics catalog — ANALYZE as a lakehouse artifact, so
+join advice is METADATA-ONLY at query time.
+
+``ops_table_stats_advisor`` (operators/audit.py) computes exact stats
+with full scans and documents "manifest stats + NDV sketches" as the
+100 TB source; this module IS that source. ``analyze`` runs the one
+honest scan per table batch (the cost a real ANALYZE pays) and
+persists two bounded artifacts in SnapshotTables:
+
+- ``counts``: (tbl, n_rows) — one row per analyzed batch; total rows
+  is the metadata sum (mirroring what `SnapshotTable.row_count`
+  derives from manifests for tables this catalog fronts).
+- ``sketches``: (tbl, key, hv) — the per-batch KMV k-min state for
+  each requested join key. KMV's merge law (pytest-pinned in
+  `test_kmv_merge_equals_full`) makes the catalog INCREMENTAL: the k
+  smallest of the union of per-batch k-min sets equals the
+  whole-corpus k-min set exactly, so analyzing a table in N batches
+  yields the same NDV estimate as one pass — no re-scan, ever.
+
+``advise_join`` then reproduces the advisor's decision columns
+(containment estimate, build side, broadcast-vs-sort-merge) from
+catalog reads alone — the fact tables are never touched, which
+``test_stats_catalog`` pins by inspecting the plan's input files.
+
+Accuracy: KMV with CATALOG_K=128 has ~1/sqrt(K-1) ≈ 9% relative NDV
+error — far inside what threshold decisions (broadcast bound, build
+side) tolerate; raise CATALOG_K where estimates feed cost models
+directly. Rows are exact (counts are counts).
+
+``maintain()`` folds each (tbl, key) group back to its k smallest and
+compacts, so the sketch table is bounded at tables × keys × k rows
+forever (the RollupView/BloomIndex bounded-state discipline).
+
+Reference parity: the reference has no statistics subsystem; this is
+the ops/maintenance tier of SURVEY §2's ABSENT fill, and the concrete
+backing for the audit gauges' manifest-stats claims.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import kmv_estimate, kmv_merge, kmv_sketch
+from .snapshots import SnapshotTable
+
+__all__ = ["StatsCatalog", "CATALOG_K"]
+
+CATALOG_K = 128
+BROADCAST_ROWS = 100_000  # mirrors ops_table_stats_advisor
+
+
+class StatsCatalog:
+    def __init__(self, spark: SparkSession, root: str, k: int = CATALOG_K):
+        self.spark = spark
+        self.root = Path(root)
+        self.k = k
+        self.counts_table = SnapshotTable(spark, str(self.root / "counts"))
+        self.sketches_table = SnapshotTable(spark, str(self.root / "sketches"))
+
+    def analyze(
+        self,
+        tbl: str,
+        df: DataFrame,
+        keys: list[str],
+        batch_token: str | None = None,
+    ):
+        """One ANALYZE pass over a table batch: row count + a KMV
+        k-min state per requested key, appended under the same
+        exactly-once token on both artifacts (the InvertedIndex
+        crash/replay contract: per-table token checks make a retry
+        converge)."""
+        n = df.count()
+        counts = self.spark.createDataFrame(
+            [(tbl, n)], ["tbl", "n_rows"]
+        )
+        sk = None
+        for key in keys:
+            s = kmv_sketch(df, key, k=self.k).select(
+                F.lit(tbl).alias("tbl"), F.lit(key).alias("key"), "hv"
+            )
+            sk = s if sk is None else sk.unionByName(s)
+
+        def _tokened(table: SnapshotTable, rows: DataFrame):
+            snap = table.snapshot()
+            if (
+                batch_token is not None
+                and snap is not None
+                and batch_token in snap.batch_tokens
+            ):
+                return snap
+            return table.append(rows, batch_token=batch_token)
+
+        _tokened(self.counts_table, counts)
+        return _tokened(self.sketches_table, sk)
+
+    # -- metadata-only reads -------------------------------------------------
+
+    def row_stats(self, tbl: str) -> DataFrame:
+        """(n_rows) — the metadata sum over analyzed batches."""
+        return (
+            self.counts_table.read()
+            .where(F.col("tbl") == tbl)
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"))
+        )
+
+    def ndv_estimate(self, tbl: str, key: str) -> DataFrame:
+        """(est) — merge the per-batch k-min states (exact under the
+        KMV merge law) and estimate."""
+        states = (
+            self.sketches_table.read()
+            .where((F.col("tbl") == tbl) & (F.col("key") == key))
+            .select("hv")
+        )
+        return kmv_estimate(kmv_merge(states, k=self.k), k=self.k)
+
+    def advise_join(
+        self, lt: str, lk: str, rt: str, rk: str
+    ) -> DataFrame:
+        """The ops_table_stats_advisor decision row, from catalog
+        reads only: (join_name, left_rows, right_rows, left_ndv_est,
+        right_ndv_est, est_out_rows, build_side, strategy)."""
+        ls = self.row_stats(lt).withColumnRenamed("n_rows", "left_rows")
+        rs = self.row_stats(rt).withColumnRenamed("n_rows", "right_rows")
+        ln = self.ndv_estimate(lt, lk).select(F.col("est").alias("l_est"))
+        rn = self.ndv_estimate(rt, rk).select(F.col("est").alias("r_est"))
+        one = ls.crossJoin(rs).crossJoin(F.broadcast(ln)).crossJoin(
+            F.broadcast(rn)
+        )
+        est_out = F.floor(
+            F.col("left_rows")
+            * F.col("right_rows")
+            / F.greatest("l_est", "r_est")
+        ).cast("long")
+        return one.select(
+            F.lit(f"{lt}-{rt}").alias("join_name"),
+            "left_rows",
+            "right_rows",
+            F.round("l_est", 4).alias("left_ndv_est"),
+            F.round("r_est", 4).alias("right_ndv_est"),
+            est_out.alias("est_out_rows"),
+            F.when(F.col("left_rows") <= F.col("right_rows"), "left")
+            .otherwise("right")
+            .alias("build_side"),
+            F.when(
+                F.least("left_rows", "right_rows") <= BROADCAST_ROWS,
+                "broadcast",
+            )
+            .otherwise("sort_merge")
+            .alias("strategy"),
+        )
+
+    def maintain(
+        self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
+    ) -> int:
+        """Fold every (tbl, key) sketch group back to its k smallest
+        (a rewrite commit — the merged state is the canonical one
+        under the merge law), compact + vacuum both tables. Bounded at
+        tables × keys × k sketch rows forever."""
+        from .compaction import compact_snapshot
+
+        snap = self.sketches_table.snapshot()
+        folded = kmv_merge(
+            self.sketches_table.read(), k=self.k
+        )  # grp = (tbl, key) — the non-hv columns
+        # parent-anchored: the fold is a read-merge-overwrite, so a
+        # racing analyze() must collide, not be silently dropped (the
+        # BloomIndex/RollupView lost-update rule from the r9 review)
+        self.sketches_table.overwrite(
+            folded, parent_version=snap.version if snap else None
+        )
+        compact_snapshot(
+            self.sketches_table, target_file_bytes, sort_cols=["tbl", "key"]
+        )
+        compact_snapshot(self.counts_table, target_file_bytes, sort_cols=["tbl"])
+        removed = self.sketches_table.vacuum(keep_versions)
+        return removed + self.counts_table.vacuum(keep_versions)
+
+
+def _advise_oracle() -> str:
+    """customer-orders advice from first principles: the KMV merge law
+    (pytest-pinned) means the merged per-batch states equal the
+    whole-table k-min set, so the oracle computes that set directly."""
+    from ..functions.hashing import hash60_duck
+
+    num = (CATALOG_K - 1) << 60  # exact in double (7-bit mantissa x 2^60)
+
+    def kmin(table: str, key: str, alias: str) -> str:
+        h = hash60_duck(f"'kmv|' || CAST({key} AS VARCHAR)")
+        return f"""
+    {alias}_k AS (
+        SELECT hv FROM (
+            SELECT DISTINCT {h} AS hv FROM {table} WHERE {key} IS NOT NULL
+        ) ORDER BY hv LIMIT {CATALOG_K}
+    ),
+    {alias} AS (
+        SELECT CASE WHEN count(*) < {CATALOG_K}
+                    THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST({num} AS DOUBLE) / CAST(max(hv) AS DOUBLE)
+               END AS est
+        FROM {alias}_k
+    )"""
+
+    return f"""
+    WITH
+    ls AS (SELECT count(*) AS left_rows FROM customer),
+    rs AS (SELECT count(*) AS right_rows FROM orders),
+    {kmin("customer", "c_custkey", "ln")},
+    {kmin("orders", "o_custkey", "rn")}
+    SELECT 'customer-orders' AS join_name,
+           ls.left_rows, rs.right_rows,
+           round(ln.est, 4) AS left_ndv_est,
+           round(rn.est, 4) AS right_ndv_est,
+           CAST(floor(ls.left_rows * rs.right_rows
+                      / greatest(ln.est, rn.est)) AS BIGINT) AS est_out_rows,
+           CASE WHEN ls.left_rows <= rs.right_rows THEN 'left' ELSE 'right'
+               END AS build_side,
+           CASE WHEN least(ls.left_rows, rs.right_rows) <= {BROADCAST_ROWS}
+                THEN 'broadcast' ELSE 'sort_merge' END AS strategy
+    FROM ls, rs, ln, rn
+    """
+
+
+from ..operators.relational import query  # noqa: E402
+from ..tables import load_tables  # noqa: E402
+
+
+@query("ops_stats_catalog_advise", _advise_oracle())
+def ops_stats_catalog_advise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable stats catalog end-to-end: ANALYZE customer and
+    orders in TWO batches each (even/odd keys — the incremental path),
+    then advise the customer-orders join from catalog reads alone.
+    Green means the whole metadata chain — per-batch counts, per-batch
+    KMV k-min states, the exactly-exact incremental merge, the
+    containment estimate and the strategy call — reproduces what a
+    single-pass ANALYZE of the full tables computes, which is what the
+    oracle derives from first principles."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    cat = StatsCatalog(spark, tempfile.mkdtemp(prefix="statscat_"))
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        df = t[tbl]
+        # tokens namespaced by table: the exactly-once check lives on
+        # the shared counts/sketches artifacts, so two tables' batches
+        # must not collide on a bare "even"
+        cat.analyze(
+            tbl, df.where(F.col(key) % 2 == 0), [key],
+            batch_token=f"{tbl}:even",
+        )
+        cat.analyze(
+            tbl, df.where(F.col(key) % 2 == 1), [key],
+            batch_token=f"{tbl}:odd",
+        )
+    return cat.advise_join("customer", "c_custkey", "orders", "o_custkey")
