@@ -57,7 +57,16 @@ from .pq import (
     pq_encode,
 )
 
-__all__ = ["IVFPQIndex"]
+__all__ = ["IVFPQIndex", "IVFPQ_MAX_CELLS"]
+
+# Adaptive-stride ceiling: build() targets at most this many coarse
+# cells when no explicit stride is given. A FIXED stride makes the
+# centroid count corpus-linear, which makes assignment cost quadratic
+# in corpus size (corpus x centroids both grow — the 30x scale probe
+# measured exactly that before this rule); bounding the cell count
+# keeps assignment corpus-linear. Production IVF sizes cells ~sqrt(n);
+# this integer rule is the oracle-mirrorable form of the same lever.
+IVFPQ_MAX_CELLS = 20
 
 
 class IVFPQIndex:
@@ -80,8 +89,9 @@ class IVFPQIndex:
         spark: SparkSession,
         root: str,
         train: DataFrame,
-        cent_stride: int = CENT_STRIDE,
+        cent_stride: int | None = None,
         train_iters: int = 0,
+        max_cells: int = IVFPQ_MAX_CELLS,
     ) -> "IVFPQIndex":
         """Train and pin BOTH quantizers from ``train`` (vec_id,
         embedding) — the coarse centroids (deterministic stride sample;
@@ -90,12 +100,21 @@ class IVFPQIndex:
         when ``train_iters > 0``). No data rows are indexed here —
         ``add_batch`` streams those in, so the quantizer-training corpus
         and the indexed corpus are decoupled exactly as in a production
-        ANN deployment (train on a sample, index the firehose)."""
+        ANN deployment (train on a sample, index the firehose).
+
+        With ``cent_stride=None`` (default) the stride adapts to the
+        training corpus: ``max(CENT_STRIDE, n div max_cells)`` — one
+        metadata-scale count at build time bounds the cell count, so
+        assignment cost stays corpus-LINEAR as the index grows (see
+        ``IVFPQ_MAX_CELLS``). Pass an explicit stride to pin geometry
+        across rebuilds."""
         from ..functions.vectors import l2_norm
 
         idx = cls(spark, root)
         if idx.n_centroids is not None:
             raise ValueError(f"index already built at {root}")
+        if cent_stride is None:
+            cent_stride = max(CENT_STRIDE, train.count() // max_cells)
         # validate the codebook BEFORE committing anything, so a bad
         # training frame can't leave a half-built index on disk
         cb = (
@@ -240,9 +259,17 @@ class IVFPQIndex:
 def _persisted_oracle() -> str:
     # Serving over the stored artifacts must equal the one-shot
     # composed pipeline — whose every stage the IVFPQ oracle replays.
+    # The stride expression mirrors build()'s corpus-adaptive rule
+    # (identical integer arithmetic, so the selected centroid set is
+    # bit-equal at every corpus size).
     from .pq import _ivfpq_oracle
 
-    return _ivfpq_oracle()
+    return _ivfpq_oracle(
+        stride_sql=(
+            f"SELECT greatest({CENT_STRIDE}, count(*) // {IVFPQ_MAX_CELLS})"
+            " FROM embeddings"
+        )
+    )
 
 
 from ..operators.relational import query  # noqa: E402

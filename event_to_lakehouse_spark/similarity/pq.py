@@ -656,11 +656,17 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(emb, codes, cb).orderBy("query_id", "rank")
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(stride_sql: str | None = None) -> str:
     """The full FAISS architecture replayed in SQL: coarse assignment
     (the certified IVF math), candidate restriction to the probed
-    cells, ADC over candidates only, exact re-rank."""
+    cells, ADC over candidates only, exact re-rank. ``stride_sql``
+    overrides the centroid-selection stride (a SQL scalar expression —
+    the persisted entry passes the corpus-adaptive bounded-cell-count
+    rule so its oracle tracks ``IVFPQIndex.build``)."""
     from .ann import _COS_SQL, CENT_STRIDE, N_PROBE
+
+    if stride_sql is None:
+        stride_sql = str(CENT_STRIDE)
 
     base = _pq_oracle()
     pq_ctes = base[: base.index("adc AS (")].rstrip().rstrip(",")
@@ -674,7 +680,7 @@ def _ivfpq_oracle() -> str:
     return f"""{pq_ctes},
     centc AS (
       SELECT vec_id AS ccent_id, embedding AS cc_emb
-      FROM embeddings WHERE vec_id % {CENT_STRIDE} = 0
+      FROM embeddings WHERE vec_id % ({stride_sql}) = 0
     ),
     affin AS (
       SELECT e.vec_id, c.ccent_id,
