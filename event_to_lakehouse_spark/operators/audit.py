@@ -406,3 +406,117 @@ def ops_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("chosen", F.col("rank") == 1)
         .orderBy("rank")
     )
+
+
+# --- l-diversity (attribute-disclosure complement of k-anonymity) -----------
+
+L_DIV = 3  # groups with fewer distinct sensitive values are disclosing
+
+# Ladder: same generalization walk as k-anonymity, but the sensitive
+# attribute (c_mktsegment) is EXCLUDED from the QI — k-anonymity
+# protects identity, l-diversity protects the attribute: a group where
+# every member shares one segment discloses it even at k >= K_ANON.
+_LDIV_SQL = {
+    0: (
+        "nation,balance_100",
+        ["c_nationkey", "CAST(floor(c_acctbal / 100) AS BIGINT)"],
+        "customer",
+    ),
+    1: (
+        "nation,balance_1000",
+        ["c_nationkey", "CAST(floor(c_acctbal / 1000) AS BIGINT)"],
+        "customer",
+    ),
+    2: (
+        "region,balance_sign",
+        ["n_regionkey", "CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END"],
+        "customer JOIN nation ON n_nationkey = c_nationkey",
+    ),
+}
+
+
+def _l_level_sql(level: int) -> str:
+    desc, qi, src = _LDIV_SQL[level]
+    keys = ", ".join(qi)
+    return f"""
+    SELECT {level} AS level, '{desc}' AS qi, count(*) AS groups,
+           min(l) AS min_l,
+           CAST(coalesce(sum(CASE WHEN l < {L_DIV} THEN sz END), 0)
+                AS BIGINT) AS rows_disclosing,
+           CAST((10000 * CAST(coalesce(sum(CASE WHEN l < {L_DIV} THEN sz END), 0)
+                              AS BIGINT)) // CAST(sum(sz) AS BIGINT)
+                AS BIGINT) AS risk_bp
+    FROM (
+        SELECT count(*) AS sz, count(DISTINCT c_mktsegment) AS l
+        FROM {src} GROUP BY {keys}
+    )
+    """
+
+
+def l_diversity_level(
+    df: DataFrame,
+    qi: list,
+    sensitive: str,
+    level: int,
+    desc: str,
+    l_min: int = L_DIV,
+) -> DataFrame:
+    """One rung: per-QI-group size + distinct-sensitive count, then
+    the 1-row disclosure summary (same shape as the k-anonymity rung —
+    the group table is QI-cardinality, the sensitive distinct is a
+    bounded per-group count)."""
+    groups = df.groupBy(*qi).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(sensitive).alias("l"),
+    )
+    return groups.agg(
+        F.lit(level).alias("level"),
+        F.lit(desc).alias("qi"),
+        F.count(F.lit(1)).alias("groups"),
+        F.min("l").alias("min_l"),
+        F.coalesce(F.sum(F.when(F.col("l") < l_min, F.col("sz"))), F.lit(0))
+        .cast("long")
+        .alias("rows_disclosing"),
+        F.expr(
+            f"CAST((10000 * CAST(coalesce(sum(CASE WHEN l < {l_min} THEN sz"
+            " END), 0) AS BIGINT)) div CAST(sum(sz) AS BIGINT) AS BIGINT)"
+        ).alias("risk_bp"),
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    " UNION ALL ".join(_l_level_sql(lv) for lv in sorted(_LDIV_SQL))
+    + " ORDER BY level",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same generalization ladder as
+    ``privacy_k_anonymity``, with c_mktsegment as the sensitive
+    attribute (excluded from the QI): a QI group whose members all
+    share one segment DISCLOSES it regardless of group size, which is
+    the attack k-anonymity alone misses (Machanavajjhala 2006).
+    ``min_l`` rises down the ladder (a merged group's distinct count
+    dominates each constituent's — pytest pins the monotonicity);
+    integer basis points as in the k gauge."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    band100 = F.floor(F.col("c_acctbal") / 100).cast("long")
+    band1000 = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    sign = F.when(F.col("c_acctbal") < 0, 0).otherwise(1)
+    with_region = cust.join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    )
+    lv0 = l_diversity_level(
+        cust.select("c_nationkey", "c_mktsegment", band100.alias("b")),
+        ["c_nationkey", "b"], "c_mktsegment", 0, _LDIV_SQL[0][0],
+    )
+    lv1 = l_diversity_level(
+        cust.select("c_nationkey", "c_mktsegment", band1000.alias("b")),
+        ["c_nationkey", "b"], "c_mktsegment", 1, _LDIV_SQL[1][0],
+    )
+    lv2 = l_diversity_level(
+        with_region.select("n_regionkey", "c_mktsegment", sign.alias("b")),
+        ["n_regionkey", "b"], "c_mktsegment", 2, _LDIV_SQL[2][0],
+    )
+    return lv0.unionByName(lv1).unionByName(lv2).orderBy("level")

@@ -124,3 +124,37 @@ def test_chain_orders_enumeration_is_connected_and_complete(spark):
         for i in range(1, len(o) + 1):
             idxs = sorted(pos[t] for t in o[:i])
             assert idxs == list(range(idxs[0], idxs[-1] + 1))
+
+
+def test_l_diversity_ladder_monotone_and_exact(spark):
+    """Coarsening only merges QI groups, and a merged group's distinct
+    sensitive count dominates each constituent's — min_l is monotone
+    up the ladder and risk only falls. Plus a hand-built exact case:
+    groups with 1 and 3 distinct sensitive values at l_min=2."""
+    from event_to_lakehouse_spark.operators.audit import (
+        L_DIV,
+        l_diversity_level,
+        privacy_l_diversity,
+    )
+
+    rows = privacy_l_diversity(spark, SF_DIR).collect()
+    assert [r.level for r in rows] == [0, 1, 2]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.groups <= prev.groups
+        assert cur.min_l >= prev.min_l
+        assert cur.risk_bp <= prev.risk_bp
+    for r in rows:
+        assert 0 <= r.risk_bp <= 10000
+        assert (r.rows_disclosing == 0) == (r.min_l >= L_DIV)
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 4 + [("b", "x"), ("b", "y"), ("b", "z")],
+        ["qi_col", "sens"],
+    )
+    row = l_diversity_level(
+        df, ["qi_col"], "sens", 0, "test", l_min=2
+    ).collect()[0]
+    assert row.groups == 2
+    assert row.min_l == 1
+    assert row.rows_disclosing == 4  # group a: 4 rows, all one value
+    assert row.risk_bp == (10000 * 4) // 7
