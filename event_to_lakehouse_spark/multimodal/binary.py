@@ -10,7 +10,11 @@ built-in functions.
 Codecs: third-party media libraries are absent from this container, so
 the REAL decoders are pure-stdlib — uncompressed 24-bit BMP via
 ``struct``-style byte slicing (``decode_image``/``encode_bmp``/
-``resize_image``) and 16-bit PCM WAV via the ``wave`` module
+``resize_image``), non-interlaced 8-bit PNG (gray/RGB/RGBA) via chunk
+walk + stdlib ``zlib`` inflate + all five scanline un-filters
+(``decode_png``/``encode_png`` — round 10; corrupt deflate streams
+normalize to the quarantine ValueError contract), and 16-bit PCM WAV
+via the ``wave`` module
 (``decode_audio``/``encode_wav``). Real pixels and samples flow
 through the same Arrow-batched ``mapInPandas`` harness the synthetic
 feature path uses (``extract_media_features``, ``resize_images``).
@@ -132,6 +136,160 @@ def resize_image(img: dict, width: int, height: int) -> dict:
             si, di = 3 * (sy * sw + sx), 3 * (y * width + x)
             out[di : di + 3] = src[si : si + 3]
     return {"width": width, "height": height, "mode": "RGB", "pixels": bytes(out)}
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec 9.4): nearest of a/b/c to a+b-c,
+    ties broken a, b, c."""
+    pp = a + b - c
+    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA) with no
+    third-party codec: chunk walk + stdlib ``zlib`` inflate + all five
+    scanline un-filters (None/Sub/Up/Average/Paeth). Returns the same
+    ``{"width", "height", "mode": "RGB", "pixels"}`` contract as
+    ``decode_image`` — gray replicates into RGB, RGBA drops alpha —
+    so every downstream consumer (features, resize) is format-blind.
+    Palette, 16-bit, and interlaced PNGs raise ValueError (quarantine
+    path), like every other unsupported-flavor branch here."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, seen_end = 8, None, [], False
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            seen_end = True
+            break
+        pos += 8 + ln + 4  # skip CRC (integrity is the transport's job)
+    if ihdr is None or len(ihdr) != 13 or not idat or not seen_end:
+        raise ValueError("malformed PNG chunk structure")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only non-interlaced 8-bit PNG is supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError("only gray/RGB/RGBA PNG is supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # normalize to the quarantine exception contract — a corrupt
+        # deflate stream must NULL the row, not kill the Spark task
+        # (the AVI frame_ms lesson from the r9 review)
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data does not match dimensions")
+    prev = bytearray(stride)
+    out = bytearray(3 * w * h)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        for x in range(w):
+            di = 3 * (y * w + x)
+            si = x * channels
+            if channels == 1:
+                out[di] = out[di + 1] = out[di + 2] = line[si]
+            else:  # RGB / RGBA (alpha dropped)
+                out[di : di + 3] = line[si : si + 3]
+        prev = line
+    return {"width": w, "height": h, "mode": "RGB", "pixels": bytes(out)}
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filter_type: int = 0
+) -> bytes:
+    """Encode row-major RGB as a non-interlaced 8-bit color-type-2 PNG
+    (the inverse of ``decode_png``; also the fixture builder). Any of
+    the five scanline filters can be forced via ``filter_type``, so
+    golden tests can exercise every un-filter path in the decoder with
+    byte-identical round trips."""
+    import zlib
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError("pixel buffer does not match width*height")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("filter_type must be 0..4")
+    stride = 3 * width
+    prev = bytearray(stride)
+    raw = bytearray()
+    for y in range(height):
+        line = bytearray(rgb[y * stride : (y + 1) * stride])
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw.append(filter_type)
+        raw += enc
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, 2, 0, 0, 0))
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_audio(payload: bytes) -> dict:
@@ -630,8 +788,12 @@ def extract_media_features(assets: DataFrame) -> DataFrame:
                     "rms": None,
                 }
                 try:
-                    if mime == "image/bmp":
-                        img = decode_image(bytes(payload))
+                    if mime in ("image/bmp", "image/png"):
+                        img = (
+                            decode_png(bytes(payload))
+                            if mime == "image/png"
+                            else decode_image(bytes(payload))
+                        )
                         px = img["pixels"]
                         rec["width"], rec["height"] = img["width"], img["height"]
                         rec["px_mean"] = sum(px) / len(px) if px else 0.0
@@ -661,9 +823,19 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                if meta["mime"] == "image/bmp":
-                    img = resize_image(decode_image(bytes(payload)), width, height)
-                    payloads.append(encode_bmp(width, height, img["pixels"]))
+                if meta["mime"] in ("image/bmp", "image/png"):
+                    is_png = meta["mime"] == "image/png"
+                    decoded = (
+                        decode_png(bytes(payload))
+                        if is_png
+                        else decode_image(bytes(payload))
+                    )
+                    img = resize_image(decoded, width, height)
+                    payloads.append(
+                        encode_png(width, height, img["pixels"])
+                        if is_png
+                        else encode_bmp(width, height, img["pixels"])
+                    )
                     metas.append(
                         {
                             "mime": meta["mime"],

@@ -310,3 +310,137 @@ def test_sample_video_frames_real_pipeline(spark):
         (0, 0, 0.0), (200, 2, 80.0), (400, 4, 160.0),
     ]
     assert audit_plan(out).exchanges == 0
+
+
+# --- PNG codec (round 10) ---------------------------------------------------
+
+
+def test_png_roundtrip_all_filter_types():
+    """encode with each of the five scanline filters -> decode
+    recovers the source pixels byte-identically, so every un-filter
+    path (None/Sub/Up/Average/Paeth) is golden-pinned."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(6)
+        for x in range(5)
+        for c in range(3)
+    )
+    for ft in range(5):
+        img = decode_png(encode_png(5, 6, rgb, filter_type=ft))
+        assert (img["width"], img["height"], img["mode"]) == (5, 6, "RGB")
+        assert img["pixels"] == rgb, f"filter {ft}"
+
+
+def test_png_decodes_gray_rgba_and_external_fixture():
+    """Gray replicates into RGB; RGBA drops alpha; an EXTERNALLY
+    produced PNG (the canonical base64 1x1 from the web, not our own
+    encoder) parses — signature, chunk walk, inflate, filter."""
+    import base64
+    import zlib
+
+    from event_to_lakehouse_spark.multimodal.binary import decode_png
+
+    def png(color_type, channels, w, h, raw_rows):
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes((8, color_type, 0, 0, 0))
+        )
+
+        def chunk(t, d):
+            return (
+                len(d).to_bytes(4, "big") + t + d
+                + zlib.crc32(t + d).to_bytes(4, "big")
+            )
+
+        return (
+            sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw_rows))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = decode_png(png(0, 1, 2, 1, bytes([0, 10, 200])))
+    assert gray["pixels"] == bytes([10, 10, 10, 200, 200, 200])
+    rgba = decode_png(
+        png(6, 4, 1, 2, bytes([0, 1, 2, 3, 99]) + bytes([0, 4, 5, 6, 0]))
+    )
+    assert rgba["pixels"] == bytes([1, 2, 3, 4, 5, 6])  # alpha dropped
+
+    external = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+    )
+    d = decode_png(external)
+    assert (d["width"], d["height"], len(d["pixels"])) == (1, 1, 3)
+
+
+def test_png_rejects_unsupported_and_corrupt_quarantines(spark):
+    """16-bit/palette/interlaced and corrupt deflate all raise
+    ValueError (never zlib.error — the task-killing leak class the
+    r9 review flagged on video), and a corrupt PNG row survives the
+    mapInPandas feature pass as NULLs while a good PNG row yields
+    true dimensions + pixel mean."""
+    import pytest as _pytest
+
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_png,
+        encode_png,
+        extract_media_features,
+    )
+
+    good = encode_png(3, 2, bytes(range(18)), filter_type=4)
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage")
+    # corrupt the IDAT payload bytes -> zlib.error inside, ValueError out
+    broken = bytearray(good)
+    broken[-20:-12] = b"\x00" * 8
+    with _pytest.raises(ValueError):
+        decode_png(bytes(broken))
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(good), {"mime": "image/png", "width": None, "height": None, "dur_ms": None}),
+            (2, bytearray(bytes(broken)), {"mime": "image/png", "width": None, "height": None, "dur_ms": None}),
+        ],
+        "asset_id long, payload binary, meta struct<mime:string,width:int,height:int,dur_ms:bigint>",
+    )
+    rows = {r.asset_id: r for r in extract_media_features(assets).collect()}
+    assert (rows[1].width, rows[1].height) == (3, 2)
+    assert abs(rows[1].px_mean - sum(range(18)) / 18) < 1e-9
+    assert rows[2].width is None and rows[2].px_mean is None
+
+
+def test_png_resize_through_mapinpandas(spark):
+    """resize_images re-encodes PNG rows as PNG (not BMP): decode of
+    the output payload gives the target dims and nearest-neighbor
+    pixels; non-PNG rows pass through untouched."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_png,
+        encode_png,
+        resize_image,
+        resize_images,
+    )
+
+    rgb = bytes((x * 11 + y * 3 + c) % 256 for y in range(4) for x in range(4) for c in range(3))
+    src = encode_png(4, 4, rgb, filter_type=2)
+    want = resize_image(
+        {"width": 4, "height": 4, "mode": "RGB", "pixels": rgb}, 2, 2
+    )["pixels"]
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(src), {"mime": "image/png", "width": 4, "height": 4, "dur_ms": None}),
+            (2, bytearray(b"notmedia"), {"mime": "text/plain", "width": None, "height": None, "dur_ms": None}),
+        ],
+        "asset_id long, payload binary, meta struct<mime:string,width:int,height:int,dur_ms:bigint>",
+    )
+    out = {r.asset_id: r for r in resize_images(assets, 2, 2).collect()}
+    img = decode_png(bytes(out[1].payload))
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == want
+    assert out[1].meta["width"] == 2 and out[1].meta["height"] == 2
+    assert bytes(out[2].payload) == b"notmedia"
