@@ -435,3 +435,177 @@ def test_morton_interleave_is_injective_and_monotone_per_dim(pts):
             assert morton(x + 1, y) > morton(x, y)
         if y + 1 < (1 << 16):
             assert morton(x, y + 1) > morton(x, y)
+
+
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_any_geometry_any_filter(w, h, ft, rnd):
+    """PNG encode→decode is the identity on pixels for every geometry
+    and every scanline filter type (the Paeth/Average carry paths
+    included)."""
+    import random
+
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_png,
+        encode_png,
+    )
+
+    rgb = bytes(random.Random(rnd).randrange(256) for _ in range(3 * w * h))
+    img = decode_png(encode_png(w, h, rgb, filter_type=ft))
+    assert (img["width"], img["height"]) == (w, h)
+    assert img["pixels"] == rgb
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # fine QI cell
+            st.integers(min_value=0, max_value=3),  # sensitive value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_k_anonymity_coarsening_is_monotone(rows, k):
+    """Pure form of the ladder law: merging QI cells (fine // 2) can
+    only raise the min group size and shrink the below-k row mass —
+    for ANY table and ANY k."""
+    from collections import Counter
+
+    def level(cells):
+        sizes = Counter(cells)
+        below = sum(s for s in sizes.values() if s < k)
+        return min(sizes.values()), below
+
+    fine = [q for q, _ in rows]
+    coarse = [q // 2 for q in fine]
+    min_f, below_f = level(fine)
+    min_c, below_c = level(coarse)
+    assert min_c >= min_f
+    assert below_c <= below_f
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_l_diversity_coarsening_is_monotone(rows):
+    """Merged groups' distinct-sensitive counts dominate each
+    constituent's — min_l never falls under coarsening."""
+    def min_l(keyed):
+        groups: dict = {}
+        for q, s in keyed:
+            groups.setdefault(q, set()).add(s)
+        return min(len(v) for v in groups.values())
+
+    fine = rows
+    coarse = [(q // 2, s) for q, s in rows]
+    assert min_l(coarse) >= min_l(fine)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_kmv_merge_law_pure(hashes, parts):
+    """k smallest of a union == k smallest of the per-part k-smallest
+    sets, for ANY partitioning — the law that makes StatsCatalog's
+    ANALYZE incremental (here in pure form, any k)."""
+    k = 16
+    whole = sorted(set(hashes))[:k]
+    chunks = [hashes[i::parts] for i in range(parts)]
+    merged = sorted(
+        set(h for c in chunks for h in sorted(set(c))[:k])
+    )[:k]
+    assert merged == whole
+
+
+@given(
+    st.integers(min_value=2, max_value=7),
+)
+def test_chain_orders_count_and_connectivity_any_length(n):
+    """The connected left-deep enumeration law generalizes: a path of
+    n tables has exactly 2^(n-1) interval-growing orders."""
+    import event_to_lakehouse_spark.operators.audit as audit
+
+    saved = audit._CHAIN
+    try:
+        audit._CHAIN = [f"t{i}" for i in range(n)]
+        orders = audit._chain_orders()
+        assert len(orders) == 2 ** (n - 1)
+        assert len({tuple(o) for o in orders}) == len(orders)
+        pos = {t: i for i, t in enumerate(audit._CHAIN)}
+        for o in orders:
+            for i in range(1, n + 1):
+                idxs = sorted(pos[t] for t in o[:i])
+                assert idxs == list(range(idxs[0], idxs[-1] + 1))
+    finally:
+        audit._CHAIN = saved
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # rel_micro
+            st.lists(
+                st.integers(min_value=-(10**6), max_value=10**6),
+                min_size=0,
+                max_size=0,
+            ),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_mmr_greedy_reference_properties(pool_rels, rnd):
+    """Pure MMR greedy on a random pool: picks are distinct, pick 1 is
+    the relevance argmax, and every later pick maximizes the scored
+    objective over the remaining candidates at its step (verified by
+    brute force)."""
+    import random
+
+    from event_to_lakehouse_spark.similarity.mmr import MMR_DIV_W, MMR_REL_W
+
+    rng = random.Random(rnd)
+    ids = list(range(len(pool_rels)))
+    rel = {i: r for i, (r, _) in zip(ids, pool_rels)}
+    sim = {
+        (a, b): rng.randrange(-(10**6), 10**6)
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    k = min(4, len(ids))
+    sel = [min(ids, key=lambda c: (-rel[c], c))]
+    for _ in range(k - 1):
+        remaining = [c for c in ids if c not in sel]
+        if not remaining:
+            break
+
+        def score(c):
+            pen = max(sim[(c, s)] for s in sel)
+            return MMR_REL_W * rel[c] - MMR_DIV_W * pen
+
+        best = min(remaining, key=lambda c: (-score(c), c))
+        for c in remaining:  # argmax verified against every candidate
+            assert (score(best), -best) >= (score(c), -c) or best == c
+        sel.append(best)
+    assert len(set(sel)) == len(sel)
+    assert sel[0] == min(ids, key=lambda c: (-rel[c], c))
