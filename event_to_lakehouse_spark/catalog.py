@@ -81,6 +81,7 @@ import event_to_lakehouse_spark.dedup  # noqa: F401
 import event_to_lakehouse_spark.similarity  # noqa: F401
 import event_to_lakehouse_spark.textops  # noqa: F401
 import event_to_lakehouse_spark.textindex  # noqa: F401
+import event_to_lakehouse_spark.retrieval  # noqa: F401
 import event_to_lakehouse_spark.curation  # noqa: F401
 import event_to_lakehouse_spark.multimodal  # noqa: F401
 import event_to_lakehouse_spark.pipeline.gold  # noqa: F401

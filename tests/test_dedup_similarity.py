@@ -603,3 +603,64 @@ def test_mmr_skips_planted_near_duplicate(spark):
     )]
     # plain top-3 by relevance would be [10, 11, 12]; MMR demotes the dup
     assert picks == [10, 12, 11]
+
+
+# --- hybrid RRF retrieval (retrieval.py) -----------------------------------
+
+
+def test_rrf_fuse_known_lists(spark):
+    """Hand-built rank lists: contributions are 1e6 div (60+rank) per
+    side, docs on both lists outrank single-side docs with comparable
+    ranks, ties break by doc_id, and absent sides contribute 0."""
+    from event_to_lakehouse_spark.retrieval import RRF_K, rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], ["doc_id", "rank"]
+    )
+    dense = spark.createDataFrame(
+        [(11, 1), (13, 2), (10, 3)], ["doc_id", "rank"]
+    )
+    rows = {r.doc_id: r for r in rrf_fuse(sparse, dense, k=10).collect()}
+    c = lambda rk: 1_000_000 // (RRF_K + rk)
+    assert rows[10].rrf_micro == c(1) + c(3)
+    assert rows[11].rrf_micro == c(2) + c(1)
+    assert rows[12].rrf_micro == c(3)
+    assert rows[13].rrf_micro == c(2)
+    assert rows[12].dense_rank is None and rows[13].bm25_rank is None
+    order = sorted(rows.values(), key=lambda r: r.fused_rank)
+    assert [r.doc_id for r in order] == [11, 10, 13, 12]  # both-lists first
+
+
+def test_hybrid_entry_consistent_with_its_retrievers(spark):
+    """Every fused row's per-side ranks agree with the standalone
+    certified retrievers, and the fused ordering is exactly the RRF
+    arithmetic over those ranks."""
+    from event_to_lakehouse_spark.retrieval import (
+        DENSE_QUERY_ID,
+        RRF_K,
+        retrieval_hybrid_rrf,
+    )
+    from event_to_lakehouse_spark.similarity.ann import brute_force_topk
+    from event_to_lakehouse_spark.tables import load_tables
+    from event_to_lakehouse_spark.textops import text_bm25_search
+
+    sf = "/root/testdata/sf0.001"
+    fused = retrieval_hybrid_rrf(spark, sf).collect()
+    sp = {r.doc_id: r.rank for r in text_bm25_search(spark, sf).collect()}
+    emb = load_tables(spark, sf)["embeddings"].select("vec_id", "embedding")
+    de = {
+        r.vec_id: r.rank
+        for r in brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == DENSE_QUERY_ID)
+        ).collect()
+    }
+    assert fused
+    for r in fused:
+        assert r.bm25_rank == sp.get(r.doc_id)
+        assert r.dense_rank == de.get(r.doc_id)
+        want = (1_000_000 // (RRF_K + r.bm25_rank) if r.bm25_rank else 0) + (
+            1_000_000 // (RRF_K + r.dense_rank) if r.dense_rank else 0
+        )
+        assert r.rrf_micro == want
+    scores = [(r.rrf_micro, -r.doc_id) for r in fused]
+    assert scores == sorted(scores, reverse=True)
