@@ -164,6 +164,7 @@ HEADLINE = [
     "privacy_k_anonymity",  # r10: QI generalization-ladder audit
     "ops_table_stats_advisor",  # r10: ANALYZE + join-strategy gauge
     "text_bm25_index_persisted",  # r10: durable inverted-index serve
+    "retrieval_hybrid_rrf",  # r10: sparse+dense RRF fusion
     # ann_mmr_diversified stays registry-only in the bench: its cost
     # is plan-depth overhead (k-1 chained greedy rounds over ~30-row
     # pool tables), constant in the corpus — a wall-time entry would
