@@ -174,6 +174,13 @@ class BloomIndex:
     conflicting explicit geometry raises.
     """
 
+    #: newest parent tokens carried through each overwrite — sized to
+    #: the stream replay horizon (mirrors ``RollupView.KEEP_TOKENS``);
+    #: a streaming checkpoint never re-delivers batches older than its
+    #: last committed offset, so an unbounded chain only bloats every
+    #: manifest O(#batches).
+    KEEP_TOKENS = 8
+
     def __init__(
         self,
         spark: SparkSession,
@@ -263,6 +270,13 @@ class BloomIndex:
             try:
                 return self.table.overwrite(
                     words,
+                    # ADVICE r10 (low): bound the carried token chain —
+                    # default keep_tokens=True grows every manifest
+                    # O(#batches) over a long stream, and overwrite's
+                    # own contract says tokens older than the replay
+                    # horizon can never recur. Same valve as
+                    # RollupView.KEEP_TOKENS.
+                    keep_tokens=self.KEEP_TOKENS,
                     batch_token=batch_token,
                     parent_version=parent.version if parent else 0,
                 )

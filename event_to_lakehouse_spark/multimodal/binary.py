@@ -140,6 +140,11 @@ def resize_image(img: dict, width: int, height: int) -> dict:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: hard ceiling on any single decoded image buffer (raw scanlines or
+#: RGB output) — far above every legitimate payload in a multimodal
+#: corpus row, far below what could OOM a 128 MiB-budget task slot.
+_MAX_DECODE_BYTES = 256 * 1024 * 1024
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     """The Paeth predictor (PNG spec 9.4): nearest of a/b/c to a+b-c,
@@ -189,15 +194,29 @@ def decode_png(payload: bytes) -> dict:
     channels = {0: 1, 2: 3, 6: 4}.get(color)
     if channels is None:
         raise ValueError("only gray/RGB/RGBA PNG is supported")
+    stride = w * channels
+    expected = h * (stride + 1)
+    # ADVICE r10 (medium): IDAT is untrusted — a crafted IHDR (huge
+    # w*h) plus a deflate bomb must hit the ValueError quarantine, not
+    # MemoryError-kill the Spark task. The exact inflated size is known
+    # from IHDR before touching the stream: bound the dimensions, then
+    # inflate AT MOST expected+1 bytes (one extra detects oversize
+    # streams without materializing them).
+    if w == 0 or h == 0:
+        raise ValueError("PNG declares a zero dimension")
+    if expected > _MAX_DECODE_BYTES or 3 * w * h > _MAX_DECODE_BYTES:
+        raise ValueError(
+            f"PNG declares {w}x{h}x{channels} — exceeds the "
+            f"{_MAX_DECODE_BYTES}-byte decode bound"
+        )
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         # normalize to the quarantine exception contract — a corrupt
         # deflate stream must NULL the row, not kill the Spark task
         # (the AVI frame_ms lesson from the r9 review)
         raise ValueError(f"corrupt PNG deflate stream: {e}") from None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("PNG pixel data does not match dimensions")
     prev = bytearray(stride)
     out = bytearray(3 * w * h)

@@ -44,7 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["SnapshotTable", "Snapshot"]
+__all__ = ["SnapshotTable", "Snapshot", "token_consistent_versions"]
 
 
 def _stat_safe(v):
@@ -1056,8 +1056,12 @@ class SnapshotTable:
         ``changelog=True`` additionally records the commit's net
         retraction stream (the Delta CHANGE DATA FEED shape, opt-in
         exactly as Delta's ``enableChangeDataFeed``): one ``'-'`` row
-        per replaced-or-deleted pre-image and one ``'+'`` row per
-        applied upsert, under ``changelog/v{N}/``. ``change_feed``
+        per ACTUALLY replaced-or-deleted pre-image and one ``'+'`` row
+        per ACTUALLY applied upsert, under ``changelog/v{N}/``. A stale
+        upsert — the base row is newer by ``order_col``, so
+        latest-wins keeps the base — emits NOTHING: the feed records
+        applied effect, not batch intent, so folding it can never
+        diverge from the fact table. ``change_feed``
         replays it, which is what lets an incremental consumer (e.g.
         ``RollupView``) fold a delete-bearing commit as retractions
         instead of a full rebuild. Volume is changed-keys-sized; the
@@ -1151,11 +1155,36 @@ class SnapshotTable:
             schema=evolved,
         )
         if changelog:
-            feed = upserts.withColumn("_change", F.lit("+"))
+            # ADVICE r10 (high): the feed derives from the APPLIED
+            # outcome, never from batch intent. latest_per_key lets a
+            # NEWER base row survive a stale upsert (the out-of-order
+            # CDC case order_col exists for); emitting '-' for that
+            # surviving pre-image and '+' for the never-applied upsert
+            # would silently diverge change_feed consumers
+            # (RollupView._fold_feed) from the fact table. Row identity
+            # is (key, order_col[, tiebreak]): order_col IS the version
+            # column — the latest_per_key contract treats rows sharing
+            # it (after the tiebreak) as the same version.
+            ident = [key, order_col] + ([tiebreak] if tiebreak else [])
+            applied = merged.join(net.select(key).distinct(), key, "semi")
+            plus = applied
+            feed = None
             if pre_images is not None:
-                feed = pre_images.withColumn("_change", F.lit("-")).unionByName(
-                    feed, allowMissingColumns=True
+                # '+' only for net-key rows actually present in merged
+                # that are NOT a surviving base row; '-' only for base
+                # rows actually replaced or deleted.
+                plus = applied.join(
+                    pre_images.select(*ident), ident, "left_anti"
                 )
+                feed = pre_images.join(
+                    applied.select(*ident), ident, "left_anti"
+                ).withColumn("_change", F.lit("-"))
+            plus = plus.withColumn("_change", F.lit("+"))
+            feed = (
+                plus
+                if feed is None
+                else feed.unionByName(plus, allowMissingColumns=True)
+            )
             clog = self.root / "changelog" / f"v{committed.version}"
             feed.write.mode("overwrite").parquet(str(clog))
         return committed
@@ -1334,4 +1363,63 @@ class SnapshotTable:
         for v in versions:
             if v not in keep:
                 (self.root / "meta" / f"v{v}.json").unlink()
+                # ADVICE r10 (low): CDC sidecars follow their version —
+                # without this a changelog-heavy table leaks
+                # changelog/v{N} parquet directories forever (and keeps
+                # feeds for versions whose manifests are gone, which
+                # change_feed could never reach anyway).
+                clog = self.root / "changelog" / f"v{v}"
+                if clog.exists():
+                    removed += sum(1 for _ in clog.glob("*.parquet"))
+                    shutil.rmtree(clog)
         return removed
+
+
+def token_consistent_versions(*tables: "SnapshotTable") -> list[int | None]:
+    """Pin a MULTI-table artifact to a token-consistent read frontier
+    (ADVICE r10, medium): a writer that commits the same batch token to
+    several SnapshotTables in sequence (``InvertedIndex.add_batch``:
+    postings then doclens; ``StatsCatalog.analyze``: counts then
+    sketches) has a window — crash between the two commits, or a
+    reader racing mid-stream — where one table already holds the batch
+    the other lacks. Reading both at "latest" then serves statistics
+    derived from MISMATCHED corpora (BM25 df from postings that include
+    the batch against n_docs/avgdl that exclude it).
+
+    Returns one version per table such that every pinned snapshot
+    carries the SAME batch-token set — the intersection of the latest
+    chains. Tables whose latest chain already equals the common set pin
+    to latest; a table that is ahead rewinds to the newest retained
+    version matching the common set. Fallbacks are explicit and safe:
+
+    - a table with no snapshot yet pins to ``None`` (read-latest —
+      the caller's empty-table handling applies unchanged);
+    - if the matching version was vacuumed away, the table serves
+      latest (the window only exists between two commits of one batch;
+      vacuum horizons are far longer than a crash-retry).
+
+    The guarantee covers TOKENED writes — exactly the streaming /
+    incremental path where mid-stream readers exist. Untokened ad-hoc
+    appends don't move any chain and are invisible to pinning.
+    """
+    snaps = [t.snapshot() for t in tables]
+    if any(s is None for s in snaps):
+        return [None] * len(tables)
+    sets = [set(s.batch_tokens) for s in snaps]
+    common = set.intersection(*sets)
+    pinned: list[int | None] = []
+    for t, s, toks in zip(tables, snaps, sets):
+        if toks == common:
+            pinned.append(s.version)
+            continue
+        choice: int | None = s.version
+        for v in range(s.version - 1, 0, -1):
+            try:
+                sv = t.snapshot(v)
+            except FileNotFoundError:
+                break  # vacuumed past the frontier: serve latest
+            if sv is not None and set(sv.batch_tokens) == common:
+                choice = v
+                break
+        pinned.append(choice)
+    return pinned

@@ -97,11 +97,25 @@ class StatsCatalog:
         return _tokened(self.sketches_table, sk)
 
     # -- metadata-only reads -------------------------------------------------
+    #
+    # Every read pins BOTH artifacts to a token-consistent frontier
+    # (ADVICE r10: analyze commits counts then sketches under one
+    # token; a reader racing that gap — or arriving after a crash —
+    # must not estimate selectivity from row counts that include a
+    # batch whose k-min states are missing).
+
+    def _pinned(self) -> tuple[int | None, int | None]:
+        from .snapshots import token_consistent_versions
+
+        return tuple(
+            token_consistent_versions(self.counts_table, self.sketches_table)
+        )
 
     def row_stats(self, tbl: str) -> DataFrame:
         """(n_rows) — the metadata sum over analyzed batches."""
+        cv, _ = self._pinned()
         return (
-            self.counts_table.read()
+            self.counts_table.read(version=cv)
             .where(F.col("tbl") == tbl)
             .agg(F.sum("n_rows").cast("long").alias("n_rows"))
         )
@@ -109,8 +123,9 @@ class StatsCatalog:
     def ndv_estimate(self, tbl: str, key: str) -> DataFrame:
         """(est) — merge the per-batch k-min states (exact under the
         KMV merge law) and estimate."""
+        _, sv = self._pinned()
         states = (
-            self.sketches_table.read()
+            self.sketches_table.read(version=sv)
             .where((F.col("tbl") == tbl) & (F.col("key") == key))
             .select("hv")
         )

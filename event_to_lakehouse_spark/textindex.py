@@ -30,7 +30,11 @@ Crash/replay contract: both tables carry the SAME exactly-once batch
 token; a replayed ``add_batch`` is a storage no-op per table, so a
 crash between the two commits self-heals on retry (the postings
 commit lands first; a retry skips it and completes the doc-length
-commit). Single concurrent writer per index root, like every durable
+commit). While that gap is open — crash window or a concurrent reader
+mid-stream — ``topk`` stays CORRECT, not just available: it pins both
+tables to a token-consistent frontier
+(``storage.snapshots.token_consistent_versions``), never scoring a
+half-committed batch's postings against stats that exclude it. Single concurrent writer per index root, like every durable
 index here (see the BloomIndex parent-anchoring note in
 ``dedup/bloom.py``).
 
@@ -103,9 +107,24 @@ class InvertedIndex:
         n_terms_hit, rank). The `` term IN (...)`` filter reaches the
         posting scan (pushed predicate + post-maintain zone maps), so
         serving cost tracks the probed terms' posting lists, not the
-        corpus."""
-        tf = self.postings_table.read().filter(F.col("term").isin(terms))
-        dl = self.doclens_table.read()
+        corpus.
+
+        Reads are TOKEN-CONSISTENT (ADVICE r10): a reader racing
+        ``add_batch`` between its two commits — or arriving after a
+        crash left postings one batch ahead of doclens — pins both
+        tables to the newest versions carrying the SAME batch-token
+        set, so per-term df always counts the same corpus n_docs/avgdl
+        normalize by. Without the pin, mid-stream scores are silently
+        df-skewed until the batch replays."""
+        from .storage.snapshots import token_consistent_versions
+
+        pv, dv = token_consistent_versions(
+            self.postings_table, self.doclens_table
+        )
+        tf = self.postings_table.read(version=pv).filter(
+            F.col("term").isin(terms)
+        )
+        dl = self.doclens_table.read(version=dv)
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )

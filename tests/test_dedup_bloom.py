@@ -225,3 +225,32 @@ def test_bloom_index_empty_probe(spark, tmp_dir):
         idx.probe(_keys(spark, "x-", 10), "k").filter("bloom_maybe").count()
         == 0
     )
+
+
+def test_bloom_index_bounds_carried_token_chain(spark, tmp_dir):
+    """ADVICE r10 (low): add_batch carries at most KEEP_TOKENS parent
+    tokens through each overwrite (the RollupView valve) — the
+    manifest must not grow O(#batches) over a long stream — while
+    replay of a token INSIDE the horizon is still a storage no-op, and
+    the bitmap stays the union build bit-for-bit (bit_or is idempotent
+    even for a replay older than the horizon)."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+
+    idx = BloomIndex(spark, f"{tmp_dir}/chain", m_bits=1 << 12)
+    n_batches = BloomIndex.KEEP_TOKENS + 4
+    for i in range(n_batches):
+        idx.add_batch(_keys(spark, f"b{i}-", 20), "k", batch_token=f"t{i}")
+    toks = idx.table.snapshot().batch_tokens
+    assert len(toks) == BloomIndex.KEEP_TOKENS + 1  # trimmed, then appended
+    assert toks[-1] == f"t{n_batches - 1}"
+
+    v = idx.table.snapshot().version
+    idx.add_batch(_keys(spark, f"b{n_batches - 1}-", 20), "k",
+                  batch_token=f"t{n_batches - 1}")
+    assert idx.table.snapshot().version == v  # in-horizon replay no-ops
+
+    # every key ever added still probes True (no false negatives)
+    allk = _keys(spark, "b0-", 20)
+    for i in range(1, n_batches):
+        allk = allk.unionByName(_keys(spark, f"b{i}-", 20))
+    assert idx.probe(allk, "k").where(~F.col("bloom_maybe")).count() == 0

@@ -449,3 +449,40 @@ def test_inverted_index_replay_and_maintain(spark, tmp_dir):
     vp2 = idx.postings_table.snapshot().version
     idx.add_batch(docs.filter(F.col("doc_id") < 200), batch_token="b0")
     assert idx.postings_table.snapshot().version == vp2
+
+
+def test_inverted_index_topk_is_token_consistent_mid_stream(spark, tmp_dir):
+    """ADVICE r10 (medium): between add_batch's two commits (postings
+    landed, doclens not — crash window or a reader racing mid-stream)
+    topk must NOT score the half-committed batch's postings against
+    n_docs/avgdl that exclude it. The reader pins both tables to the
+    newest token-consistent frontier, so mid-gap answers equal the
+    pre-batch answers exactly; completing the batch then surfaces it."""
+    from event_to_lakehouse_spark.textindex import (
+        InvertedIndex,
+        tokenize_postings,
+    )
+    from event_to_lakehouse_spark.textops import BM25_QUERY
+
+    docs = _docs(spark).select("doc_id", "text")
+    idx = InvertedIndex(spark, f"{tmp_dir}/inv3")
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_token="e")
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_token="o")
+    before = [tuple(r) for r in idx.topk(BM25_QUERY).collect()]
+
+    # open the gap: postings hold batch "gap", doclens do not
+    gap_docs = docs.filter(F.col("doc_id") < 0).unionByName(
+        spark.createDataFrame(
+            [(10_000 + i, " ".join(BM25_QUERY) * 3) for i in range(5)],
+            ["doc_id", "text"],
+        )
+    )
+    postings, _ = tokenize_postings(gap_docs)
+    idx.postings_table.append(postings, batch_token="gap")
+
+    mid = [tuple(r) for r in idx.topk(BM25_QUERY).collect()]
+    assert mid == before  # pinned frontier: the half batch is invisible
+
+    idx.add_batch(gap_docs, batch_token="gap")  # crash retry completes
+    after = {r.doc_id for r in idx.topk(BM25_QUERY).collect()}
+    assert {10_000 + i for i in range(5)} & after  # now served

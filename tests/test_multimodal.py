@@ -444,3 +444,47 @@ def test_png_resize_through_mapinpandas(spark):
     assert img["pixels"] == want
     assert out[1].meta["width"] == 2 and out[1].meta["height"] == 2
     assert bytes(out[2].payload) == b"notmedia"
+
+
+def test_png_deflate_bomb_quarantines_before_inflating():
+    """ADVICE r10 (medium): IDAT is untrusted. A crafted IHDR (huge
+    w*h) plus a deflate bomb must hit the ValueError quarantine from
+    the pre-inflate size bound — never MemoryError a Spark task — and
+    a stream that inflates to MORE bytes than IHDR declares is
+    rejected at expected+1 bytes, never fully materialized."""
+    import zlib
+
+    from event_to_lakehouse_spark.multimodal.binary import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(t, d):
+        return (
+            len(d).to_bytes(4, "big") + t + d
+            + zlib.crc32(t + d).to_bytes(4, "big")
+        )
+
+    # ~12 GB declared output from a ~1 MB deflate payload
+    ihdr = (65535).to_bytes(4, "big") * 2 + bytes((8, 2, 0, 0, 0))
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20), 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode bound"):
+        decode_png(bomb)
+
+    # zero-dimension header is quarantined too
+    zdim = bytearray(bomb)
+    zdim[16:24] = (0).to_bytes(4, "big") + (1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(bytes(zdim))
+
+    # honest small dims, oversize stream: shrink the declared height
+    # of a valid 4x4 PNG — inflate is capped at expected+1 and rejects
+    shrunk = bytearray(encode_png(4, 4, bytes(48)))
+    shrunk[20:24] = (2).to_bytes(4, "big")  # IHDR height field
+    with pytest.raises(ValueError, match="does not match"):
+        decode_png(bytes(shrunk))

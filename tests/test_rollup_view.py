@@ -289,3 +289,55 @@ def test_rewrite_commit_triggers_full_rebuild(spark, tmp_dir):
     fact.merge(upd, key="o_orderkey", order_col="o_totalprice")
     view.refresh(fact)
     assert _got(view) == _expected(fact.read())
+
+
+def test_cdc_fold_with_stale_upserts_matches_recompute(spark, tmp_dir):
+    """ADVICE r10 (high), consumer side: when a CDC batch mixes
+    WINNING upserts with STALE ones (base row newer by order_col —
+    latest-wins keeps the base), the recorded feed folds to EXACTLY
+    the recompute. Before the applied-effect fix the feed retracted
+    surviving base rows and added never-applied upserts, so the fold
+    silently diverged — this pins the out-of-order CDC case the
+    r10 tests never exercised."""
+    orders = _orders(spark).withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    ).drop("o_totalprice")
+    fact = SnapshotTable(spark, f"{tmp_dir}/fact")
+    view = RollupView(
+        spark,
+        f"{tmp_dir}/view",
+        keys=["o_orderstatus"],
+        sums=["cents"],
+        mins=["cents"],
+        maxs=["cents"],
+    )
+    fact.append(orders)
+    view.refresh(fact)
+
+    k = F.col("o_orderkey")
+    upd = (
+        orders.filter(k % 4 == 0)
+        .withColumn(
+            "cents",
+            # half the changes arrive OUT OF ORDER (older than base)
+            F.when(k % 8 == 0, F.col("cents") + 700).otherwise(
+                F.col("cents") - 700
+            ),
+        )
+        .withColumn("_op", F.lit("U"))
+    )
+    fact.apply_changes(upd, key="o_orderkey", order_col="cents",
+                       changelog=True)
+
+    paths = {"feed": 0}
+    real_fold = view._fold_feed
+
+    def spy(*a, **kw):
+        paths["feed"] += 1
+        return real_fold(*a, **kw)
+
+    view._fold_feed = spy
+    view.refresh(fact)
+    view._fold_feed = real_fold
+    assert paths["feed"] == 1  # folded the feed, not rebuilt
+    assert view.equals_recompute(fact)

@@ -922,3 +922,62 @@ def test_compaction_bin_rule_matches_manifest_rule(spark):
         want[p] = cum // target
         cum += rows
     assert got == want
+
+
+def test_apply_changes_changelog_records_applied_effect(spark, tmp_dir):
+    """ADVICE r10 (high): the CDC feed derives from the APPLIED
+    outcome, never batch intent. A STALE upsert — the base row is
+    newer by order_col, latest-wins keeps the base — must emit NO
+    feed rows (before the fix it emitted '-' for the surviving base
+    and '+' for the never-applied upsert, silently diverging
+    change_feed consumers from the fact table). Winning upserts emit
+    -pre/+post, deletes '-', inserts '+'."""
+    base = spark.createDataFrame(
+        [(1, 10, "keep"), (3, 1, "gone"), (4, 2, "old")],
+        ["id", "ord", "val"],
+    )
+    t = SnapshotTable(spark, f"{tmp_dir}/cdc", stats_col="id")
+    t.append(base)
+    v1 = t.snapshot().version
+    changes = spark.createDataFrame(
+        [
+            (1, 5, "stale", "U"),  # LOSES: base holds ord=10 > 5
+            (2, 7, "new", "I"),  # brand-new key
+            (3, 99, None, "D"),  # delete
+            (4, 20, "fresh", "U"),  # wins: 20 > 2
+        ],
+        ["id", "ord", "val", "_op"],
+    )
+    t.apply_changes(changes, key="id", order_col="ord", changelog=True)
+
+    state = {r.id: (r.ord, r.val) for r in t.read().collect()}
+    assert state == {1: (10, "keep"), 2: (7, "new"), 4: (20, "fresh")}
+    feed = sorted(
+        (r.id, r.ord, r._change) for r in t.change_feed(v1).collect()
+    )
+    # key 1 appears NOWHERE: nothing was applied to it
+    assert feed == [(2, 7, "+"), (3, 1, "-"), (4, 2, "-"), (4, 20, "+")]
+
+
+def test_vacuum_sweeps_changelog_sidecars(spark, tmp_dir):
+    """ADVICE r10 (low): vacuum reclaims changelog/v* sidecars for
+    dropped versions — a CDC-heavy table must not leak feed parquet
+    forever — while the retained version's sidecar survives."""
+    t = SnapshotTable(spark, f"{tmp_dir}/clog", stats_col="id")
+    t.append(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["id", "ord", "v"])
+    )
+    for i, ordv in enumerate((2, 3)):
+        t.apply_changes(
+            spark.createDataFrame([(1, ordv, f"u{i}", "U")],
+                                  ["id", "ord", "v", "_op"]),
+            key="id",
+            order_col="ord",
+            changelog=True,
+        )
+    root = t.root / "changelog"
+    assert sorted(p.name for p in root.iterdir()) == ["v2", "v3"]
+    t.vacuum(keep_versions=1)
+    assert [p.name for p in root.iterdir()] == ["v3"]
+    # the surviving sidecar is intact (-pre/+post of v3)
+    assert spark.read.parquet(str(root / "v3")).count() == 2

@@ -132,3 +132,36 @@ def test_maintain_bounds_state_and_preserves_answers(spark, tmp_dir):
         ["c_custkey"], batch_token="customer:0",
     )
     assert cat.sketches_table.snapshot().version == v
+
+
+def test_reads_pin_token_consistent_frontier(spark, tmp_dir):
+    """ADVICE r10 (medium): analyze commits counts then sketches under
+    one token; a reader in that gap must not combine row counts that
+    include a batch with k-min states that exclude it. row_stats /
+    ndv_estimate / advise_join pin both artifacts to the newest
+    token-consistent frontier, so mid-gap reads equal pre-batch reads."""
+    t = load_tables(spark, SF)
+    cat = StatsCatalog(spark, f"{tmp_dir}/pin")
+    cat.analyze("customer", t["customer"], ["c_custkey"], batch_token="b0")
+    cat.analyze("orders", t["orders"], ["o_custkey"], batch_token="b1")
+    before_rows = cat.row_stats("orders").collect()[0]["n_rows"]
+    before_ndv = cat.ndv_estimate("orders", "o_custkey").collect()[0]["est"]
+
+    # open the gap: a counts-only commit for a doubled orders batch
+    cat.counts_table.append(
+        spark.createDataFrame([("orders", 999_999)], ["tbl", "n_rows"]),
+        batch_token="gap",
+    )
+    assert cat.row_stats("orders").collect()[0]["n_rows"] == before_rows
+    assert (
+        cat.ndv_estimate("orders", "o_custkey").collect()[0]["est"]
+        == before_ndv
+    )
+
+    # the crash retry completes the batch (counts commit skips on its
+    # token, sketches commit lands): both artifacts now serve it
+    cat.analyze("orders", t["orders"], ["o_custkey"], batch_token="gap")
+    assert (
+        cat.row_stats("orders").collect()[0]["n_rows"]
+        == before_rows + 999_999
+    )
