@@ -656,20 +656,34 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(emb, codes, cb).orderBy("query_id", "rank")
 
 
-def _ivfpq_oracle(stride_sql: str | None = None) -> str:
+def _ivfpq_oracle(
+    stride_sql: str | None = None,
+    trained_pq: bool = False,
+    centc_block: str | None = None,
+) -> str:
     """The full FAISS architecture replayed in SQL: coarse assignment
     (the certified IVF math), candidate restriction to the probed
     cells, ADC over candidates only, exact re-rank. ``stride_sql``
     overrides the centroid-selection stride (a SQL scalar expression —
     the persisted entry passes the corpus-adaptive bounded-cell-count
-    rule so its oracle tracks ``IVFPQIndex.build``)."""
+    rule so its oracle tracks ``IVFPQIndex.build``). ``trained_pq``
+    swaps the seed-row PQ codebook CTE for the full Lloyd training
+    chain (``_pq_trained_cent_ctes``); ``centc_block`` swaps the
+    stride-sampled coarse-centroid CTE for a caller-supplied chain
+    ending in the same ``centc(ccent_id, cc_emb)`` shape (the trained
+    persisted entry passes ``ivfpq._coarse_trained_ctes``)."""
     from .ann import _COS_SQL, CENT_STRIDE, N_PROBE
 
     if stride_sql is None:
         stride_sql = str(CENT_STRIDE)
 
-    base = _pq_oracle()
+    base = _pq_trained_oracle() if trained_pq else _pq_oracle()
     pq_ctes = base[: base.index("adc AS (")].rstrip().rstrip(",")
+    if centc_block is None:
+        centc_block = f"""centc AS (
+      SELECT vec_id AS ccent_id, embedding AS cc_emb
+      FROM embeddings WHERE vec_id % ({stride_sql}) = 0
+    )"""
     cos = _COS_SQL.format(a="e.embedding", b="c.cc_emb")
     d2 = (
         "CAST(round((list_dot_product({a}, {a})"
@@ -678,10 +692,7 @@ def _ivfpq_oracle(stride_sql: str | None = None) -> str:
     )
     full = "CAST({e} AS DOUBLE[])"
     return f"""{pq_ctes},
-    centc AS (
-      SELECT vec_id AS ccent_id, embedding AS cc_emb
-      FROM embeddings WHERE vec_id % ({stride_sql}) = 0
-    ),
+    {centc_block},
     affin AS (
       SELECT e.vec_id, c.ccent_id,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -321,3 +321,108 @@ def test_ivfpq_results_within_probed_cells(spark):
     for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
         dists[r.query_id].append(r.l2_dist)
     assert all(d == sorted(d) for d in dists.values())
+
+
+def test_coarse_training_reduces_quantization_error(spark):
+    """VERDICT r10 gap closure: Lloyd-trained coarse centroids must
+    strictly reduce the corpus's total integer quantization error
+    (sum of min d2 to any centroid) versus the stride-sample init they
+    start from — the Lloyd monotonicity law on this corpus — and
+    n_iters=0 must degenerate to exactly the untrained stride sample."""
+    from event_to_lakehouse_spark.similarity.ivfpq import (
+        coarse_centroids_trained,
+    )
+    from event_to_lakehouse_spark.similarity.pq import _D2_INT, _MICRO
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    stride = 100
+
+    def total_err(cents):
+        v = emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
+                f" x -> CAST(round(x * {_MICRO}) AS BIGINT))"
+            ).alias("s"),
+        )
+        c = cents.select(
+            "cent_id",
+            F.expr(
+                f"transform(CAST(c_emb AS ARRAY<DOUBLE>),"
+                f" x -> CAST(round(x * {_MICRO}) AS BIGINT))"
+            ).alias("c"),
+        )
+        return (
+            v.crossJoin(F.broadcast(c))
+            .groupBy("vec_id")
+            .agg(F.min(F.expr(_D2_INT.format(a="s", b="c"))).alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    base = coarse_centroids_trained(emb, stride, n_iters=0)
+    trained = coarse_centroids_trained(emb, stride, n_iters=2)
+
+    # n_iters=0 == the stride sample on the micro grid (the trainer
+    # snaps once to BIGINT micros; 0 iterations changes nothing else)
+    raw = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id") % stride == 0).collect()
+    }
+    got = {r.cent_id: list(r.c_emb) for r in base.collect()}
+    assert got.keys() == raw.keys()
+    for cid, vec in got.items():
+        assert all(
+            abs(a - b) <= 1e-6 for a, b in zip(vec, raw[cid])
+        ), f"centroid {cid} moved at n_iters=0"
+
+    assert total_err(trained) < total_err(base)
+
+
+def test_ivfpq_trained_build_serves_exact_rerank_distances(spark, tmp_dir):
+    """A trained build (both quantizers Lloyd-fitted — the flagship
+    configuration ann_ivfpq_index_persisted ships) serves topk whose
+    l2_dist is the EXACT brute-force distance for every returned pair
+    (the refine stage re-reads true vectors, whatever the quantizers
+    did), and ranks are contiguous per query."""
+    from event_to_lakehouse_spark.functions.vectors import dot
+    from event_to_lakehouse_spark.similarity.ivfpq import IVFPQIndex
+    from event_to_lakehouse_spark.similarity.pq import PQ_NQ, PQ_TRAIN_ITERS
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    idx = IVFPQIndex.build(
+        spark,
+        f"{tmp_dir}/ivfpq_tr",
+        train=emb,
+        train_iters=PQ_TRAIN_ITERS,
+        coarse_iters=2,
+    )
+    idx.add_batch(emb, batch_token="all")
+    got = idx.topk(emb, emb.filter(F.col("vec_id") < PQ_NQ)).collect()
+    assert got, "trained index served nothing"
+
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d2 = (
+        dot(F.col("q_emb"), F.col("q_emb"))
+        - 2 * dot(F.col("q_emb"), F.col("embedding"))
+        + dot(F.col("embedding"), F.col("embedding"))
+    )
+    truth = {
+        (r.query_id, r.vec_id): r.d
+        for r in q.filter(F.col("query_id") < PQ_NQ)
+        .crossJoin(emb)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.round(d2 * 1_000_000) / 1_000_000.0, 6).alias("d"),
+        )
+        .collect()
+    }
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        assert truth[(r.query_id, r.vec_id)] == r.l2_dist
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
