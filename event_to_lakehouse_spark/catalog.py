@@ -87,6 +87,8 @@ import event_to_lakehouse_spark.multimodal  # noqa: F401
 import event_to_lakehouse_spark.pipeline.gold  # noqa: F401
 import event_to_lakehouse_spark.storage.rollup  # noqa: F401
 import event_to_lakehouse_spark.storage.stats_catalog  # noqa: F401
+import event_to_lakehouse_spark.storage.changefeed  # noqa: F401
+import event_to_lakehouse_spark.operators.expectations  # noqa: F401
 
 from .operators.relational import ORACLES, QUERIES
 
@@ -211,7 +213,22 @@ FINAL_CATALOG: list[str] = [
     "ann_ivfpq_index_persisted",
     "events_interval_islands",
     "gold_scd2_history",
-    "quality_constraints",
+    # r11 swap: quality_expectations_report in, quality_constraints
+    # retired (STRICT containment: the seat's plan is a single fact
+    # scan with a broadcast referential left join feeding one
+    # conditional-average aggregate, melted via array-of-structs and
+    # globally sorted; the expectations suite runs that IDENTICAL
+    # node sequence — left join -> conditional aggregate -> melt ->
+    # sort — and its regex-conformance node stays driver-certified
+    # through the seated scalar_functions_suite's regex leg, its
+    # broadcast-dimension flavor through q9/q2. The promoted entry
+    # ADDS what no seat exercises: a MULTI-table expectation suite
+    # (one single-pass conditional-sum aggregate per table, unioned),
+    # uniqueness as count - count(DISTINCT) in the same scan, and the
+    # integer basis-point grid via engine-neutral div arithmetic —
+    # the ops-advisor discipline applied to data quality. The retired
+    # entry stays registry+pytest+oracle-green.)
+    "quality_expectations_report",
     # r10 swap: text_bm25_index_persisted in, text_tfidf_topterms
     # retired (containment: the tfidf seat's plan is explode ->
     # (key, term) partial-agg groupBy -> broadcast document-frequency

@@ -520,3 +520,146 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_regionkey", "b"], "c_mktsegment", 2, _LDIV_SQL[2][0],
     )
     return lv0.unionByName(lv1).unionByName(lv2).orderBy("level")
+
+
+# --- materialized-view rewrite advisor ---------------------------------------
+
+# Candidate MVs over orders: (name, group keys, servable agg classes).
+# Every MV here carries count + sum(o_totalprice) partials, so it can
+# also serve avg (sum/count) — but NEVER a count(DISTINCT ...) it did
+# not pre-aggregate: distincts don't fold across groups. The implicit
+# candidate 'orders_base' serves everything at full-table cost.
+_MV_SPECS: list[tuple[str, frozenset, frozenset, str]] = [
+    (
+        "mv_by_status",
+        frozenset({"o_orderstatus"}),
+        frozenset({"count", "sum_total", "avg_total"}),
+        "least(ndv_o_orderstatus, rows_orders)",
+    ),
+    (
+        "mv_by_status_priority",
+        frozenset({"o_orderstatus", "o_orderpriority"}),
+        frozenset({"count", "sum_total", "avg_total"}),
+        "least(ndv_o_orderstatus * ndv_o_orderpriority, rows_orders)",
+    ),
+    (
+        "mv_by_custkey",
+        frozenset({"o_custkey"}),
+        frozenset({"count", "sum_total", "avg_total"}),
+        "least(ndv_o_custkey, rows_orders)",
+    ),
+]
+_MV_ALL_AGGS = frozenset(
+    {"count", "sum_total", "avg_total", "count_distinct_cust"}
+)
+
+# Query workload: (name, group keys, required aggs).
+_MV_QUERIES: list[tuple[str, frozenset, frozenset]] = [
+    ("q_count_by_status", frozenset({"o_orderstatus"}), frozenset({"count"})),
+    (
+        "q_avg_by_priority",
+        frozenset({"o_orderpriority"}),
+        frozenset({"avg_total"}),
+    ),
+    (
+        "q_sum_by_status_priority",
+        frozenset({"o_orderstatus", "o_orderpriority"}),
+        frozenset({"sum_total"}),
+    ),
+    ("q_count_by_orderdate", frozenset({"o_orderdate"}), frozenset({"count"})),
+    (
+        "q_distinct_cust_by_status",
+        frozenset({"o_orderstatus"}),
+        frozenset({"count_distinct_cust"}),
+    ),
+]
+
+_MV_STAT_KEYS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _mv_candidates() -> list[tuple[str, str, str, bool]]:
+    """(query, candidate, est_rows expr, contained) for every pair —
+    the containment decision is the STATIC part of view matching
+    (query keys ⊆ view keys and every needed agg derivable from the
+    view's partials), so one Python spec emits it for both engines;
+    only the cardinalities come from live statistics."""
+    rows = []
+    for qname, qkeys, qaggs in _MV_QUERIES:
+        for mname, mkeys, maggs, est in _MV_SPECS:
+            rows.append(
+                (qname, mname, est, qkeys <= mkeys and qaggs <= maggs)
+            )
+        rows.append((qname, "orders_base", "rows_orders", True))
+    return rows
+
+
+def _mv_rewrite_sql() -> str:
+    ndvs = ", ".join(
+        f"count(DISTINCT {k}) AS ndv_{k}" for k in _MV_STAT_KEYS
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{q}' AS query_name, '{c}' AS candidate,"
+        f" {str(ok).upper()} AS contained,"
+        f" CAST({est} AS BIGINT) AS est_rows FROM stats"
+        for q, c, est, ok in _mv_candidates()
+    )
+    return f"""
+    WITH stats AS (
+        SELECT count(*) AS rows_orders, {ndvs} FROM orders
+    )
+    SELECT query_name, candidate, contained, est_rows,
+           contained AND row_number() OVER (
+               PARTITION BY query_name
+               ORDER BY contained DESC, est_rows, candidate) = 1
+             AS chosen
+    FROM ({pairs})
+    ORDER BY query_name, candidate
+    """
+
+
+@query("ops_mv_rewrite_advisor", _mv_rewrite_sql())
+def ops_mv_rewrite_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rewrite advisor — the third leg of the r10
+    CBO tier (table-stats advisor: single joins; join-order advisor:
+    plan enumeration; THIS: answer-from-MV selection). For a fixed
+    query workload and the candidate rollups ``RollupView`` maintains,
+    decide per query which view CONTAINS it (keys ⊆ view keys, every
+    agg derivable from the view's count/sum partials — a
+    count(DISTINCT) is never derivable) and CHOOSE the cheapest
+    contained candidate by estimated group count (NDV product capped
+    at table rows — the same containment estimate the sibling
+    advisors use), falling back to the base table. Containment is
+    static (one Python spec emits both engines' rows); cardinalities
+    are live stats — exact NDV here so the oracle is bit-for-bit,
+    manifest/KMV stats at 100 TB (``StatsCatalog.advise_join``'s
+    note applies verbatim)."""
+    from pyspark.sql import Window
+
+    stats = load_tables(spark, sf_dir)["orders"].agg(
+        F.count(F.lit(1)).alias("rows_orders"),
+        *[F.countDistinct(k).alias(f"ndv_{k}") for k in _MV_STAT_KEYS],
+    )
+    melted = stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("query_name"),
+                        F.lit(c).alias("candidate"),
+                        F.lit(ok).alias("contained"),
+                        F.expr(est).cast("long").alias("est_rows"),
+                    )
+                    for q, c, est, ok in _mv_candidates()
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    w = Window.partitionBy("query_name").orderBy(
+        F.col("contained").desc(), "est_rows", "candidate"
+    )
+    return (
+        melted.withColumn(
+            "chosen", F.col("contained") & (F.row_number().over(w) == 1)
+        )
+        .orderBy("query_name", "candidate")
+    )

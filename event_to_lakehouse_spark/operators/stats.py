@@ -1096,3 +1096,156 @@ def stats_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 4).alias("expected"),
         F.round(dev * dev / exp, 4).alias("contrib"),
     )
+
+
+# --- population-stability drift screen (PSI) ---------------------------------
+
+
+@query(
+    "stats_psi_drift",
+    """
+    WITH d AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+                 AS day
+        FROM events
+    ),
+    bounds AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM d),
+    counts AS (
+        SELECT event_type,
+               sum(CASE WHEN day < mid THEN 1 ELSE 0 END) AS n_base,
+               sum(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS n_curr
+        FROM d, bounds GROUP BY 1
+    ),
+    tot AS (
+        SELECT count(*) AS t, sum(n_base) AS sb, sum(n_curr) AS sc
+        FROM counts
+    )
+    SELECT event_type,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_curr AS BIGINT) AS n_curr,
+           round((CAST(n_base + 1 AS DOUBLE) / (sb + t)
+                  - CAST(n_curr + 1 AS DOUBLE) / (sc + t))
+                 * ln((CAST(n_base + 1 AS DOUBLE) / (sb + t))
+                      / (CAST(n_curr + 1 AS DOUBLE) / (sc + t))), 6)
+             AS psi_contrib
+    FROM counts, tot
+    ORDER BY event_type
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event timeline, per event_type — the standard drift screen a
+    training-data pipeline runs before trusting a refreshed snapshot
+    (PSI > 0.25 on any bucket = investigate). The timeline splits at
+    the integer midpoint day (one metadata-scale min/max pass);
+    Laplace +1 smoothing keeps one-sided buckets finite, so a type
+    that appears or vanishes outright still yields a bounded, ranked
+    contribution instead of an infinity.
+
+    Scale shape: one scan producing per-type conditional partials
+    (map-side combine), a broadcast of the 1-row midpoint and the
+    k-row totals — nothing fact-sized shuffles. All ratios divide
+    exact integers, so both engines see bit-identical doubles."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    )
+    mid = d.agg(F.expr("(min(day) + max(day) + 1) div 2").alias("mid"))
+    counts = (
+        d.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("mid"), 1).otherwise(0)
+            ).alias("n_base"),
+            F.sum(
+                F.when(F.col("day") >= F.col("mid"), 1).otherwise(0)
+            ).alias("n_curr"),
+        )
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("n_base").alias("sb"),
+        F.sum("n_curr").alias("sc"),
+    )
+    pa = (F.col("n_base") + 1).cast("double") / (F.col("sb") + F.col("t"))
+    pc = (F.col("n_curr") + 1).cast("double") / (F.col("sc") + F.col("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_curr").cast("long").alias("n_curr"),
+            F.round((pa - pc) * F.log(pa / pc), 6).alias("psi_contrib"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- seasonal-naive forecast backtest ----------------------------------------
+
+
+@query(
+    "ts_seasonal_naive_backtest",
+    """
+    WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+                 AS day,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    paired AS (
+        SELECT a.day AS day, a.n AS actual, f.n AS forecast
+        FROM d a JOIN d f ON f.day = a.day - 7
+    ),
+    scored AS (
+        SELECT day % 7 AS dow,
+               (20000 * abs(actual - forecast)) // (actual + forecast)
+                 AS smape_bps
+        FROM paired
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(smape_bps) AS BIGINT) AS sum_smape_bps,
+           CAST(sum(smape_bps) // count(*) AS BIGINT) AS avg_smape_bps
+    FROM scored GROUP BY dow ORDER BY dow
+    """,
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest of daily event volume: forecast(day) =
+    actual(day − 7), scored as integer sMAPE basis points
+    (20000·|a−f| div (a+f) — symmetric MAPE on the integer grid, so
+    the whole gauge is hash-exact), aggregated per day-of-week
+    (day mod 7 — epoch-anchored, calendar-free). This is the baseline
+    every capacity forecast must beat, and a per-dow error profile is
+    the standard way to catch weekly-seasonality regressions in an
+    ingest pipeline.
+
+    Scale shape: the daily rollup is one map-side-combined scan; the
+    lag-7 pairing is a self-join of the DAILY series (metadata-scale —
+    days, not events), then a k≤7-row aggregate."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    f = d.select((F.col("day") + 7).alias("day"), F.col("n").alias("forecast"))
+    paired = d.withColumnRenamed("n", "actual").join(f, "day")
+    scored = paired.select(
+        (F.col("day") % 7).alias("dow"),
+        F.expr(
+            "(20000 * abs(actual - forecast)) div (actual + forecast)"
+        ).alias("smape_bps"),
+    )
+    return (
+        scored.groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("smape_bps").cast("long").alias("sum_smape_bps"),
+            F.expr("CAST(sum(smape_bps) div count(*) AS LONG)").alias(
+                "avg_smape_bps"
+            ),
+        )
+        .orderBy("dow")
+    )

@@ -158,3 +158,53 @@ def test_l_diversity_ladder_monotone_and_exact(spark):
     assert row.min_l == 1
     assert row.rows_disclosing == 4  # group a: 4 rows, all one value
     assert row.risk_bp == (10000 * 4) // 7
+
+
+def test_mv_rewrite_advisor_chooses_contained_cheapest(spark):
+    """Exactly one chosen candidate per query; chosen implies
+    contained; the non-derivable count(DISTINCT) query and the
+    uncovered-key query fall back to the base table; a covered query
+    picks the CHEAPEST containing view, never the base table."""
+    from event_to_lakehouse_spark.operators.audit import (
+        ops_mv_rewrite_advisor,
+    )
+
+    rows = ops_mv_rewrite_advisor(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_name, []).append(r)
+    assert len(by_q) == 5
+    for q, cands in by_q.items():
+        chosen = [r for r in cands if r.chosen]
+        assert len(chosen) == 1, q
+        assert chosen[0].contained
+    pick = {q: [r for r in c if r.chosen][0].candidate
+            for q, c in by_q.items()}
+    assert pick["q_distinct_cust_by_status"] == "orders_base"
+    assert pick["q_count_by_orderdate"] == "orders_base"
+    assert pick["q_count_by_status"] == "mv_by_status"
+    assert pick["q_avg_by_priority"] == "mv_by_status_priority"
+    est = {r.candidate: r.est_rows for r in by_q["q_count_by_status"]}
+    assert est["mv_by_status"] <= est["mv_by_status_priority"]
+
+
+def test_expectations_report_internal_consistency(spark):
+    """passed == (n_violations == 0); bps is the integer ratio; all
+    expectations over one table see the same n_rows (one-scan
+    contract); the RI and uniqueness rows hold on this corpus."""
+    from event_to_lakehouse_spark.operators.expectations import (
+        quality_expectations_report,
+    )
+
+    rows = quality_expectations_report(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    per_table = {}
+    for r in rows:
+        assert r.passed == (r.n_violations == 0)
+        assert r.violation_bps == (10000 * r.n_violations) // r.n_rows
+        tbl = r.expectation.split(".")[0]
+        per_table.setdefault(tbl, set()).add(r.n_rows)
+    assert all(len(v) == 1 for v in per_table.values())
+    byname = {r.expectation: r for r in rows}
+    assert byname["orders.o_orderkey.unique"].passed
+    assert byname["lineitem.l_orderkey.ref_orders"].passed

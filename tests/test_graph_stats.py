@@ -759,3 +759,52 @@ def test_khop_reached_set_grows_with_hops(spark):
     assert set(d1) <= set(d3)
     for n, h in d1.items():
         assert d3[n] == h  # settled distances never change
+
+
+def test_psi_drift_contributions_nonnegative_and_smoothed(spark):
+    """PSI contributions are individually >= 0 ((p_a - p_c) and
+    ln(p_a/p_c) always share sign) and finite even for one-sided
+    buckets (Laplace smoothing); counts reconcile with the raw scan."""
+    import math
+
+    from event_to_lakehouse_spark.operators.stats import stats_psi_drift
+    from event_to_lakehouse_spark.tables import load_tables
+
+    rows = stats_psi_drift(spark, SF).collect()
+    assert rows
+    total_events = load_tables(spark, SF)["events"].count()
+    assert sum(r.n_base + r.n_curr for r in rows) == total_events
+    for r in rows:
+        assert math.isfinite(r.psi_contrib)
+        assert r.psi_contrib >= 0.0
+
+
+def test_seasonal_naive_backtest_bounds_and_days(spark):
+    """Integer sMAPE basis points live in [0, 20000]; the per-dow
+    day counts sum to (days with a lag-7 partner); the per-dow
+    average is the floor of sum/n."""
+    from event_to_lakehouse_spark.operators.stats import (
+        ts_seasonal_naive_backtest,
+    )
+
+    rows = ts_seasonal_naive_backtest(spark, SF).collect()
+    assert rows and all(0 <= r.dow <= 6 for r in rows)
+    for r in rows:
+        assert 0 <= r.avg_smape_bps <= 20000
+        assert r.avg_smape_bps == r.sum_smape_bps // r.n_days
+
+
+def test_label_centroid_similarity_shape_and_range(spark):
+    """One row per unordered label pair; cosine in [-1, 1]."""
+    from event_to_lakehouse_spark.similarity.ann import (
+        emb_label_centroid_similarity,
+    )
+    from event_to_lakehouse_spark.tables import load_tables
+
+    rows = emb_label_centroid_similarity(spark, SF).collect()
+    n_labels = (
+        load_tables(spark, SF)["embeddings"].select("label").distinct().count()
+    )
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
+    assert all(r.label_a < r.label_b for r in rows)
