@@ -159,6 +159,8 @@ HEADLINE = [
     "ann_ivfpq_topk",  # r9: the composed IVF+PQ+refine serving stack
     "ann_pq_trained_adc_topk",  # r10: integer-grid Lloyd trainer + ADC
     "ann_ivfpq_index_persisted",  # r10: durable IVFPQ build+serve
+    # (r11: build now Lloyd-trains BOTH quantizers — coarse + PQ — so
+    # not wall-comparable with its r10 self; see BENCH_AB cpu_ratio)
     "dedup_admission_pipeline",  # r10: bloom -> exact -> near-dup chain
     "graph_khop_reach",  # r10: bounded multi-source BFS (shared edges)
     "privacy_k_anonymity",  # r10: QI generalization-ladder audit
@@ -169,6 +171,16 @@ HEADLINE = [
     # is plan-depth overhead (k-1 chained greedy rounds over ~30-row
     # pool tables), constant in the corpus — a wall-time entry would
     # measure stage-scheduling latency, not engine throughput.
+    # r11 additions (absent on the A side of the first A/B round that
+    # includes them; value_shared keeps totals comparable):
+    "quality_expectations_report",  # r11: one-scan expectation suite
+    "stats_psi_drift",  # r11: PSI drift screen
+    "ts_seasonal_naive_backtest",  # r11: integer sMAPE backtest
+    "emb_label_centroid_similarity",  # r11: label-centroid cosine
+    "ops_mv_rewrite_advisor",  # r11: MV containment + choice gauge
+    "storage_cdc_changelog",  # r11: COW CDC apply + sidecar feed read
+    "ops_mv_rewrite_answer",  # r11: rollup build + partial re-agg serve
+    "ops_snapshot_diff",  # r11: CDC apply + time-travel state diff
 ]
 
 PKG = "event_to_lakehouse_spark"

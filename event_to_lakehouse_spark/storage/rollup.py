@@ -388,5 +388,67 @@ def _register() -> None:
             .orderBy("o_orderstatus")
         )
 
+    @query(
+        "ops_mv_rewrite_answer",
+        """
+        WITH c AS (
+          SELECT o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT)  AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents
+        FROM c GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+    )
+    def ops_mv_rewrite_answer(spark, sf_dir: str) -> DataFrame:
+        """The EXECUTION leg of ``ops_mv_rewrite_advisor``: answer a
+        COARSER query from a maintained finer-grained rollup by
+        re-aggregating its partials — count as sum-of-counts, sum as
+        sum-of-sums, min/max as min-of-mins/max-of-maxs — which is
+        exactly the derivability law the advisor's containment check
+        assumes. The view is keyed (o_orderstatus, o_orderpriority)
+        and maintained over TWO fact commits; the served answer groups
+        by o_orderstatus alone and must hash-equal the direct groupBy
+        over the raw fact (the oracle). At 100 TB the re-aggregation
+        reads the GROUPS table (statuses × priorities rows), never the
+        fact — the whole point of answering from the view."""
+        orders = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        root = tempfile.mkdtemp(prefix="mv_answer_")
+        fact = SnapshotTable(spark, f"{root}/fact", stats_col="o_orderkey")
+        view = RollupView(
+            spark,
+            f"{root}/view",
+            keys=["o_orderstatus", "o_orderpriority"],
+            sums=["cents"],
+            mins=["cents"],
+            maxs=["cents"],
+        )
+        k = F.col("o_orderkey")
+        fact.append(orders.filter(k % 2 == 0))
+        view.refresh(fact)
+        fact.append(orders.filter(k % 2 == 1))
+        view.refresh(fact)
+        return (
+            view.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("sum_cents").cast("long").alias("sum_cents"),
+                F.min("min_cents").cast("long").alias("min_cents"),
+                F.max("max_cents").cast("long").alias("max_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
 
 _register()

@@ -765,3 +765,95 @@ def inverted_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def expectations_gate_stream(
+    rows,
+    table_root: str,
+    quarantine_path: str,
+    checkpoint: str,
+    expectations: list[tuple[str, str]] | None = None,
+    available_now: bool = True,
+):
+    """Streaming WRITE-AUDIT-PUBLISH quality gate — the ingest topology
+    of ``operators.expectations``: every micro-batch is STAGED first
+    (``SnapshotTable.stage`` — no reader ever sees an unaudited row),
+    the declarative expectation suite evaluates on the staged audit
+    view in one conditional-sum pass, and only a fully-passing batch
+    is PUBLISHED (atomic append, exactly-once token). A failing batch
+    never touches the live chain: its rows land in a quarantine
+    sidecar under ``batch_id=`` with the failed-expectation names
+    attached, and the stage is discarded — the Delta expectations /
+    Deequ ``VerificationSuite`` gate, on the lakehouse primitives this
+    repo already certifies.
+
+    ``expectations`` is a list of (name, VIOLATION predicate) pairs —
+    engine-neutral SQL over the batch columns; defaults to the orders
+    rows of ``operators.expectations.ROW_EXPECTATIONS``.
+
+    Crash/replay contract, per path:
+
+    - crash after publish: the batch token is in the live chain — the
+      whole callback is a no-op on replay;
+    - crash between stage and publish: the replay RESOLVES the pending
+      stage by its token (never stages twice) and completes the
+      audit+publish;
+    - crash around a quarantine write: the replay re-audits the same
+      staged rows to the same verdict and overwrites the quarantine
+      partition byte-identically before discarding — idempotent.
+
+    State is the table's manifest chain plus pending stage docs —
+    metadata-scale; no state store, no watermark."""
+    from ..storage.snapshots import SnapshotTable
+
+    if expectations is None:
+        from ..operators.expectations import ROW_EXPECTATIONS
+
+        expectations = [
+            (name, pred) for name, tbl, pred in ROW_EXPECTATIONS
+            if tbl == "orders"
+        ]
+
+    def _write(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        t = SnapshotTable(spark, table_root)
+        token = f"b{batch_id}"
+        snap = t.snapshot()
+        if snap is not None and token in snap.batch_tokens:
+            return  # replay of a published batch
+        sid = next(
+            (
+                s
+                for s in t.staged()
+                if t._staged_doc(s).get("batch_token") == token
+            ),
+            None,
+        ) or t.stage(batch_df, batch_token=token)
+        staged = t.read_staged(sid)
+        viol = staged.agg(
+            *[
+                F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(f"v{i}")
+                for i, (_, pred) in enumerate(expectations)
+            ]
+        ).first()
+        failed = [
+            name
+            for i, (name, _) in enumerate(expectations)
+            if (viol[f"v{i}"] or 0) > 0
+        ]
+        if not failed:
+            t.publish(sid)
+            return
+        staged.withColumn(
+            "_failed_expectations", F.lit(",".join(failed))
+        ).write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch_id={batch_id}"
+        )
+        t.discard(sid)
+
+    writer = rows.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

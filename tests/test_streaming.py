@@ -1030,3 +1030,83 @@ def test_inverted_index_stream_equals_batch(spark, tmp_dir):
     _run(f"{tmp_dir}/ckpt")
     assert idx.postings_table.snapshot().version == vp
     assert idx.doclens_table.snapshot().version == vd
+
+
+def test_expectations_gate_stream_publishes_or_quarantines(spark, tmp_dir):
+    """WAP expectations gate: a clean micro-batch PUBLISHES (atomic
+    append, token in chain), a batch with a planted violation never
+    reaches the live chain — its rows land in the quarantine sidecar
+    tagged with the failed expectation names and its stage is
+    discarded; a checkpointed re-run is a no-op on the published batch
+    and leaves no pending stages behind."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import expectations_gate_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    src = Path(tmp_dir) / "rows"
+    src.mkdir()
+    clean = [
+        {"o_orderkey": 1, "o_custkey": 7, "o_orderstatus": "O",
+         "o_totalprice": 10.0},
+        {"o_orderkey": 2, "o_custkey": 8, "o_orderstatus": "F",
+         "o_totalprice": 20.0},
+    ]
+    dirty = [
+        {"o_orderkey": 3, "o_custkey": None, "o_orderstatus": "Z",
+         "o_totalprice": -5.0},  # violates not_null, in_set AND positive
+        {"o_orderkey": 4, "o_custkey": 9, "o_orderstatus": "P",
+         "o_totalprice": 30.0},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in clean))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in dirty))
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = expectations_gate_stream(
+            stream,
+            table_root=f"{tmp_dir}/gated",
+            quarantine_path=f"{tmp_dir}/quarantine",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    _run(f"{tmp_dir}/ckpt")
+    t = SnapshotTable(spark, f"{tmp_dir}/gated")
+    live = {r.o_orderkey for r in t.read().collect()}
+    assert live == {1, 2}  # only the clean batch published
+    assert t.staged() == []  # nothing left pending
+    quar = spark.read.parquet(f"{tmp_dir}/quarantine").collect()
+    assert {r.o_orderkey for r in quar} == {3, 4}  # whole batch held
+    failed = {f for r in quar for f in r._failed_expectations.split(",")}
+    assert failed == {
+        "orders.o_custkey.not_null",
+        "orders.o_orderstatus.in_set",
+        "orders.o_totalprice.positive",
+    }
+
+    v = t.snapshot().version
+    _run(f"{tmp_dir}/ckpt2")  # fresh checkpoint replays both batches
+    assert t.snapshot().version == v  # published batch: token no-op
+    assert t.read().count() == 2 and t.staged() == []
