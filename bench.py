@@ -181,6 +181,8 @@ HEADLINE = [
     "storage_cdc_changelog",  # r11: COW CDC apply + sidecar feed read
     "ops_mv_rewrite_answer",  # r11: rollup build + partial re-agg serve
     "ops_snapshot_diff",  # r11: CDC apply + time-travel state diff
+    "privacy_t_closeness",  # r11: integer-grid TV-distance ladder
+    "text_textrank_keywords",  # r11: word-graph PageRank keywords
 ]
 
 PKG = "event_to_lakehouse_spark"

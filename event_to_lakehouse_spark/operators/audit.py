@@ -663,3 +663,160 @@ def ops_mv_rewrite_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_name", "candidate")
     )
+
+
+# --- t-closeness (distribution-disclosure complement of l-diversity) --------
+
+T_CLOSE_BP = 2500  # groups whose sensitive distribution drifts > 0.25
+
+# Ladder: the k-anonymity walk with the sensitive attribute
+# (c_mktsegment) EXCLUDED from the QI — l-diversity asks "are there
+# enough DISTINCT sensitive values per group"; t-closeness asks the
+# stronger question "is each group's sensitive DISTRIBUTION close to
+# the table's" (an attacker learns nothing distributional from
+# knowing the group). Distance is the total-variation distance on the
+# exact integer grid: per group g, TV = sum_v |c_gv*N - c_v*n_g| /
+# (2*N*n_g), reported in basis points via integer division — no
+# doubles anywhere, so the whole ladder is hash-exact.
+_TCLOSE_QI = {
+    0: (
+        "nation,balance_100",
+        ["c_nationkey", "CAST(floor(c_acctbal / 100) AS BIGINT)"],
+        "customer",
+    ),
+    1: (
+        "nation,balance_1000",
+        ["c_nationkey", "CAST(floor(c_acctbal / 1000) AS BIGINT)"],
+        "customer",
+    ),
+    2: (
+        "region,balance_sign",
+        ["n_regionkey", "CASE WHEN c_acctbal < 0 THEN 0 ELSE 1 END"],
+        "customer JOIN nation ON n_nationkey = c_nationkey",
+    ),
+}
+
+
+def _tclose_level_sql(level: int) -> str:
+    desc, qi, src = _TCLOSE_QI[level]
+    kdef = ", ".join(f"{e} AS k{i}" for i, e in enumerate(qi))
+    kcols = ", ".join(f"k{i}" for i in range(len(qi)))
+    kjoin = " AND ".join(f"g.k{i} = gs.k{i}" for i in range(len(qi)))
+    p = f"tc{level}"
+    return f"""
+    {p}_g AS (
+        SELECT {kdef}, c_mktsegment AS s, CAST(count(*) AS BIGINT) AS c
+        FROM {src} GROUP BY {kcols}, s
+    ),
+    {p}_tot AS (
+        SELECT s, CAST(sum(c) AS BIGINT) AS cv FROM {p}_g GROUP BY s
+    ),
+    {p}_nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM {p}_g),
+    {p}_gs AS (
+        SELECT {kcols}, CAST(sum(c) AS BIGINT) AS ng
+        FROM {p}_g GROUP BY {kcols}
+    ),
+    {p}_d AS (
+        SELECT {kcols}, max(ng) AS ng,
+               (10000 * sum(abs(coalesce(c, 0) * nn - cv * ng)))
+                 // (2 * max(nn) * max(ng)) AS dist_bp
+        FROM (
+            SELECT gs.*, t.s, t.cv, n.nn, g.c
+            FROM {p}_gs gs CROSS JOIN {p}_tot t CROSS JOIN {p}_nn n
+            LEFT JOIN {p}_g g ON {kjoin} AND g.s = t.s
+        ) GROUP BY {kcols}
+    ),
+    {p}_out AS (
+        SELECT {level} AS level, '{desc}' AS qi,
+               CAST(count(*) AS BIGINT) AS groups,
+               CAST(max(dist_bp) AS BIGINT) AS max_t_bp,
+               CAST(coalesce(sum(CASE WHEN dist_bp > {T_CLOSE_BP} THEN 1 END),
+                             0) AS BIGINT) AS groups_above_t,
+               CAST((10000 * coalesce(sum(CASE WHEN dist_bp > {T_CLOSE_BP}
+                                               THEN ng END), 0))
+                    // sum(ng) AS BIGINT) AS rows_above_bp
+        FROM {p}_d
+    )"""
+
+
+def t_closeness_level(
+    df: DataFrame, qi: list, level: int, desc: str
+) -> DataFrame:
+    """One rung: per-group total-variation distance of the sensitive
+    distribution from the global one, on the exact integer grid, then
+    the 1-row summary. The group×value matrix is QI-cardinality ×
+    |segments| — bounded by the generalization, never by the data; the
+    only row-scale work is the first groupBy's map-side partials."""
+    g = df.groupBy(*qi, "s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = g.groupBy("s").agg(F.sum("c").cast("long").alias("cv"))
+    nn = g.agg(F.sum("c").cast("long").alias("nn"))
+    gs = g.groupBy(*qi).agg(F.sum("c").cast("long").alias("ng"))
+    m = (
+        gs.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nn))
+        .join(g, [*qi, "s"], "left")
+    )
+    d = m.groupBy(*qi).agg(
+        F.max("ng").alias("ng"),
+        F.expr(
+            "(10000 * sum(abs(coalesce(c, 0) * nn - cv * ng)))"
+            " div (2 * max(nn) * max(ng))"
+        ).alias("dist_bp"),
+    )
+    return d.agg(
+        F.lit(level).alias("level"),
+        F.lit(desc).alias("qi"),
+        F.count(F.lit(1)).cast("long").alias("groups"),
+        F.max("dist_bp").cast("long").alias("max_t_bp"),
+        F.coalesce(
+            F.sum(F.when(F.col("dist_bp") > T_CLOSE_BP, 1)), F.lit(0)
+        ).cast("long").alias("groups_above_t"),
+        F.expr(
+            f"(10000 * coalesce(sum(CASE WHEN dist_bp > {T_CLOSE_BP}"
+            " THEN ng END), 0)) div sum(ng)"
+        ).cast("long").alias("rows_above_bp"),
+    )
+
+
+@query(
+    "privacy_t_closeness",
+    "WITH "
+    + ",".join(_tclose_level_sql(lv) for lv in sorted(_TCLOSE_QI))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM tc{lv}_out" for lv in sorted(_TCLOSE_QI))
+    + ") ORDER BY level",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy tier
+    (k-anonymity: identity; l-diversity: attribute presence; THIS:
+    attribute DISTRIBUTION): per QI group, the total-variation
+    distance between the group's c_mktsegment distribution and the
+    whole table's, walked down the same generalization ladder. A
+    release gate requires ``max_t_bp <= T_CLOSE_BP`` — coarsening the
+    QI pulls every group's distribution toward the global one, so the
+    report is the anonymity/utility trade-off curve in one table. All
+    arithmetic is exact BIGINT (TV distance in basis points via
+    integer division), so both engines agree bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    band100 = F.floor(F.col("c_acctbal") / 100).cast("long")
+    band1000 = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    sign = F.when(F.col("c_acctbal") < 0, 0).otherwise(1)
+    seg = F.col("c_mktsegment").alias("s")
+    with_region = cust.join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    )
+    lv0 = t_closeness_level(
+        cust.select("c_nationkey", band100.alias("b"), seg),
+        ["c_nationkey", "b"], 0, _TCLOSE_QI[0][0],
+    )
+    lv1 = t_closeness_level(
+        cust.select("c_nationkey", band1000.alias("b"), seg),
+        ["c_nationkey", "b"], 1, _TCLOSE_QI[1][0],
+    )
+    lv2 = t_closeness_level(
+        with_region.select("n_regionkey", sign.alias("b"), seg),
+        ["n_regionkey", "b"], 2, _TCLOSE_QI[2][0],
+    )
+    return lv0.unionByName(lv1).unionByName(lv2).orderBy("level")

@@ -1371,3 +1371,124 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rc").cast("long").alias("right_count"),
         F.round(F.log(p_ab / (p_a * p_b)), 4).alias("pmi"),
     )
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+
+TEXTRANK_VOCAB = 200  # graph nodes: the top-V corpus tokens (freq, token)
+TEXTRANK_MIN_LEN = 4  # content-word heuristic: drop short function words
+TEXTRANK_TOPK = 20
+
+
+def _textrank_sql() -> str:
+    """The word-adjacency graph as CTEs feeding the EXACT PageRank
+    round chain ``graph_pagerank_parts`` certifies (same ``pairs`` /
+    ``deg`` / ``n`` names, same literal 0.15/0.85 arithmetic), then the
+    top-k selection on the 4-dp grid with a token tiebreak."""
+    from .operators.graph import _pr_round_sql
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(u[1] AS VARCHAR) AS w, CAST(u[2] AS BIGINT) AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(list_zip(arr, range(1, len(arr) + 1))) AS u
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
+                  FROM documents)
+        )
+        WHERE length(CAST(u[1] AS VARCHAR)) >= {TEXTRANK_MIN_LEN}
+    ),
+    voc AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM toks GROUP BY w)
+        WHERE rk <= {TEXTRANK_VOCAB}
+    ),
+    halfp AS (
+        SELECT DISTINCT a.w AS src, b.w AS dst
+        FROM toks a
+        JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.w <> b.w
+          AND a.w IN (SELECT w FROM voc) AND b.w IN (SELECT w FROM voc)
+    ),
+    pairs AS (
+        SELECT src, dst FROM halfp UNION SELECT dst, src FROM halfp
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT deg.src AS node, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+    {_pr_round_sql('r0', 'r1')},
+    {_pr_round_sql('r1', 'r2')},
+    {_pr_round_sql('r2', 'r3')},
+    scored AS (
+        SELECT r3.node AS token,
+               round(r3.pr * n.n, 4) AS pr_scaled,
+               deg.deg AS degree
+        FROM r3 JOIN deg ON deg.src = r3.node CROSS JOIN n
+    )
+    SELECT token, pr_scaled, degree,
+           CAST(row_number() OVER (ORDER BY pr_scaled DESC, token)
+                AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TEXTRANK_TOPK}
+    ORDER BY rank
+    """
+
+
+@query("text_textrank_keywords", _textrank_sql())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word-adjacency graph — nodes are the corpus's top
+    {TEXTRANK_VOCAB} content tokens (length >= {TEXTRANK_MIN_LEN},
+    ranked by frequency with a token tiebreak), undirected edges link
+    tokens adjacent in any document — then the top-{TEXTRANK_TOPK}
+    tokens by damped rank. Reuses the CERTIFIED ``pagerank`` core
+    verbatim (same chained-iteration oracle discipline as
+    ``graph_pagerank_parts``: every round's join/sum is the identical
+    IEEE arithmetic in both engines), so the only new surface is the
+    graph construction: one tokenize scan, a per-doc adjacency
+    self-join on (doc_id, pos+1), vocabulary pruning scan-side.
+
+    Scale shape: the corpus is touched twice (vocab count + adjacency)
+    with map-side partials; the graph itself is vocabulary-bounded
+    (<= V^2/2 edges, V = {TEXTRANK_VOCAB}), so the PageRank rounds run
+    on a dimension-scale frame whatever the corpus size — the same
+    posture as the co-purchase graph family."""
+    from pyspark.sql.window import Window
+
+    from .operators.graph import pagerank
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    ).filter(F.length("w") >= TEXTRANK_MIN_LEN)
+    wv = Window.orderBy(F.col("f").desc(), "w")
+    voc = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= TEXTRANK_VOCAB)
+        .select("w")
+    )
+    tv = toks.join(F.broadcast(voc), "w").select("doc_id", "pos", "w")
+    a = tv.select("doc_id", F.col("pos").alias("p"), F.col("w").alias("src"))
+    b = tv.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("w").alias("dst")
+    )
+    half = (
+        a.join(b, ["doc_id", "p"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = half.union(half.select(F.col("dst"), F.col("src"))).distinct()
+    ranked = pagerank(edges, broadcast_ranks=True).select(
+        F.col("p_partkey").alias("token"), "pr_scaled", "degree"
+    )
+    w = Window.orderBy(F.col("pr_scaled").desc(), "token")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TEXTRANK_TOPK)
+        .orderBy("rank")
+    )

@@ -208,3 +208,34 @@ def test_expectations_report_internal_consistency(spark):
     byname = {r.expectation: r for r in rows}
     assert byname["orders.o_orderkey.unique"].passed
     assert byname["lineitem.l_orderkey.ref_orders"].passed
+
+
+def test_t_closeness_hand_computed_and_bounded(spark):
+    """TV distance on a constructed frame matches the hand-computed
+    value (disjoint-support groups: 0.5 -> 5000 bps; identical
+    distributions -> 0), and the real ladder's basis points live in
+    [0, 10000] with all three levels present."""
+    from event_to_lakehouse_spark.operators.audit import (
+        privacy_t_closeness,
+        t_closeness_level,
+    )
+
+    # group 1 all 'A', group 2 all 'B', global 50/50 -> TV = 0.5
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (2, "B"), (2, "B")], ["k", "s"]
+    )
+    row = t_closeness_level(df, ["k"], 0, "hand").collect()[0]
+    assert (row.groups, row.max_t_bp) == (2, 5000)
+
+    # every group mirrors the global distribution -> TV = 0
+    uni = spark.createDataFrame(
+        [(g, s) for g in (1, 2) for s in ("A", "B")], ["k", "s"]
+    )
+    assert t_closeness_level(uni, ["k"], 0, "uni").collect()[0].max_t_bp == 0
+
+    rows = privacy_t_closeness(spark, SF_DIR).collect()
+    assert [r.level for r in rows] == [0, 1, 2]
+    for r in rows:
+        assert 0 <= r.max_t_bp <= 10000
+        assert 0 <= r.rows_above_bp <= 10000
+        assert r.groups_above_t <= r.groups

@@ -808,3 +808,22 @@ def test_label_centroid_similarity_shape_and_range(spark):
     assert len(rows) == n_labels * (n_labels - 1) // 2
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in rows)
     assert all(r.label_a < r.label_b for r in rows)
+
+
+def test_textrank_keywords_shape_and_graph_membership(spark):
+    """Top-k list: contiguous ranks, content-length tokens, positive
+    damped scores, and every keyword is a real graph node (degree >= 1
+    means it was adjacent to another vocabulary token somewhere)."""
+    from event_to_lakehouse_spark.textops import (
+        TEXTRANK_MIN_LEN,
+        TEXTRANK_TOPK,
+        text_textrank_keywords,
+    )
+
+    rows = text_textrank_keywords(spark, SF).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= TEXTRANK_TOPK
+    for r in rows:
+        assert len(r.token) >= TEXTRANK_MIN_LEN
+        assert r.pr_scaled > 0
+        assert r.degree >= 1
