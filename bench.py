@@ -183,6 +183,7 @@ HEADLINE = [
     "ops_snapshot_diff",  # r11: CDC apply + time-travel state diff
     "privacy_t_closeness",  # r11: integer-grid TV-distance ladder
     "text_textrank_keywords",  # r11: word-graph PageRank keywords
+    "ann_ivfpq_residual_topk",  # r11: residual-encoding IVFADC
 ]
 
 PKG = "event_to_lakehouse_spark"

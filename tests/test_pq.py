@@ -426,3 +426,126 @@ def test_ivfpq_trained_build_serves_exact_rerank_distances(spark, tmp_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_residual_encoding_beats_raw_when_clusters_exceed_codes(spark):
+    """The residual-encoding claim, pinned in the regime it exists
+    for: with MORE coarse cells than PQ codewords (20 clusters vs
+    PQ_K=16 seed codes), a raw-vector codebook cannot cover every
+    cluster mode — some vectors quantize to wrong-mode codewords with
+    center-scale error — while residuals are noise-scale in EVERY
+    cell, so the residual codebook's total reconstruction error is
+    strictly smaller. (On a near-isotropic corpus the two tie — the
+    oracle entry's docstring says so — which is why this pin uses a
+    clustered corpus.)"""
+    from event_to_lakehouse_spark.functions.vectors import l2_norm
+    from event_to_lakehouse_spark.similarity.ivfpq_residual import (
+        residual_frame,
+    )
+    from event_to_lakehouse_spark.similarity.pq import (
+        _d2_micro,
+        _sub_explode,
+        pq_codebook,
+        pq_encode,
+    )
+
+    n_clusters, dim, n_vec = 20, 64, 200
+    centers = [
+        [float((k * 31 + d * 17) % 23) for d in range(dim)]
+        for k in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_vec):
+        k = i % n_clusters
+        noise = [((i * 13 + d * 7) % 11 - 5) / 100.0 for d in range(dim)]
+        rows.append((i, [centers[k][d] + noise[d] for d in range(dim)]))
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = spark.createDataFrame(
+        [(k, centers[k]) for k in range(n_clusters)], ["cent_id", "c_emb"]
+    ).select("cent_id", "c_emb", l2_norm("c_emb").alias("c_norm"))
+
+    def recon_err(frame):
+        cb = pq_codebook(frame)
+        codes = pq_encode(frame, cb)
+        subs = _sub_explode(frame, "vec_id")
+        return (
+            subs.join(codes, ["vec_id", "j"])
+            .join(
+                cb.withColumnRenamed("cent_id", "code"),
+                ["j", "code"],
+            )
+            .agg(F.sum(_d2_micro(F.col("sub"), F.col("c_sub"))))
+            .collect()[0][0]
+        )
+
+    raw_err = recon_err(vec)
+    res = residual_frame(vec, cent)
+    # sanity: the cosine coarse assignment recovered the true clusters
+    bad = res.filter(F.col("cell") != F.col("vec_id") % n_clusters).count()
+    assert bad == 0
+    res_err = recon_err(res.select("vec_id", "embedding"))
+    assert res_err < raw_err / 10, (res_err, raw_err)
+
+
+def test_ivfpq_residual_results_within_probed_cells_and_exact_refine(spark):
+    """Structural pins on the real corpus: every returned vector lives
+    in a cell its query probed (the IVF restriction survived the
+    residual plumbing), and l2_dist is the exact brute-force distance
+    for every returned pair (the refine stage reads RAW vectors,
+    never residuals)."""
+    from event_to_lakehouse_spark.functions.vectors import dot
+    from event_to_lakehouse_spark.similarity.ann import CENT_STRIDE, N_PROBE
+    from event_to_lakehouse_spark.similarity.ivf_index import (
+        rank_against_centroids,
+    )
+    from event_to_lakehouse_spark.similarity.ivfpq_residual import (
+        ann_ivfpq_residual_topk,
+    )
+    from event_to_lakehouse_spark.functions.vectors import l2_norm
+    from event_to_lakehouse_spark.similarity.pq import PQ_NQ
+
+    got = ann_ivfpq_residual_topk(spark, SF).collect()
+    assert got
+
+    from event_to_lakehouse_spark.similarity.ivfpq import IVFPQ_MAX_CELLS
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    stride = max(CENT_STRIDE, emb.count() // IVFPQ_MAX_CELLS)
+    cent = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    assigned = {
+        r.vec_id: r.cent_id
+        for r in rank_against_centroids(emb, cent, 1).collect()
+    }
+    probed = {}
+    for r in rank_against_centroids(
+        emb.filter(F.col("vec_id") < PQ_NQ), cent, N_PROBE
+    ).collect():
+        probed.setdefault(r.vec_id, set()).add(r.cent_id)
+    for r in got:
+        assert assigned[r.vec_id] in probed[r.query_id]
+
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d2 = (
+        dot(F.col("q_emb"), F.col("q_emb"))
+        - 2 * dot(F.col("q_emb"), F.col("embedding"))
+        + dot(F.col("embedding"), F.col("embedding"))
+    )
+    truth = {
+        (r.query_id, r.vec_id): r.d
+        for r in q.filter(F.col("query_id") < PQ_NQ)
+        .crossJoin(emb)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.round(d2 * 1_000_000) / 1_000_000.0, 6).alias("d"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert truth[(r.query_id, r.vec_id)] == r.l2_dist
