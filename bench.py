@@ -184,6 +184,7 @@ HEADLINE = [
     "privacy_t_closeness",  # r11: integer-grid TV-distance ladder
     "text_textrank_keywords",  # r11: word-graph PageRank keywords
     "ann_ivfpq_residual_topk",  # r11: residual-encoding IVFADC
+    "ann_ivfpq_residual_trained_topk",  # r11: + Lloyd on residuals
 ]
 
 PKG = "event_to_lakehouse_spark"

@@ -94,7 +94,11 @@ def _sub_explode_keyed(df: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _residual_oracle() -> str:
+def _residual_oracle(trained: bool = False) -> str:
+    """``trained=True`` swaps the residual seed codebook for the full
+    Lloyd chain TRAINED ON RESIDUALS (``_pq_trained_cent_ctes`` over
+    the ``rsub`` CTE) — codebook, every iteration, codes, per-cell
+    LUTs, ADC and refine all stay value-checked."""
     d2 = (
         "CAST(round((list_dot_product({a}, {a})"
         " - 2 * list_dot_product({a}, {b})"
@@ -112,6 +116,15 @@ def _residual_oracle() -> str:
         f"SELECT greatest({CENT_STRIDE}, count(*) // {IVFPQ_MAX_CELLS})"
         " FROM embeddings"
     )
+    if trained:
+        from .pq import PQ_TRAIN_ITERS, _pq_trained_cent_ctes
+
+        cent_block = _pq_trained_cent_ctes(PQ_TRAIN_ITERS, sub_cte="rsub")
+    else:
+        cent_block = f"""cent AS (
+      SELECT vec_id AS cent_id, j, sub AS c_sub FROM rsub
+      WHERE vec_id < {PQ_K}
+    )"""
     return f"""
     WITH centc AS (
       SELECT vec_id AS cell, embedding AS cc_emb
@@ -140,10 +153,7 @@ def _residual_oracle() -> str:
              remb[r.j * {PQ_SUB} + 1 : r.j * {PQ_SUB} + {PQ_SUB}] AS sub
       FROM resid, range(0, {PQ_M}) r(j)
     ),
-    cent AS (
-      SELECT vec_id AS cent_id, j, sub AS c_sub FROM rsub
-      WHERE vec_id < {PQ_K}
-    ),
+    {cent_block},
     dmat AS (
       SELECT s.vec_id, s.j, c.cent_id,
              {d2.format(a="s.sub", b="c.c_sub")} AS d
@@ -238,6 +248,31 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r10 rule; a fixed stride makes centroid count corpus-linear
     and assignment quadratic, which the 30× probe measured at 9.6×
     before this was applied)."""
+    return _residual_pipeline(spark, sf_dir, trained=False)
+
+
+@query("ann_ivfpq_residual_trained_topk", _residual_oracle(trained=True))
+def ann_ivfpq_residual_trained_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The residual IVFADC stack with the codebook LLOYD-TRAINED ON
+    RESIDUALS — the full production configuration (FAISS trains its
+    IVFPQ codebooks on residuals by default): same four stages as
+    ``ann_ivfpq_residual_topk``, but the codebook comes from
+    ``pq_codebook_trained`` over the residual frame, and the oracle
+    replays that training chain iteration by iteration (the
+    ``_pq_trained_cent_ctes`` generator over the ``rsub`` CTE) before
+    the serve stages. ``test_pq`` pins Lloyd's monotone-objective law
+    on the residual frame (trained reconstruction error strictly below
+    the seed init's); recall is NOT claimed here — this synthetic
+    corpus is near-isotropic, so residuals carry no cluster structure
+    for training to exploit (measured and disclosed in COVERAGE.md)."""
+    return _residual_pipeline(spark, sf_dir, trained=True)
+
+
+def _residual_pipeline(
+    spark: SparkSession, sf_dir: str, trained: bool
+) -> DataFrame:
     from ..functions.vectors import l2_norm
     from .ivfpq import IVFPQ_MAX_CELLS
 
@@ -251,7 +286,14 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm("embedding").alias("c_norm"),
     )
     resid = residual_frame(emb, cent)
-    cb = pq_codebook(resid.select("vec_id", "embedding"))
+    if trained:
+        from .pq import PQ_TRAIN_ITERS, pq_codebook_trained
+
+        cb = pq_codebook_trained(
+            resid.select("vec_id", "embedding"), PQ_TRAIN_ITERS
+        )
+    else:
+        cb = pq_codebook(resid.select("vec_id", "embedding"))
     codes = pq_encode(resid.select("vec_id", "embedding"), cb).join(
         resid.select("vec_id", "cell"), "vec_id"
     )

@@ -562,12 +562,14 @@ def _pq_rerank_oracle() -> str:
     """
 
 
-def _pq_trained_cent_ctes(n_iters: int) -> str:
+def _pq_trained_cent_ctes(n_iters: int, sub_cte: str = "sub") -> str:
     """The Lloyd loop as chained CTEs (the graph_pagerank_parts
     discipline): subvectors snap to the BIGINT micro grid, each
     iteration is integer-argmin assignment + integer-division update,
     and the final ``cent`` CTE serves micro/1e6 doubles in exactly the
-    shape the certified ADC pipeline consumes."""
+    shape the certified ADC pipeline consumes. ``sub_cte`` names the
+    (vec_id, j, sub) source — ``'sub'`` trains on raw subvectors, the
+    residual oracle passes its ``rsub`` to train on residuals."""
     d2 = (
         "CAST(list_sum(list_transform(list_zip({a}, {b}),"
         " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
@@ -576,7 +578,7 @@ def _pq_trained_cent_ctes(n_iters: int) -> str:
         f"""subm AS (
       SELECT vec_id, j,
              [CAST(round(x * {_MICRO}) AS BIGINT) for x in sub] AS s
-      FROM sub
+      FROM {sub_cte}
     ),
     c0 AS (SELECT vec_id AS cent_id, j, s AS c FROM subm
            WHERE vec_id < {PQ_K})"""

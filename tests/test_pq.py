@@ -549,3 +549,49 @@ def test_ivfpq_residual_results_within_probed_cells_and_exact_refine(spark):
     }
     for r in got:
         assert truth[(r.query_id, r.vec_id)] == r.l2_dist
+
+
+def test_trained_residual_codebook_reduces_reconstruction_error(spark):
+    """Lloyd's monotone-objective law on the RESIDUAL frame: training
+    the codebook from its seed-row init must strictly reduce total
+    integer reconstruction error over the corpus's residuals (the
+    objective the trainer minimizes). Recall is deliberately NOT
+    pinned here — on this near-isotropic corpus residuals carry no
+    cluster structure to exploit (measured: seed 0.32 vs trained 0.28
+    shortlist recall), which the entry docstrings disclose; the
+    clustered-corpus pin above covers the regime where residuals win."""
+    from event_to_lakehouse_spark.functions.vectors import l2_norm
+    from event_to_lakehouse_spark.similarity.ann import CENT_STRIDE
+    from event_to_lakehouse_spark.similarity.ivfpq import IVFPQ_MAX_CELLS
+    from event_to_lakehouse_spark.similarity.ivfpq_residual import (
+        residual_frame,
+    )
+    from event_to_lakehouse_spark.similarity.pq import (
+        PQ_TRAIN_ITERS,
+        _d2_micro,
+        _sub_explode,
+        pq_codebook_trained,
+    )
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    stride = max(CENT_STRIDE, emb.count() // IVFPQ_MAX_CELLS)
+    cent = emb.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    resid = residual_frame(emb, cent).select("vec_id", "embedding")
+
+    def err(cb):
+        codes = pq_encode(resid, cb)
+        subs = _sub_explode(resid, "vec_id")
+        return (
+            subs.join(codes, ["vec_id", "j"])
+            .join(cb.withColumnRenamed("cent_id", "code"), ["j", "code"])
+            .agg(F.sum(_d2_micro(F.col("sub"), F.col("c_sub"))))
+            .collect()[0][0]
+        )
+
+    seed_err = err(pq_codebook(resid))
+    trained_err = err(pq_codebook_trained(resid, PQ_TRAIN_ITERS))
+    assert trained_err < seed_err

@@ -1110,3 +1110,85 @@ def test_expectations_gate_stream_publishes_or_quarantines(spark, tmp_dir):
     _run(f"{tmp_dir}/ckpt2")  # fresh checkpoint replays both batches
     assert t.snapshot().version == v  # published batch: token no-op
     assert t.read().count() == 2 and t.staged() == []
+
+
+def test_cdc_apply_stream_out_of_order_and_fold(spark, tmp_dir):
+    """Streaming CDC apply: batch 0 inserts; batch 1 mixes a WINNING
+    upsert, a STALE upsert (older order_col — latest-wins must keep
+    the base row AND the feed must stay silent for it), and a delete.
+    The fact table lands on the applied-effect state, a RollupView
+    folds the recorded feed to exactly the recompute, and a
+    fresh-checkpoint replay no-ops on both batches."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.storage.rollup import RollupView
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import cdc_apply_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ord", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("_op", T.StringType()),
+        ]
+    )
+    src = Path(tmp_dir) / "changes"
+    src.mkdir()
+    b0 = [
+        {"id": 1, "ord": 10, "grp": "a", "cents": 100, "_op": "I"},
+        {"id": 2, "ord": 10, "grp": "a", "cents": 200, "_op": "I"},
+        {"id": 3, "ord": 10, "grp": "b", "cents": 300, "_op": "I"},
+    ]
+    b1 = [
+        {"id": 1, "ord": 20, "grp": "b", "cents": 150, "_op": "U"},  # wins
+        {"id": 2, "ord": 5, "grp": "b", "cents": 999, "_op": "U"},  # STALE
+        {"id": 3, "ord": 30, "grp": "b", "cents": 0, "_op": "D"},  # delete
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in b0))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    now = _time.time()
+    _os.utime(src / "b0.json", (now - 60, now - 60))
+    _os.utime(src / "b1.json", (now, now))
+
+    def _run(ckpt):
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+        )
+        q = cdc_apply_stream(
+            stream,
+            table_root=f"{tmp_dir}/fact",
+            checkpoint=ckpt,
+            key="id",
+            order_col="ord",
+        )
+        q.awaitTermination(120)
+
+    _run(f"{tmp_dir}/ckpt")
+    t = SnapshotTable(spark, f"{tmp_dir}/fact")
+    state = {r.id: (r.ord, r.grp, r.cents) for r in t.read().collect()}
+    # id 1 replaced; id 2 kept the BASE row (stale upsert); id 3 gone
+    assert state == {1: (20, "b", 150), 2: (10, "a", 200)}
+
+    # the recorded feed folds to the recompute (stale upsert silent)
+    view = RollupView(
+        spark, f"{tmp_dir}/view", keys=["grp"], sums=["cents"]
+    )
+    view.refresh(t)
+    assert view.equals_recompute(t)
+    feed = t.change_feed(1)  # the CDC commit only
+    assert feed.filter(F.col("id") == 2).count() == 0  # silent for stale
+
+    v = t.snapshot().version
+    _run(f"{tmp_dir}/ckpt2")  # fresh checkpoint replays both batches
+    assert t.snapshot().version == v
+    assert {r.id for r in t.read().collect()} == {1, 2}
