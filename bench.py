@@ -185,6 +185,7 @@ HEADLINE = [
     "text_textrank_keywords",  # r11: word-graph PageRank keywords
     "ann_ivfpq_residual_topk",  # r11: residual-encoding IVFADC
     "ann_ivfpq_residual_trained_topk",  # r11: + Lloyd on residuals
+    "stats_bootstrap_ci",  # r11: hash-resampled bootstrap CI
 ]
 
 PKG = "event_to_lakehouse_spark"

@@ -932,3 +932,127 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
     )
     return resized.unionByName(frames)
+
+
+# --- perceptual image hashing (dHash) + image near-dup ----------------------
+
+DHASH_W, DHASH_H = 9, 8  # 8x8 gradient bits = a 64-bit fingerprint
+DHASH_BANDS = 4  # 4 x 16-bit bands for LSH-style candidate blocking
+DHASH_MAX_HAMMING = 10  # near-dup verdict threshold (of 64 bits)
+
+
+def image_dhash(payload: bytes) -> int:
+    """64-bit difference hash of a BMP/PNG payload: decode (the REAL
+    codecs above), resize to 9×8, grayscale, then bit ``i`` = 1 iff
+    the pixel is brighter than its right neighbour. Small edits (noise,
+    re-encode, slight crop) flip few bits, so Hamming distance is a
+    perceptual near-dup metric — the image-side analog of SimHash on
+    text. Raises ValueError on undecodable payloads (quarantine
+    contract)."""
+    img = (
+        decode_png(payload)
+        if payload[:8] == _PNG_SIG
+        else decode_image(payload)
+    )
+    small = resize_image(img, DHASH_W, DHASH_H)
+    px = small["pixels"]
+    gray = [
+        (px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) // 3
+        for i in range(DHASH_W * DHASH_H)
+    ]
+    bits = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            bits <<= 1
+            if gray[y * DHASH_W + x] > gray[y * DHASH_W + x + 1]:
+                bits |= 1
+    return bits
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def dhash_assets(assets: DataFrame) -> DataFrame:
+    """(asset_id, dhash) via the Arrow-batched harness — decode +
+    resize + hash stay partition-local; undecodable payloads drop out
+    (their NULL would poison banding). The signed-long cast is
+    lossless: 64 dHash bits reinterpreted as the JVM's BIGINT."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    hv = image_dhash(bytes(payload))
+                except ValueError:
+                    continue
+                if hv >= 1 << 63:  # two's-complement reinterpret
+                    hv -= 1 << 64
+                recs.append({"asset_id": asset_id, "dhash": hv})
+            yield pd.DataFrame.from_records(
+                recs, columns=DHASH_SCHEMA.names
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _hash, DHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """(a, b, hamming): image near-dup pairs from banded blocking —
+    the SimHash discipline applied to the perceptual hash: split the
+    64 bits into {DHASH_BANDS} 16-bit bands; a pair is a CANDIDATE iff
+    it collides in at least one band (any pair within Hamming
+    {DHASH_MAX_HAMMING} of 64 must agree on some band when distance
+    < bands — pigeonhole gives recall for tight matches), then the
+    exact ``bit_count(xor)`` verdict filters. Everything after the
+    hash is JVM-side: band explode, hash-partitioned equi self-join,
+    integer popcount."""
+    banded = hashes.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"(dhash >> {16 * i}) & 65535"
+                        ).alias("val"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("asset_id", "dhash", "s.band", "s.val")
+    a = banded.select(
+        F.col("asset_id").alias("a"),
+        F.col("dhash").alias("ha"),
+        "band",
+        "val",
+    )
+    b = banded.select(
+        F.col("asset_id").alias("b"),
+        F.col("dhash").alias("hb"),
+        "band",
+        "val",
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        pairs.select("a", "b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("a", "b")
+    )

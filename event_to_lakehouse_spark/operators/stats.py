@@ -1249,3 +1249,115 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# --- bootstrap confidence interval (hash-resampled, engine-exact) ------------
+
+BOOT_B = 200  # bootstrap replicates; 2.5%/97.5% = sorted ranks 5 / 196
+
+
+def _boot_sql() -> str:
+    from ..functions.hashing import hash60_duck
+
+    h = hash60_duck("CAST(bs.b * m.m + idx.i AS VARCHAR)")
+    return f"""
+    WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+                 AS day,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT n, row_number() OVER (ORDER BY day) - 1 AS i FROM d
+    ),
+    m AS (SELECT count(*) AS m FROM d),
+    bs AS (SELECT r.b FROM range(0, {BOOT_B}) r(b)),
+    draws AS (
+        SELECT bs.b, {h} % m.m AS pick
+        FROM idx CROSS JOIN bs CROSS JOIN m
+    ),
+    means AS (
+        SELECT dr.b,
+               (1000000 * sum(t.n)) // max(m.m) AS mm
+        FROM draws dr JOIN idx t ON t.i = dr.pick CROSS JOIN m
+        GROUP BY dr.b
+    ),
+    ranked AS (
+        SELECT mm, row_number() OVER (ORDER BY mm, b) AS r FROM means
+    ),
+    obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST((1000000 * sum(n)) // count(*) AS BIGINT)
+                 AS obs_mean_micro
+        FROM d
+    )
+    SELECT o.n_days, o.n_total, o.obs_mean_micro,
+           CAST(min(CASE WHEN r = 5 THEN mm END) AS BIGINT)
+             AS boot_lo_micro,
+           CAST(min(CASE WHEN r = {BOOT_B - 4} THEN mm END) AS BIGINT)
+             AS boot_hi_micro
+    FROM ranked, obs o
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("stats_bootstrap_ci", _boot_sql())
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% confidence interval for the mean daily event
+    volume — uncertainty quantification with NO randomness source:
+    replicate ``b``'s ``i``-th draw picks day index
+    ``hash60(b·m + i) mod m`` (the portable md5-prefix hash both
+    engines compute bit-identically — the repo's sampling discipline),
+    so the full resample matrix, every replicate mean (exact integer
+    micros), and the rank-5 / rank-{BOOT_B - 4} percentile ends are
+    hash-exact cross-engine.
+
+    Scale shape: the daily rollup is the only corpus-sized pass; the
+    resample matrix is days × {BOOT_B} rows of (replicate, pick)
+    integers — series-scale, not event-scale — and the replicate means
+    are one groupBy over it. At 100 TB you bootstrap the AGGREGATED
+    series (as here) or a fixed-size hash-sample of rows; never the
+    raw fact."""
+    from ..functions.hashing import hash60_spark
+
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day")
+    idx = d.select(
+        "n", (F.row_number().over(w) - 1).alias("i")
+    )
+    m = d.agg(F.count(F.lit(1)).alias("m"))
+    bs = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    h = hash60_spark("CAST(b * m + i AS STRING)")
+    draws = (
+        idx.crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(m))
+        .select("b", F.expr(f"{h} % m").alias("pick"))
+    )
+    means = (
+        draws.join(idx.withColumnRenamed("i", "pick"), "pick")
+        .crossJoin(F.broadcast(m))
+        .groupBy("b")
+        .agg(F.expr("(1000000 * sum(n)) div max(m)").alias("mm"))
+    )
+    wr = Window.orderBy("mm", "b")
+    ranked = means.withColumn("r", F.row_number().over(wr))
+    ends = ranked.agg(
+        F.expr("min(CASE WHEN r = 5 THEN mm END)")
+        .cast("long")
+        .alias("boot_lo_micro"),
+        F.expr(f"min(CASE WHEN r = {BOOT_B - 4} THEN mm END)")
+        .cast("long")
+        .alias("boot_hi_micro"),
+    )
+    obs = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.expr("CAST((1000000 * sum(n)) div count(*) AS LONG)").alias(
+            "obs_mean_micro"
+        ),
+    )
+    return obs.crossJoin(ends)

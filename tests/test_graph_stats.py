@@ -827,3 +827,18 @@ def test_textrank_keywords_shape_and_graph_membership(spark):
         assert len(r.token) >= TEXTRANK_MIN_LEN
         assert r.pr_scaled > 0
         assert r.degree >= 1
+
+
+def test_bootstrap_ci_brackets_observed_mean(spark):
+    """The hash-resampled bootstrap CI is ordered (lo <= hi), brackets
+    the observed mean on this series, and the observed stats reconcile
+    with the raw scan; a re-run is bit-identical (no randomness
+    source anywhere)."""
+    from event_to_lakehouse_spark.operators.stats import stats_bootstrap_ci
+    from event_to_lakehouse_spark.tables import load_tables
+
+    row = stats_bootstrap_ci(spark, SF).collect()[0]
+    assert row.boot_lo_micro <= row.obs_mean_micro <= row.boot_hi_micro
+    assert row.n_total == load_tables(spark, SF)["events"].count()
+    again = stats_bootstrap_ci(spark, SF).collect()[0]
+    assert row == again

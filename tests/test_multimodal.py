@@ -488,3 +488,73 @@ def test_png_deflate_bomb_quarantines_before_inflating():
     shrunk[20:24] = (2).to_bytes(4, "big")  # IHDR height field
     with pytest.raises(ValueError, match="does not match"):
         decode_png(bytes(shrunk))
+
+
+def test_image_dhash_neardup_pairs(spark):
+    """Perceptual image near-dup end to end over the REAL codecs: a
+    lightly-noised copy of a BMP (and its PNG re-encode) land within
+    the Hamming threshold of the original and are found by the banded
+    blocking; a structurally different image is not; the engine-side
+    popcount equals the Python Hamming distance for every pair; the
+    hash is deterministic across encodes of the same pixels."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        DHASH_MAX_HAMMING,
+        dhash_assets,
+        encode_bmp,
+        encode_png,
+        image_dhash,
+        phash_neardup_pairs,
+    )
+
+    w = h = 32
+
+    def tex(f):
+        buf = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = f(x, y) % 256
+                buf += bytes((v, v, v))
+        return bytes(buf)
+
+    # textured patterns (a monotone gradient hashes to all-zeros —
+    # dHash measures local left>right contrast, not absolute level)
+    base = tex(lambda x, y: (x * 73) ^ (y * 151) ^ (x * y))
+    noisy = bytearray(base)
+    for i in range(0, len(noisy), 13):  # sparse +-30 perturbations
+        noisy[i] = (noisy[i] + 30) % 256
+    different = tex(lambda x, y: (y * 73) ^ (x * 151) ^ (x * y + 7))
+
+    bmp = encode_bmp(w, h, base)
+    bmp_noisy = encode_bmp(w, h, bytes(noisy))
+    png_same = encode_png(w, h, base, filter_type=2)
+    bmp_diff = encode_bmp(w, h, different)
+
+    # same pixels -> same hash regardless of container
+    assert image_dhash(bmp) == image_dhash(png_same)
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(bmp)),
+            (2, bytearray(bmp_noisy)),
+            (3, bytearray(png_same)),
+            (4, bytearray(bmp_diff)),
+        ],
+        "asset_id long, payload binary",
+    )
+    hashes = dhash_assets(assets)
+    hv = {r.asset_id: r.dhash for r in hashes.collect()}
+    assert set(hv) == {1, 2, 3, 4}
+
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in phash_neardup_pairs(hashes).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 0  # identical pixels
+    assert (1, 2) in pairs  # noised copy within threshold
+    assert not any(4 in p for p in pairs)  # different structure: no pair
+
+    def py_ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for (a, b), d in pairs.items():
+        assert d == py_ham(hv[a], hv[b]) <= DHASH_MAX_HAMMING
