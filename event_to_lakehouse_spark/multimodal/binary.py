@@ -1008,13 +1008,18 @@ def phash_neardup_pairs(
 ) -> DataFrame:
     """(a, b, hamming): image near-dup pairs from banded blocking —
     the SimHash discipline applied to the perceptual hash: split the
-    64 bits into {DHASH_BANDS} 16-bit bands; a pair is a CANDIDATE iff
-    it collides in at least one band (any pair within Hamming
-    {DHASH_MAX_HAMMING} of 64 must agree on some band when distance
-    < bands — pigeonhole gives recall for tight matches), then the
-    exact ``bit_count(xor)`` verdict filters. Everything after the
-    hash is JVM-side: band explode, hash-partitioned equi self-join,
-    integer popcount."""
+    64 bits into ``DHASH_BANDS`` 16-bit bands; a pair is a CANDIDATE
+    iff it collides in at least one band, then the exact
+    ``bit_count(xor)`` verdict filters. Recall contract (ADVICE r11):
+    pigeonhole GUARANTEES a band collision only for Hamming distance
+    < ``DHASH_BANDS`` (4); for distances in [DHASH_BANDS,
+    max_hamming] recall is PROBABILISTIC — a true pair whose
+    differing bits spread across all 4 bands produces no candidate
+    and is missed. Raise DHASH_BANDS (narrower bands) for guaranteed
+    recall at a given threshold, or treat the output as a
+    high-precision candidate miner, as the dedup tier does.
+    Everything after the hash is JVM-side: band explode,
+    hash-partitioned equi self-join, integer popcount."""
     banded = hashes.select(
         "asset_id",
         "dhash",

@@ -93,7 +93,11 @@ def coarse_centroids_trained(
     integer-L2 argmin assignment, round(sum/n) integer-division update,
     empty cells keep their previous centroid). Initialized from the
     deterministic ``vec_id % stride == 0`` sample, so ``n_iters=0``
-    degenerates to exactly the untrained stride centroids.
+    degenerates to the untrained stride centroids UP TO micro-grid
+    rounding (ADVICE r11: the snap/unsnap round-trip leaves up to
+    5e-7 per-dimension drift vs the raw embeddings ``build()``'s
+    untrained branch pins — use that branch, not ``n_iters=0``, when
+    bit-exact stride centroids matter).
 
     Scale shape per iteration: assignment is a broadcast of the ≤
     ``IVFPQ_MAX_CELLS``-row centroid frame against the training corpus

@@ -1071,6 +1071,17 @@ class SnapshotTable:
         surfaces as ValueError (consumers fall back to a rebuild, never
         to silently wrong deltas).
 
+        FEED-IDENTITY CONTRACT (ADVICE r11): row identity is
+        ``(key, order_col[, tiebreak])`` — ``order_col`` is the VERSION
+        column. A CDC source MUST strictly increase ``order_col``
+        whenever any payload column changes; an upsert that alters
+        payload while REUSING the base row's order_col value is treated
+        as the same version — the feed emits nothing for it, while
+        ``latest_per_key``'s winner for that tie is nondeterministic,
+        so the fact table may change under a silent feed. Sources that
+        cannot guarantee monotone versions should synthesize one
+        (ingest timestamp, log offset) before calling this.
+
         Semantics: the per-key verdict is the NEWEST change in the
         batch by ``order_col`` (ties broken by ``tiebreak``, falling
         back to the key) — a key whose last change is D is deleted
@@ -1401,6 +1412,17 @@ def token_consistent_versions(*tables: "SnapshotTable") -> list[int | None]:
     The guarantee covers TOKENED writes — exactly the streaming /
     incremental path where mid-stream readers exist. Untokened ad-hoc
     appends don't move any chain and are invisible to pinning.
+
+    PRECONDITION (ADVICE r11): the paired writers must NOT trim their
+    token chains (``keep_tokens`` must stay True for every table passed
+    here). Rewind matching is exact SET equality against the
+    intersection of the LATEST chains; a writer that bounds its chain
+    (as ``cdc_apply_stream`` and ``BloomIndex`` do on their own,
+    unpaired tables) makes historical windows unequal to that
+    intersection forever, and the pin silently degrades to
+    serve-latest. Current callers (``InvertedIndex``, ``StatsCatalog``)
+    write untrimmed chains; keep it that way or switch this matcher to
+    newest-common-token comparison first.
     """
     snaps = [t.snapshot() for t in tables]
     if any(s is None for s in snaps):
