@@ -207,6 +207,22 @@ class NearDupIndex:
         sigs = self._stored(self.sigs_table)
         return 0 if sigs is None else sigs.count()
 
+    def delete_docs(
+        self, doc_ids: DataFrame, batch_token: str | None = None
+    ) -> None:
+        """FORGET documents (VERDICT r11 #1): COW-remove their band
+        rows and signatures. Band/sig rows are per-doc independent
+        state — no shared statistics — so a probe after a delete is
+        EXACTLY a probe against a fresh index over the surviving docs
+        (pytest-pinned): the forgotten docs can never match again, and
+        no surviving pair is lost. Both tables take the SAME
+        ``batch_token`` (crash-retry self-heals). Note the hot-bucket
+        guard's append-monotone caveat runs in reverse here: a bucket
+        that dropped below ``max_bucket`` through deletes simply
+        becomes eligible again — no correctness debt."""
+        self.bands_table.delete_keys(doc_ids, "doc_id", batch_token=batch_token)
+        self.sigs_table.delete_keys(doc_ids, "doc_id", batch_token=batch_token)
+
     def maintain(
         self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
     ) -> int:
@@ -263,6 +279,52 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_flavor="portable",
     )
     idx.index_batch(docs.filter(F.col("doc_id") % 5 != 0), batch_token="held")
+    return idx.index_batch(
+        docs.filter(F.col("doc_id") % 5 == 0), batch_token="new"
+    )
+
+
+def _neardup_forget_oracle() -> str:
+    """Probe-after-forget must equal the full portable pipeline over
+    the SURVIVING universe (held minus forgotten, plus the batch),
+    restricted to pairs touching the batch — the ``dedup_incremental``
+    union-equivalence theorem with a delete in the middle."""
+    from .portable import _minhash_oracle
+
+    nd = _minhash_oracle().replace("FROM documents", "FROM vis_docs")
+    assert "FROM documents" not in nd  # exactly one universe
+    return f"""
+    WITH vis_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 = 0 OR doc_id % 3 <> 0
+    )
+    SELECT * FROM ({nd}) p
+    WHERE p.doc_id_a % 5 = 0 OR p.doc_id_b % 5 = 0
+    """
+
+
+@query("dedup_neardup_forget", _neardup_forget_oracle())
+def dedup_neardup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete propagation through the durable LSH index (VERDICT r11
+    #1), driver-checkable: index the held corpus (doc_id % 5 != 0),
+    FORGET every held doc with doc_id % 3 == 0 (COW key-delete of its
+    band rows + signature), then probe the arriving batch
+    (doc_id % 5 == 0). The oracle recomputes the portable pipeline
+    over held-minus-forgotten ∪ batch — green means forgotten docs
+    never pair again AND every surviving pair is still found, i.e.
+    probe-after-delete == recompute-from-survivors."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    held = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = NearDupIndex(
+        spark, tempfile.mkdtemp(prefix="nd_forget_"), hash_flavor="portable"
+    )
+    idx.index_batch(held, batch_token="held")
+    idx.delete_docs(
+        held.filter(F.col("doc_id") % 3 == 0).select("doc_id"),
+        batch_token="forget",
+    )
     return idx.index_batch(
         docs.filter(F.col("doc_id") % 5 == 0), batch_token="new"
     )
@@ -375,6 +437,37 @@ class ExactDedupIndex:
         """Distinct contents held — metadata-scale."""
         held = self._stored()
         return 0 if held is None else held.count()
+
+    def delete_docs(
+        self, doc_ids: DataFrame, batch_token: str | None = None
+    ) -> None:
+        """FORGET canonical documents (VERDICT r11 #1): COW-remove the
+        (fp, doc_id) rows whose CANONICAL holder is in ``doc_ids`` —
+        the content leaves the index, so a future arrival of the same
+        text is a fresh ``is_new_unique`` (no ghost fingerprint keeps
+        matching a forgotten doc; pytest-pinned).
+
+        SEMANTIC BOUNDARY, by design: the index stores ONE row per
+        distinct content — the first-arrival survivor — never the dup
+        history. If doc 7 was reported ``dup_of`` doc 5 at ingest and
+        doc 5 is later forgotten, the index cannot know doc 7 still
+        carries that content; re-ingesting the surviving copies (or
+        replaying them from the corpus table's CDC feed) re-registers
+        them as canonical, and convergence is exactly the replay
+        contract. A CONTENT-level forget request (erase this text no
+        matter which doc holds it) should instead compute the
+        fingerprint and call :meth:`delete_fps`. A paired
+        ``BloomIndex`` must be rebuilt from the surviving fingerprints
+        (``BloomIndex.rebuild_from`` — bits are shared; see there)."""
+        ids = doc_ids.select("doc_id")
+        self.table.delete_keys(ids, "doc_id", batch_token=batch_token)
+
+    def delete_fps(
+        self, fps: DataFrame, batch_token: str | None = None
+    ) -> None:
+        """Content-level forget: remove fingerprints outright (column
+        ``fp``), regardless of which doc_id holds them."""
+        self.table.delete_keys(fps.select("fp"), "fp", batch_token=batch_token)
 
     def maintain(
         self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1

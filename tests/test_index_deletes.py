@@ -1,0 +1,319 @@
+"""Delete/tombstone propagation through the durable-index family
+(VERDICT r11 #1): every index consumes forget requests — and the
+InvertedIndex consumes ``apply_changes`` CDC feeds — such that serving
+AFTER a delete equals recompute over the surviving docs. Closes the
+gap between the r11-certified CDC feed and the indexes that ignored
+it: a forget request no longer leaves ghost postings / fingerprints /
+band rows / PQ codes that keep matching."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+from event_to_lakehouse_spark.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_tables(spark, SF)["documents"]
+
+
+def _ids(spark, ids, col="doc_id"):
+    return spark.createDataFrame([(int(i),) for i in ids], f"{col} long")
+
+
+# -- the storage primitive ---------------------------------------------------
+
+
+def test_delete_keys_non_unique_copy_on_write(spark, tmp_dir):
+    """delete_keys removes ALL rows of each deleted key (the non-unique
+    layout apply_changes cannot express), prunes untouched files via
+    manifest stats, keeps time travel, and replays as a no-op under
+    batch_token."""
+    t = SnapshotTable(spark, f"{tmp_dir}/tbl", stats_col="doc_id")
+    rows = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    )
+    t.append(rows.filter("doc_id < 50").coalesce(1))
+    t.append(rows.filter("doc_id >= 50").coalesce(1))
+    before = {f["path"] for f in t.snapshot().files}
+
+    t.delete_keys(_ids(spark, [3, 7, 11]), "doc_id", batch_token="d1")
+    after = {f["path"] for f in t.snapshot().files}
+    # the doc_id >= 50 file is out of the deleted-key range: untouched
+    assert any(p in after for p in before)
+    assert t.read().count() == 97 * 3
+    assert t.read().filter("doc_id IN (3, 7, 11)").count() == 0
+    assert t.read(version=2).count() == 300  # time travel intact
+
+    v = t.snapshot().version
+    t.delete_keys(_ids(spark, [3, 7, 11]), "doc_id", batch_token="d1")
+    assert t.snapshot().version == v  # replay: storage no-op
+
+    # empty delete batch: files unchanged, token still recorded
+    t.delete_keys(_ids(spark, []), "doc_id", batch_token="d2")
+    assert "d2" in t.snapshot().batch_tokens
+    assert t.read().count() == 97 * 3
+
+
+# -- inverted index ----------------------------------------------------------
+
+
+def _bm25_rows(idx_df):
+    return [tuple(r) for r in idx_df.collect()]
+
+
+def test_inverted_index_forget_equals_recompute(spark, tmp_dir):
+    """Served BM25 after delete_docs == a fresh index over the
+    surviving docs, row-for-row: df, n_docs, avgdl all shed the
+    forgotten docs — no ghost postings, no idf skew."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+    from event_to_lakehouse_spark.textops import BM25_QUERY
+
+    docs = _docs(spark).select("doc_id", "text")
+    idx = InvertedIndex(spark, f"{tmp_dir}/inv")
+    idx.add_batch(docs, batch_token="all")
+
+    gone = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    idx.delete_docs(gone, batch_token="forget")
+
+    fresh = InvertedIndex(spark, f"{tmp_dir}/fresh")
+    fresh.add_batch(docs.filter(F.col("doc_id") % 7 != 0), batch_token="s")
+
+    assert _bm25_rows(idx.topk(BM25_QUERY)) == _bm25_rows(
+        fresh.topk(BM25_QUERY)
+    )
+    assert idx.doc_count() == fresh.doc_count()
+    # forgotten docs can never be served again
+    served = {r.doc_id for r in idx.topk(BM25_QUERY, k=10**6).collect()}
+    assert not any(d % 7 == 0 for d in served)
+
+    # replayed forget: storage no-op on both tables
+    pv = idx.postings_table.snapshot().version
+    idx.delete_docs(gone, batch_token="forget")
+    assert idx.postings_table.snapshot().version == pv
+
+
+def test_inverted_index_cdc_sync(spark, tmp_dir):
+    """sync_from_changelog folds an apply_changes feed — upserts
+    re-index the NEW text, deletes forget — so the index equals a fresh
+    build over the table's final state."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+    from event_to_lakehouse_spark.textops import BM25_QUERY
+
+    docs = _docs(spark).select(
+        "doc_id", "text", F.lit(1).alias("ver")
+    ).localCheckpoint()
+    t = SnapshotTable(spark, f"{tmp_dir}/docs", stats_col="doc_id")
+    t.append(docs)
+    idx = InvertedIndex(spark, f"{tmp_dir}/inv")
+    idx.add_batch(docs, batch_token="v1")
+    v0 = t.snapshot().version
+
+    changes = docs.filter(F.col("doc_id") % 10 == 1).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" fresh appended tokens")).alias("text"),
+        F.lit(2).alias("ver"),
+        F.lit("U").alias("_op"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 2).select(
+            "doc_id", "text", F.lit(2).alias("ver"), F.lit("D").alias("_op")
+        )
+    )
+    t.apply_changes(changes, key="doc_id", order_col="ver", changelog=True)
+
+    idx.sync_from_changelog(
+        t.change_feed(from_version=v0), batch_token="v2", order_col="ver"
+    )
+
+    fresh = InvertedIndex(spark, f"{tmp_dir}/fresh")
+    fresh.add_batch(t.read().select("doc_id", "text"), batch_token="s")
+    assert _bm25_rows(idx.topk(BM25_QUERY)) == _bm25_rows(
+        fresh.topk(BM25_QUERY)
+    )
+    assert idx.doc_count() == t.read().count()
+
+
+def test_inverted_index_cdc_multi_commit_window(spark, tmp_dir):
+    """A feed window spanning several commits nets per-doc: upserted-
+    then-deleted docs end forgotten (the '-'-beats-'+' tie rule), and
+    twice-upserted docs index only the newest text."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+    from event_to_lakehouse_spark.textops import BM25_QUERY
+
+    docs = _docs(spark).select(
+        "doc_id", "text", F.lit(1).alias("ver")
+    ).filter("doc_id < 60").localCheckpoint()
+    t = SnapshotTable(spark, f"{tmp_dir}/docs", stats_col="doc_id")
+    t.append(docs)
+    idx = InvertedIndex(spark, f"{tmp_dir}/inv")
+    idx.add_batch(docs, batch_token="v1")
+    v0 = t.snapshot().version
+
+    up = lambda cond, ver, suffix: docs.filter(cond).select(  # noqa: E731
+        "doc_id",
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+        F.lit(ver).alias("ver"),
+        F.lit("U").alias("_op"),
+    )
+    # commit 1: docs %10==3 upserted (v2); commit 2: half of those
+    # deleted, the others upserted AGAIN (v3)
+    t.apply_changes(
+        up(F.col("doc_id") % 10 == 3, 2, " gen two"),
+        key="doc_id", order_col="ver", changelog=True,
+    )
+    second = docs.filter(F.col("doc_id") % 20 == 3).select(
+        "doc_id", "text", F.lit(3).alias("ver"), F.lit("D").alias("_op")
+    ).unionByName(up(F.col("doc_id") % 20 == 13, 3, " gen three"))
+    t.apply_changes(second, key="doc_id", order_col="ver", changelog=True)
+
+    idx.sync_from_changelog(
+        t.change_feed(from_version=v0), batch_token="win", order_col="ver"
+    )
+    fresh = InvertedIndex(spark, f"{tmp_dir}/fresh")
+    fresh.add_batch(t.read().select("doc_id", "text"), batch_token="s")
+    assert _bm25_rows(idx.topk(BM25_QUERY)) == _bm25_rows(
+        fresh.topk(BM25_QUERY)
+    )
+    assert idx.doc_count() == t.read().count()
+
+
+# -- near-dup index ----------------------------------------------------------
+
+
+def test_neardup_index_forget_equals_recompute(spark, tmp_dir):
+    """Probing after delete_docs == probing a fresh index built over
+    the surviving docs: forgotten docs never pair again, surviving
+    pairs are all still found."""
+    from event_to_lakehouse_spark.dedup.incremental import NearDupIndex
+
+    docs = _docs(spark)
+    held = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    idx = NearDupIndex(spark, f"{tmp_dir}/nd")
+    idx.index_batch(held, batch_token="held")
+    gone = held.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    idx.delete_docs(gone, batch_token="forget")
+    got = idx.index_batch(batch, batch_token="new")
+
+    fresh = NearDupIndex(spark, f"{tmp_dir}/fresh")
+    fresh.index_batch(
+        held.join(gone, "doc_id", "left_anti"), batch_token="held"
+    )
+    want = fresh.index_batch(batch, batch_token="new")
+
+    key = lambda df: {  # noqa: E731
+        (r.doc_id_a, r.doc_id_b, r.jaccard_est) for r in df.collect()
+    }
+    assert key(got) == key(want)
+    assert idx.doc_count() == fresh.doc_count()
+
+
+# -- exact dedup index -------------------------------------------------------
+
+
+def test_exact_index_forget_and_content_forget(spark, tmp_dir):
+    """delete_docs forgets canonical content (a re-arrival is new
+    unique again — no ghost fingerprint); delete_fps forgets by
+    content. Convergence-by-replay: re-ingesting a surviving copy
+    re-registers it as canonical."""
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+    from event_to_lakehouse_spark.functions.text import fingerprint
+
+    docs = _docs(spark).select("doc_id", "text")
+    held = docs.filter("doc_id < 400")
+    idx = ExactDedupIndex(spark, f"{tmp_dir}/exact")
+    idx.index_batch(held, batch_token="held")
+
+    gone = held.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    idx.delete_docs(gone, batch_token="forget")
+    assert idx._stored().join(gone, "doc_id", "semi").count() == 0
+
+    # a deleted doc's content re-arrives: is_new_unique again
+    reprobe = held.filter(F.col("doc_id") % 9 == 0)
+    out = idx.index_batch(reprobe, batch_token="rearrival")
+    per_doc = {r.doc_id: r for r in out.collect()}
+    # each distinct content's min-id holder is new-unique; none dup a ghost
+    survivors = {r.doc_id for r in idx._stored().collect()}
+    for r in per_doc.values():
+        if r.dup_of is not None:
+            assert r.dup_of in survivors or r.dup_of in per_doc
+
+    # content-level forget
+    fps = held.filter("doc_id < 5").select(fingerprint("text").alias("fp"))
+    before = idx.doc_count()
+    idx.delete_fps(fps, batch_token="content-forget")
+    assert idx.doc_count() < before
+
+
+# -- IVFPQ index -------------------------------------------------------------
+
+
+def test_ivfpq_index_forget_equals_recompute(spark, tmp_dir):
+    """Served topk after delete_vecs == a fresh index (same pinned
+    quantizers — training is membership-independent) that never held
+    the deleted vectors: no cell probe, shortlist, or re-rank can
+    surface them."""
+    from event_to_lakehouse_spark.similarity.ivfpq import IVFPQIndex
+    from event_to_lakehouse_spark.similarity.pq import PQ_NQ
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < PQ_NQ)
+
+    idx = IVFPQIndex.build(spark, f"{tmp_dir}/ivfpq", train=emb)
+    idx.add_batch(emb, batch_token="all")
+    gone = emb.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= PQ_NQ)
+    ).select("vec_id")
+    idx.delete_vecs(gone, batch_token="forget")
+
+    fresh = IVFPQIndex.build(spark, f"{tmp_dir}/fresh", train=emb)
+    fresh.add_batch(
+        emb.join(gone, "vec_id", "left_anti"), batch_token="s"
+    )
+    surviving = emb.join(gone, "vec_id", "left_anti")
+    got = [tuple(r) for r in idx.topk(surviving, queries).orderBy("query_id", "rank").collect()]
+    want = [tuple(r) for r in fresh.topk(surviving, queries).orderBy("query_id", "rank").collect()]
+    assert got == want
+    assert idx.vec_count() == fresh.vec_count()
+    deleted = {r.vec_id for r in gone.collect()}
+    assert not deleted & {t[2] for t in got}  # (query_id, rank, vec_id, ...)
+
+
+# -- bloom: rebuild-on-delete -------------------------------------------------
+
+
+def test_bloom_rebuild_from_survivors(spark, tmp_dir):
+    """The Bloom delete path is a rebuild: the new bitmap equals one
+    build over the surviving keys bit-for-bit (deleted keys' private
+    bits are gone), and the no-false-negative contract holds for every
+    survivor."""
+    from event_to_lakehouse_spark.dedup.bloom import (
+        BloomIndex,
+        bloom_bits,
+        build_bloom,
+    )
+
+    keys = spark.range(0, 300).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("fp"), "id"
+    ).localCheckpoint()
+    m = bloom_bits(300)
+    idx = BloomIndex(spark, f"{tmp_dir}/bf", m_bits=m)
+    idx.add_batch(keys.select("fp"), "fp", batch_token="all")
+
+    survivors = keys.filter("id % 3 != 0").select("fp").localCheckpoint()
+    idx.rebuild_from(survivors, "fp", batch_token="rebuild")
+
+    want = {
+        (r.word_idx, r.word)
+        for r in build_bloom(survivors, "fp", m, idx.k).collect()
+    }
+    got = {(r.word_idx, r.word) for r in idx._stored().collect()}
+    assert got == want
+    # no false negatives for survivors
+    probed = idx.probe(survivors, "fp")
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
