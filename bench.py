@@ -296,24 +296,136 @@ def _tree_cpu_sec() -> float:
     return total + sum(procs[p][1] for p in desc) / tick
 
 
+def _phased(spark, sf_dir: str):
+    """BUILD/SERVE split for the index-persisted entries (VERDICT r10
+    #4 / r11 #2): their registry entries deliberately run the whole
+    lifecycle under one oracle (train + index + serve), which is the
+    right CORRECTNESS gate but conflates one-time index-build cost
+    with steady-state serving cost — at 100× the build would dominate
+    the wall number while production pays it once per corpus, not per
+    query. The bench therefore times the two phases separately.
+
+    The wrappers call only index APIs that exist on BOTH A/B sides
+    (IVFPQIndex.build/add_batch/topk, InvertedIndex.add_batch/topk)
+    and import through ``PKG`` AFTER ``_load_queries`` has swapped the
+    side in, so the split A/Bs genuinely — same machine state, each
+    side's own code for both phases. Mirrors the registered entries'
+    exact steps (two-batch indexing, same pinned queries).
+
+    Returns {entry_name: (build_fn, serve_fn)} — ``build_fn`` runs the
+    eager index construction (SnapshotTable commits execute on call),
+    ``serve_fn`` returns the query DataFrame for the timed noop write."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tables = importlib.import_module(f"{PKG}.tables")
+    specs = {}
+
+    def _ivfpq():
+        ivfpq = importlib.import_module(f"{PKG}.similarity.ivfpq")
+        pq = importlib.import_module(f"{PKG}.similarity.pq")
+        emb = tables.load_tables(spark, sf_dir)["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        state = {}
+
+        def build():
+            idx = ivfpq.IVFPQIndex.build(
+                spark,
+                tempfile.mkdtemp(prefix="bench_ivfpq_"),
+                train=emb,
+                train_iters=getattr(pq, "PQ_TRAIN_ITERS", 0),
+                coarse_iters=getattr(ivfpq, "COARSE_TRAIN_ITERS", 0),
+            )
+            idx.add_batch(
+                emb.filter(F.col("vec_id") % 2 == 0), batch_token="even"
+            )
+            idx.add_batch(
+                emb.filter(F.col("vec_id") % 2 == 1), batch_token="odd"
+            )
+            state["idx"] = idx
+
+        def serve():
+            return state["idx"].topk(
+                emb, emb.filter(F.col("vec_id") < pq.PQ_NQ)
+            ).orderBy("query_id", "rank")
+
+        return build, serve
+
+    def _bm25():
+        ti = importlib.import_module(f"{PKG}.textindex")
+        docs = tables.load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "text"
+        )
+        state = {}
+
+        def build():
+            idx = ti.InvertedIndex(
+                spark, tempfile.mkdtemp(prefix="bench_inv_")
+            )
+            idx.add_batch(
+                docs.filter(F.col("doc_id") % 2 == 0), batch_token="even"
+            )
+            idx.add_batch(
+                docs.filter(F.col("doc_id") % 2 == 1), batch_token="odd"
+            )
+            state["idx"] = idx
+
+        def serve():
+            return state["idx"].topk(ti.BM25_QUERY)
+
+        return build, serve
+
+    try:
+        specs["ann_ivfpq_index_persisted"] = _ivfpq()
+    except Exception:
+        pass  # side lacks the API (older baseline): whole-entry timing
+    try:
+        specs["text_bm25_index_persisted"] = _bm25()
+    except Exception:
+        pass
+    return specs
+
+
 def _run_pass(
     spark,
     qs,
     sf_dir: str,
     acc: dict[str, list[float]],
     acc_cpu: dict[str, list[float]],
+    acc_phase: dict[str, dict[str, list[float]]] | None = None,
 ) -> float:
     """One timed pass over HEADLINE; returns the summed timed seconds.
     A fresh engine import has an empty table/plan cache, so the pass
     first replays q1 untimed to repay the per-import parquet-listing
     cost once, outside the timings. Each query records wall seconds
-    AND process-tree CPU seconds (see ``_tree_cpu_sec``)."""
+    AND process-tree CPU seconds (see ``_tree_cpu_sec``). Entries in
+    ``_phased`` record build/serve wall separately (their ``acc`` value
+    stays the SUM, so totals remain round-over-round comparable)."""
     first = qs.get(HEADLINE[0]) or next(iter(qs.values()))
     first(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    phased = _phased(spark, sf_dir) if acc_phase is not None else {}
     total = 0.0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:  # query absent on this side (renamed/new)
+            continue
+        if name in phased:
+            build, serve = phased[name]
+            c0 = _tree_cpu_sec()
+            t0 = time.time()
+            build()
+            t1 = time.time()
+            serve().write.format("noop").mode("overwrite").save()
+            t2 = time.time()
+            ph = acc_phase.setdefault(name, {})
+            ph.setdefault("build", []).append(t1 - t0)
+            ph.setdefault("serve", []).append(t2 - t1)
+            dt = t2 - t0
+            acc.setdefault(name, []).append(dt)
+            acc_cpu.setdefault(name, []).append(_tree_cpu_sec() - c0)
+            total += dt
             continue
         c0 = _tree_cpu_sec()
         t0 = time.time()
@@ -357,6 +469,8 @@ def main() -> None:
     b_times: dict[str, list[float]] = {}
     a_cpu: dict[str, list[float]] = {}
     b_cpu: dict[str, list[float]] = {}
+    a_phase: dict[str, dict[str, list[float]]] = {}
+    b_phase: dict[str, dict[str, list[float]]] = {}
     totals: list[float] = []
     for run in range(n_runs):
         # Alternate pass order (A,B then B,A) so neither side
@@ -368,11 +482,13 @@ def main() -> None:
                     continue
                 # A-pass: previous round's code, same session, same minute.
                 a_qs = _load_queries(baseline[1])
-                _run_pass(spark, a_qs, sf_dir, a_times, a_cpu)
+                _run_pass(spark, a_qs, sf_dir, a_times, a_cpu, a_phase)
             else:
                 # B-pass: current code — these are the headline numbers.
                 cur_qs = _load_queries(REPO)
-                totals.append(_run_pass(spark, cur_qs, sf_dir, b_times, b_cpu))
+                totals.append(
+                    _run_pass(spark, cur_qs, sf_dir, b_times, b_cpu, b_phase)
+                )
 
     # EMISSION CONTRACT (VERDICT r5 #1): the driver records only the
     # LAST ~2 KB of stdout, and r5's single output line (48 query means
@@ -397,6 +513,30 @@ def main() -> None:
     detail["queries_cpu_full"] = {
         n: [round(x, 4) for x in v] for n, v in b_cpu.items()
     }
+    # Build/serve split for the index-persisted entries (VERDICT r11
+    # #2): "phases" carries per-phase medians for both sides plus the
+    # serve-only A/B ratio — the steady-state serving number the weak
+    # flag should be judged on; build cost is one-time per corpus.
+    phases: dict[str, dict] = {}
+    for name, ph in b_phase.items():
+        row = {
+            "build": round(statistics.median(ph["build"]), 3),
+            "serve": round(statistics.median(ph["serve"]), 3),
+        }
+        aph = a_phase.get(name)
+        if aph:
+            a_build = statistics.median(aph["build"])
+            a_serve = statistics.median(aph["serve"])
+            row["a_build"] = round(a_build, 3)
+            row["a_serve"] = round(a_serve, 3)
+            if a_serve > 0:
+                row["serve_ratio"] = round(row["serve"] / a_serve, 3)
+            if a_build > 0:
+                row["build_ratio"] = round(row["build"] / a_build, 3)
+        phases[name] = row
+    if phases:
+        detail["phases"] = phases
+        out["phases"] = phases
     if baseline is not None and a_times:
         ab = {}
         for name, bt in b_times.items():
