@@ -166,6 +166,121 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lv0.unionByName(lv1).unionByName(lv2).orderBy("level")
 
 
+def _k_anonymize_sql() -> str:
+    """The TRANSFORM twin of the k-anonymity gauge: replay the ladder,
+    pick the first level whose min group size clears K_ANON (coarsest
+    if none does), emit that level's generalized rows with residual
+    below-k groups SUPPRESSED. Pick, generalization, and suppression
+    all happen in SQL, so the released table is hash-verified."""
+    def lvl(alias: str, lv: int) -> str:
+        _, qi, src = _QI_SQL[lv]
+        return (
+            f"{alias} AS (SELECT CAST({qi[0]} AS BIGINT) AS qi1, "
+            f"{qi[1]} AS qi2, CAST({qi[2]} AS BIGINT) AS qi3 FROM {src})"
+        )
+
+    def mk(lv: int) -> str:
+        return (
+            f"SELECT {lv} AS level, (SELECT min(sz) FROM ("
+            f"SELECT count(*) AS sz FROM l{lv} GROUP BY qi1, qi2, qi3"
+            f")) AS min_k"
+        )
+
+    return f"""
+    WITH {lvl("l0", 0)},
+    {lvl("l1", 1)},
+    {lvl("l2", 2)},
+    mk AS ({mk(0)} UNION ALL {mk(1)} UNION ALL {mk(2)}),
+    pick AS (
+      SELECT coalesce(min(level) FILTER (WHERE min_k >= {K_ANON}), 2) AS lv
+      FROM mk
+    ),
+    uni AS (
+      SELECT * FROM l0 WHERE 0 = (SELECT lv FROM pick)
+      UNION ALL SELECT * FROM l1 WHERE 1 = (SELECT lv FROM pick)
+      UNION ALL SELECT * FROM l2 WHERE 2 = (SELECT lv FROM pick)
+    ),
+    sz AS (SELECT qi1, qi2, qi3, count(*) AS sz FROM uni
+           GROUP BY qi1, qi2, qi3)
+    SELECT u.qi1, u.qi2, u.qi3,
+           CAST((SELECT lv FROM pick) AS INTEGER) AS level
+    FROM uni u
+    JOIN sz s ON u.qi1 = s.qi1 AND u.qi2 = s.qi2 AND u.qi3 = s.qi3
+    WHERE s.sz >= {K_ANON}
+    ORDER BY u.qi1, u.qi2, u.qi3
+    """
+
+
+@query("privacy_k_anonymize", _k_anonymize_sql())
+def privacy_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anonymization TRANSFORM (VERDICT r11 #5 — the gauge finally
+    acts): walk the same generalization ladder ``privacy_k_anonymity``
+    audits, pick the FIRST level whose min group size clears
+    ``K_ANON`` (coarsest level if none does — the release-gate rule
+    from the gauge's docstring), project every customer row to that
+    level's generalized QI tuple, and SUPPRESS residual below-k groups
+    (a no-op when the ladder cleared; the real safety valve when even
+    the coarsest cut leaves singleton groups, which happens at small
+    SFs). Output is the releasable table: (qi1, qi2, qi3, level), one
+    row per surviving customer.
+
+    Scale shape: each ladder probe is one map-side-partial groupBy of
+    the dimension; the pick is a driver-side decision over ≤3
+    metadata rows; suppression is a SEMI join against the
+    QI-cardinality group-key set (broadcast — bounded by the
+    generalization, never by the data). `test_audit_gauges` pins
+    min-group-size ≥ K_ANON and pick == the gauge's pick."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    with_region = cust.join(
+        F.broadcast(t["nation"].select("n_nationkey", "n_regionkey")),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    )
+    frames = [
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("qi1"),
+            F.col("c_mktsegment").alias("qi2"),
+            F.floor(F.col("c_acctbal") / 100).cast("long").alias("qi3"),
+        ),
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("qi1"),
+            F.col("c_mktsegment").alias("qi2"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("qi3"),
+        ),
+        with_region.select(
+            F.col("n_regionkey").cast("long").alias("qi1"),
+            F.col("c_mktsegment").alias("qi2"),
+            F.when(F.col("c_acctbal") < 0, 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("qi3"),
+        ),
+    ]
+    pick = len(frames) - 1
+    for lv, frame in enumerate(frames):
+        min_k = (
+            frame.groupBy("qi1", "qi2", "qi3")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(F.min("sz").alias("m"))
+            .first()["m"]
+        )
+        if min_k is not None and min_k >= K_ANON:
+            pick = lv
+            break
+    chosen = frames[pick]
+    keep = (
+        chosen.groupBy("qi1", "qi2", "qi3")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") >= K_ANON)
+        .select("qi1", "qi2", "qi3")
+    )
+    return (
+        chosen.join(F.broadcast(keep), ["qi1", "qi2", "qi3"], "semi")
+        .withColumn("level", F.lit(pick))
+        .orderBy("qi1", "qi2", "qi3")
+    )
+
+
 # --- optimizer statistics + join-strategy advisor ---------------------------
 
 # (join_name, left table, left key, right table, right key). Keys are

@@ -239,3 +239,33 @@ def test_t_closeness_hand_computed_and_bounded(spark):
         assert 0 <= r.max_t_bp <= 10000
         assert 0 <= r.rows_above_bp <= 10000
         assert r.groups_above_t <= r.groups
+
+
+def test_k_anonymize_transform_matches_gauge_pick(spark):
+    """The anonymization TRANSFORM (VERDICT r11 #5): every released
+    group has size >= K_ANON (the whole point), the stamped level
+    equals the gauge's release-gate pick (first level with min_k >=
+    K_ANON, coarsest if none clears), and suppression — not
+    generalization alone — is what guarantees the bound when the
+    ladder doesn't clear."""
+    from event_to_lakehouse_spark.operators.audit import privacy_k_anonymize
+
+    out = privacy_k_anonymize(spark, SF_DIR)
+    sizes = out.groupBy("qi1", "qi2", "qi3").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    assert sizes.filter(F.col("sz") < K_ANON).count() == 0
+
+    gauge = privacy_k_anonymity(spark, SF_DIR).collect()
+    cleared = [r["level"] for r in gauge if r["min_k"] >= K_ANON]
+    expected_pick = min(cleared) if cleared else max(r["level"] for r in gauge)
+    assert out.select("level").distinct().collect()[0]["level"] == expected_pick
+
+    # suppression accounting: released rows == customers minus the
+    # picked level's below-k mass (the gauge's rows_below_k at that
+    # level when the coarsest level was picked without clearing)
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    suppressed = next(
+        r["rows_below_k"] for r in gauge if r["level"] == expected_pick
+    )
+    assert out.count() == n_cust - suppressed
