@@ -186,6 +186,18 @@ HEADLINE = [
     "ann_ivfpq_residual_topk",  # r11: residual-encoding IVFADC
     "ann_ivfpq_residual_trained_topk",  # r11: + Lloyd on residuals
     "stats_bootstrap_ci",  # r11: hash-resampled bootstrap CI
+    # r12 additions (absent on the A side of the first A/B round that
+    # includes them; value_shared keeps totals comparable):
+    "text_bm25_index_forget",  # r12: COW key-delete + post-forget serve
+    "text_bm25_index_cdc_sync",  # r12: apply_changes feed -> index fold
+    "dedup_neardup_forget",  # r12: LSH band/sig delete + probe
+    "ops_cbo_advised_join",  # r12: catalog-advised hinted join, executed
+    "privacy_k_anonymize",  # r12: ladder pick + generalize + suppress
+    # retrieval_hybrid_index_persisted stays registry-only in the
+    # bench: it re-runs the two index builds the phased entries above
+    # already time (ann_ivfpq_index_persisted build ~7s of it), so a
+    # wall seat would double-count build cost the "phases" block now
+    # separates; its serve-side cost IS the two serves + a k-row fuse.
 ]
 
 PKG = "event_to_lakehouse_spark"

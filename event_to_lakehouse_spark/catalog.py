@@ -168,7 +168,24 @@ FINAL_CATALOG: list[str] = [
     #   join_cross_region_pairs -> join_basket_copurchase (the only
     #        dim×dim cross stays pytest+parity)
     #   join_semi_anti -> q21 (semi+anti on facts, co-partitioned)
-    "events_heavyhitters_cm",
+    # r12 swap: graph_khop_reach in, events_heavyhitters_cm retired
+    # (multi-sibling containment: the CM sketch build — posexplode of
+    # k seeded hashes -> (row, col) cell groupBy partial agg — is the
+    # IDENTICAL shape of the seated dedup_bloom_prefilter's bitmap
+    # build (posexplode seeded hashes -> word groupBy -> bit_or), its
+    # broadcast-sketch probe mirrors the same seat's broadcast bitwise
+    # membership probe, the per-key min-over-rows estimate is the
+    # struct-min partial-agg pattern the seated ann_pq_trained_adc_topk
+    # runs every iteration, and the heavy-hitter window top-k stays
+    # driver-certified through window_analytics' ranking suite. The
+    # retired entry stays registry+pytest+oracle-green. The promoted
+    # entry brings the one plan family NO seat exercises (VERDICT r11
+    # #6): iterative FRONTIER-RELAXATION BFS — per-round frontier ⋈
+    # edges expansion with a distance-min fold into the reach table,
+    # edges never reshuffled across rounds, every round value-checked
+    # by the chained-CTE oracle — the graph-traversal backbone under
+    # the k-hop/connected-reach analytics tier.)
+    "graph_khop_reach",
     "agg_quantile_histogram",
     "join_asof_forward_tolerance",
     "text_repetition_filter",
@@ -243,7 +260,19 @@ FINAL_CATALOG: list[str] = [
     # driver-certified via graph_label_propagation's per-node argmax
     # and window_analytics' ranking suite; the retired entry stays
     # registry+pytest+oracle-green.)
-    "text_bm25_index_persisted",
+    # r12 swap: retrieval_hybrid_index_persisted in,
+    # text_bm25_index_persisted retired (STRICT containment — the
+    # hybrid entry CALLS the identical InvertedIndex code path the
+    # retired seat ran: same two-batch tokenized build on two
+    # SnapshotTables, same term-pushdown pruned posting scan, same
+    # broadcast-df + broadcast-stats BM25 scoring — then ADDS what no
+    # seat certified: the trained durable IVFPQ serve composed in the
+    # SAME entry and the rank-only RRF fusion (full-outer join of two
+    # k-row lists + integer reciprocal-rank arithmetic), i.e. the
+    # production hybrid-retrieval topology end-to-end from stored
+    # artifacts. The retired entry stays registry+pytest+oracle-green,
+    # and its oracle is literally a CTE of the promoted entry's.)
+    "retrieval_hybrid_index_persisted",
     # --- r6 swap-ins: the graph/linkage/statistics tier gets driver
     # seats (VERDICT r5 #4 — the gate's value is highest on the
     # iterative chained-CTE oracles none of which were driver-certified

@@ -208,6 +208,10 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
         # r10 seat swaps — same intended patterns:
         "ann_ivfpq_index_persisted",  # corpus × broadcast centroid set (assignment)
         "text_bm25_index_persisted",  # postings × broadcast 1-row corpus stats
+        # r12 seat swap — the hybrid entry composes BOTH allowlisted
+        # seats above, so it inherits exactly their intended
+        # broadcast-NL sites (centroid assignment + 1-row BM25 stats):
+        "retrieval_hybrid_index_persisted",
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():
