@@ -1,1 +1,1 @@
-from . import advanced, audit, events, graph, insights, layout, profiling, relational, sketches, skew, stats, tpch_full  # noqa: F401
+from . import advanced, audit, events, features, graph, insights, layout, profiling, relational, sketches, skew, stats, tpch_full  # noqa: F401

@@ -935,3 +935,82 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_regionkey", "b"], 2, _TCLOSE_QI[2][0],
     )
     return lv0.unionByName(lv1).unionByName(lv2).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Differential privacy: seeded-Laplace noisy count release
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # per-release budget; count sensitivity is 1
+DP_SEED = "dp-release-1"  # release identifier -> reproducible noise draw
+_DP_U_BITS = 16_777_216  # 2^24 uniform grid
+
+
+def _dp_u_spark(key: str) -> str:
+    from ..functions.hashing import hash60_spark
+
+    h = hash60_spark(f"concat('{DP_SEED}:', {key})")
+    return f"(CAST({h} % {_DP_U_BITS} AS DOUBLE) + 0.5) / {_DP_U_BITS}.0"
+
+
+def _dp_u_duck(key: str) -> str:
+    from ..functions.hashing import hash60_duck
+
+    h = hash60_duck(f"'{DP_SEED}:' || {key}")
+    return f"(CAST({h} % {_DP_U_BITS} AS DOUBLE) + 0.5) / {_DP_U_BITS}.0"
+
+
+def _dp_oracle() -> str:
+    u = _dp_u_duck("event_type")
+    lap = (
+        f"-(1.0 / {DP_EPSILON}) * (CASE WHEN ({u}) >= 0.5 THEN 1.0 ELSE -1.0 END)"
+        f" * ln(1.0 - 2.0 * abs(({u}) - 0.5))"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           round(greatest(0.0, CAST(n AS DOUBLE) + ({lap})), 4)
+             AS noisy_count,
+           {DP_EPSILON} AS epsilon
+    FROM counts
+    """
+
+
+@query("privacy_dp_noisy_counts", _dp_oracle())
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epsilon-DP noisy histogram release of event counts by type —
+    the Laplace mechanism (Dwork et al. 2006): count queries have
+    sensitivity 1, so adding Laplace(1/eps) noise to each cell gives
+    an eps-DP release; negative results clamp to 0 post-noise
+    (post-processing preserves DP).
+
+    The noise draw is a SEEDED inverse-CDF transform — u = (h+0.5)/2^24
+    from the portable 60-bit hash of (release-seed, key), then
+    Laplace⁻¹(u) = -(1/eps)·sign(u-1/2)·ln(1-2|u-1/2|) — so the release
+    is reproducible (same seed ⇒ same table, the property an audited
+    publication pipeline needs) and DuckDB certifies every noisy cell
+    bit-identically. A production rotation would swap DP_SEED per
+    release. Offset +0.5 keeps u strictly inside (0,1): ln(0) is
+    unreachable, and u=0.5 (noise exactly 0) is well-defined. Shape:
+    one scan, one key-cardinality agg, map-side-computable noise — the
+    same cost as the raw histogram at any scale."""
+    e = load_tables(spark, sf_dir)["events"]
+    counts = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = F.expr(_dp_u_spark("event_type"))
+    lap = (
+        -(1.0 / DP_EPSILON)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "event_type",
+        F.round(
+            F.greatest(F.lit(0.0), F.col("n").cast("double") + lap), 4
+        ).alias("noisy_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )

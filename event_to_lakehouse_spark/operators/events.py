@@ -1431,3 +1431,115 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing: recursive state as a higher-order fold
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3  # level smoothing
+HOLT_BETA = 0.1  # trend smoothing
+HOLT_H = 7  # forecast horizon (days)
+
+
+def _holt_oracle() -> str:
+    a, b1, h = HOLT_ALPHA, HOLT_BETA, HOLT_H
+    lnew = f"CAST({a} AS DOUBLE) * i.x + CAST({1 - a} AS DOUBLE) * (r.l + r.b)"
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ),
+    holt AS (
+        SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.event_type, i.rn,
+               {lnew},
+               CAST({b1} AS DOUBLE) * (({lnew}) - r.l)
+                 + CAST({1 - b1} AS DOUBLE) * r.b
+        FROM holt r JOIN idx i
+          ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    ),
+    last AS (
+        SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days
+        FROM idx GROUP BY event_type
+    )
+    SELECT h.event_type, last.n_days,
+           round(h.l, 4) AS level,
+           round(h.b, 4) AS trend,
+           round(h.l + {h} * h.b, 4) AS forecast_{h}d
+    FROM holt h JOIN last ON h.event_type = last.event_type
+    WHERE h.rn = last.n_days
+    """
+
+
+@query("ts_holt_linear_forecast", _holt_oracle())
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of the per-type daily count
+    series, plus the h-step linear forecast — the capacity-planning
+    baseline one notch above ``events_ewma_smooth`` (which has no
+    trend term).
+
+    Recursion: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}); b_t =
+    β(l_t−l_{t−1}) + (1−β)b_{t−1}, initialized l₁=x₁, b₁=0 (stated
+    convention — both engines implement exactly this). Spark expresses
+    the per-series recursion as a JVM-side higher-order fold:
+    sort_array(collect_list(struct(day,x))) per type, then
+    ``aggregate()`` threads a (level, trend) struct through the
+    sequence — whole-stage-codegen arithmetic, no Python, state is two
+    doubles per series. The oracle replays the identical expression
+    tree through a recursive CTE, and the inputs are exact integer
+    daily counts, so every intermediate double matches bitwise.
+
+    Scale: series cardinality = event types, series length =
+    calendar days — both tiny next to the corpus. The one scan
+    aggregates to (type, day) with map-side partials; the collected
+    array per type is days-long (decades ≈ 10⁴ doubles), safely
+    in-executor. A million-series version (per user) shards the same
+    plan by series key — the fold is per-group and never shuffles
+    data wider than the daily aggregate."""
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(d, x))), s -> s.x)"
+        ).alias("xs")
+    )
+    a, b1 = HOLT_ALPHA, HOLT_BETA
+    lnew = (
+        f"CAST({a} AS DOUBLE) * x + CAST({1 - a} AS DOUBLE) * (acc.l + acc.b)"
+    )
+    fold = f"""
+    aggregate(
+        slice(xs, 2, size(xs) - 1),
+        named_struct('l', CAST(element_at(xs, 1) AS DOUBLE),
+                     'b', CAST(0.0 AS DOUBLE)),
+        (acc, x) -> named_struct(
+            'l', {lnew},
+            'b', CAST({b1} AS DOUBLE) * (({lnew}) - acc.l)
+                   + CAST({1 - b1} AS DOUBLE) * acc.b),
+        acc -> acc
+    )
+    """
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.expr(fold).alias("st"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.col("st.l") + HOLT_H * F.col("st.b"), 4).alias(
+            f"forecast_{HOLT_H}d"
+        ),
+    )

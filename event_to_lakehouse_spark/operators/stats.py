@@ -1361,3 +1361,226 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return obs.crossJoin(ends)
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H: the k-group generalization of Mann-Whitney
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_kruskal_wallis",
+    """
+    WITH pooled AS (
+        SELECT event_type, value, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (ORDER BY value, event_id) AS rn
+        FROM pooled
+    ),
+    tied AS (
+        SELECT event_type,
+               (CAST(min(rn) OVER (PARTITION BY value) AS DOUBLE)
+                + CAST(max(rn) OVER (PARTITION BY value) AS DOUBLE)) / 2.0
+                 AS avg_rank
+        FROM ranked
+    ),
+    grp AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n_g,
+               sum(avg_rank) AS r_g
+        FROM tied GROUP BY event_type
+    ),
+    gtot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS k_groups,
+               sum(r_g * r_g / n_g) AS s
+        FROM grp
+    ),
+    ties AS (
+        SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie_sum
+        FROM (SELECT CAST(count(*) AS DOUBLE) AS t
+              FROM pooled GROUP BY value) g
+        WHERE t > 1
+    )
+    SELECT n_total, k_groups,
+           round(12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1)) * s
+                 - 3.0 * (n_total + 1), 4) AS h_stat,
+           round((12.0 / (CAST(n_total AS DOUBLE) * (n_total + 1)) * s
+                  - 3.0 * (n_total + 1))
+                 / (1.0 - coalesce(tie_sum, 0.0)
+                    / (CAST(n_total AS DOUBLE) * n_total * n_total
+                       - n_total)), 4) AS h_adj
+    FROM gtot, ties
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' value distributions —
+    the k-group nonparametric ANOVA (Mann-Whitney's big sibling; same
+    metrics pipelines, more than two variants).
+
+    Rank construction reuses the exact-rank trick from
+    ``stats_mannwhitney_value``: row_number over (value, event_id) is
+    deterministic, tie blocks hold consecutive row numbers, so the
+    tie-averaged rank (min+max)/2 is an exact multiple of 0.5 and
+    every group rank-sum is exact FP addition. H = 12/(N(N+1)) ·
+    Σ R_g²/n_g − 3(N+1); the tie-corrected H divides by
+    1 − Σ(t³−t)/(N³−N) with t the tie-group sizes (both sides compute
+    the same fixed expression tree). Shape: one scan, one global rank
+    sort, a k-cardinality group agg, plus a value-cardinality tie agg
+    folded in as a scalar broadcast — at 100 TB the exact rank swaps
+    for a quantile-sketch rank, same downstream formula."""
+    e = load_tables(spark, sf_dir)["events"]
+    pooled = e.filter(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    ranked = pooled.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
+    )
+    wv = Window.partitionBy("value")
+    tied = ranked.select(
+        "event_type",
+        (
+            (
+                F.min("rn").over(wv).cast("double")
+                + F.max("rn").over(wv).cast("double")
+            )
+            / 2.0
+        ).alias("avg_rank"),
+    )
+    grp = tied.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        F.sum("avg_rank").alias("r_g"),
+    )
+    gtot = grp.agg(
+        F.sum("n_g").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("s"),
+    )
+    ties = (
+        pooled.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum")
+        )
+    )
+    j = gtot.crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = 12.0 / (n * (n + 1)) * F.col("s") - 3.0 * (n + 1)
+    corr = 1.0 - F.coalesce(F.col("tie_sum"), F.lit(0.0)) / (
+        n * n * n - n
+    )
+    return j.select(
+        "n_total",
+        "k_groups",
+        F.round(h, 4).alias("h_stat"),
+        F.round(h / corr, 4).alias("h_adj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b over the monthly revenue/volume series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_kendall_tau_monthly",
+    """
+    WITH monthly AS (
+        SELECT date_trunc('month', l_shipdate) AS m,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS y
+        FROM lineitem GROUP BY 1
+    ),
+    pairs AS (
+        SELECT (a.x - b.x) * (a.y - b.y) AS prod,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(count(*) FILTER (prod > 0) AS BIGINT) AS n_c,
+               CAST(count(*) FILTER (prod < 0) AS BIGINT) AS n_d,
+               CAST(sum(tx) AS BIGINT) AS n_tx,
+               CAST(sum(ty) AS BIGINT) AS n_ty
+        FROM pairs
+    ),
+    nper AS (SELECT CAST(count(*) AS BIGINT) AS n_periods FROM monthly)
+    SELECT n_periods, n0 AS n_pairs, n_c AS n_concordant, n_d AS n_discordant,
+           round((CAST(n_c AS DOUBLE) - n_d)
+                 / sqrt(CAST(n0 - n_tx AS DOUBLE) * (n0 - n_ty)), 4) AS tau_b
+    FROM agg, nper
+    """,
+)
+def stats_kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between monthly line-item volume
+    and monthly revenue — the outlier-robust trend-agreement gauge
+    (Spearman's sibling, preferred when the series is short and ties
+    matter).
+
+    EXACT by construction: the two series are integers (a row count
+    and a per-row-rounded integer-cents revenue sum), so concordance
+    products, tie flags, and the pair counts are integer arithmetic —
+    no FP ordering anywhere until the final tau division. tau_b =
+    (C − D) / √((n₀−t_x)(n₀−t_y)) with n₀ = n(n−1)/2 and t_x/t_y the
+    tied-pair counts. Shape: the fact table aggregates to ~n months
+    FIRST (one scan, month-cardinality shuffle); the O(n²) pair-up
+    then runs on the aggregated frame via a broadcast non-equi
+    self-join — n months is calendar-bounded (~1200 pairs per century
+    of data), so the quadratic stage is constant-size at any corpus
+    scale."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    monthly = li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("m")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    a = monthly.select(
+        F.col("m").alias("am"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = monthly.select(
+        F.col("m").alias("bm"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    pairs = a.join(F.broadcast(b), F.col("am") < F.col("bm")).select(
+        ((F.col("ax") - F.col("bx")) * (F.col("ay") - F.col("by"))).alias(
+            "prod"
+        ),
+        F.when(F.col("ax") == F.col("bx"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("ay") == F.col("by"), 1).otherwise(0).alias("ty"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.count(F.when(F.col("prod") > 0, 1)).cast("long").alias("n_c"),
+        F.count(F.when(F.col("prod") < 0, 1)).cast("long").alias("n_d"),
+        F.sum("tx").cast("long").alias("n_tx"),
+        F.sum("ty").cast("long").alias("n_ty"),
+    )
+    nper = monthly.agg(F.count(F.lit(1)).cast("long").alias("n_periods"))
+    return agg.crossJoin(F.broadcast(nper)).select(
+        "n_periods",
+        F.col("n0").alias("n_pairs"),
+        F.col("n_c").alias("n_concordant"),
+        F.col("n_d").alias("n_discordant"),
+        F.round(
+            (F.col("n_c").cast("double") - F.col("n_d"))
+            / F.sqrt(
+                (F.col("n0") - F.col("n_tx")).cast("double")
+                * (F.col("n0") - F.col("n_ty"))
+            ),
+            4,
+        ).alias("tau_b"),
+    )

@@ -1,0 +1,222 @@
+"""Independent third-implementation pins for the r12 feature/stat
+entries (ml_*, privacy_dp_noisy_counts, stats_kruskal_wallis,
+stats_kendall_tau_monthly, ts_holt_linear_forecast).
+
+The DuckDB oracles certify Spark↔SQL parity; these tests recompute
+each result a THIRD way — plain pandas/hashlib, no SQL engine — so an
+error shared by both SQL formulations (a wrong formula transcribed
+twice) still gets caught.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+TE_THRESHOLD = 250_000.0
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    import __spark_entry__  # noqa: F401  (populates the registry)
+    from event_to_lakehouse_spark.operators.relational import QUERIES
+
+    return QUERIES
+
+
+@pytest.fixture(scope="module")
+def orders_cust():
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = (j["o_totalprice"] > TE_THRESHOLD).astype(int)
+    return j
+
+
+def test_target_encoding_matches_pandas(spark, qs, orders_cust):
+    got = (
+        qs["ml_target_encoding"](spark, SF)
+        .toPandas()
+        .set_index("c_nationkey")
+        .sort_index()
+    )
+    j = orders_cust
+    prior = j["y"].mean()
+    fit = j.groupby("c_mktsegment")["y"].agg(["sum", "count"])
+    enc = (fit["sum"] + 20.0 * prior) / (fit["count"] + 20.0)
+    j = j.assign(enc=j["c_mktsegment"].map(enc))
+    exp = j.groupby("c_nationkey").agg(
+        n_orders=("y", "size"),
+        avg_target_enc=("enc", "mean"),
+        raw_rate=("y", "mean"),
+    )
+    assert (got["n_orders"] == exp["n_orders"]).all()
+    assert (got["avg_target_enc"] - exp["avg_target_enc"]).abs().max() < 1e-4
+    assert (got["raw_rate"] - exp["raw_rate"]).abs().max() < 1e-4
+    # m-estimate shrink: every category encoding sits between its raw
+    # rate and the global prior (strictly inside when they differ)
+    for seg, e in enc.items():
+        raw = fit.loc[seg, "sum"] / fit.loc[seg, "count"]
+        lo, hi = min(raw, prior), max(raw, prior)
+        assert lo - 1e-12 <= e <= hi + 1e-12
+
+
+def test_woe_iv_matches_pandas(spark, qs, orders_cust):
+    import numpy as np
+
+    got = (
+        qs["ml_woe_iv"](spark, SF)
+        .toPandas()
+        .set_index("c_mktsegment")
+        .sort_index()
+    )
+    j = orders_cust
+    cat = j.groupby("c_mktsegment")["y"].agg(
+        n_pos="sum", n_all="count"
+    )
+    cat["n_neg"] = cat["n_all"] - cat["n_pos"]
+    k = len(cat)
+    pf = (cat["n_pos"] + 0.5) / (cat["n_pos"].sum() + 0.5 * k)
+    nf = (cat["n_neg"] + 0.5) / (cat["n_neg"].sum() + 0.5 * k)
+    woe = np.log(pf / nf)
+    iv = ((pf - nf) * woe).sum()
+    assert (got["n_pos"] == cat["n_pos"]).all()
+    assert (got["n_neg"] == cat["n_neg"]).all()
+    assert (got["woe"] - woe).abs().max() < 1e-4
+    assert (got["iv_total"] - iv).abs().max() < 1e-4
+
+
+def test_feature_hashing_matches_hashlib(spark, qs):
+    import re
+
+    got = (
+        qs["ml_feature_hashing"](spark, SF)
+        .toPandas()
+        .set_index("bucket")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    rows = []
+    for text in docs["text"]:
+        for tok in re.split(r"\s+", text.strip().lower()):
+            if tok:
+                rows.append(
+                    (
+                        _h60(f"fh:{tok}") % 64,
+                        1 if _h60(f"fhs:{tok}") % 2 == 0 else -1,
+                        tok,
+                    )
+                )
+    exp = pd.DataFrame(rows, columns=["bucket", "sgn", "token"]).groupby(
+        "bucket"
+    ).agg(
+        n_tokens=("sgn", "size"),
+        signed_sum=("sgn", "sum"),
+        n_distinct_tokens=("token", "nunique"),
+    )
+    assert got.shape == exp.shape
+    assert (got == exp).all().all()
+
+
+def test_kruskal_wallis_matches_pandas(spark, qs):
+    got = qs["stats_kruskal_wallis"](spark, SF).toPandas().iloc[0]
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["value"].notna()]
+    e = e.assign(rank=e["value"].rank(method="average"))
+    n = len(e)
+    g = e.groupby("event_type")["rank"].agg(["sum", "count"])
+    h = 12.0 / (n * (n + 1)) * (g["sum"] ** 2 / g["count"]).sum() - 3.0 * (
+        n + 1
+    )
+    t = e.groupby("value").size()
+    corr = 1.0 - ((t**3 - t).sum()) / (n**3 - n)
+    assert got["n_total"] == n
+    assert got["k_groups"] == len(g)
+    assert abs(got["h_stat"] - h) < 1e-3
+    assert abs(got["h_adj"] - h / corr) < 1e-3
+
+
+def test_kendall_tau_matches_pandas(spark, qs):
+    got = qs["stats_kendall_tau_monthly"](spark, SF).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li["m"] = li["l_shipdate"].dt.to_period("M")
+    li["cents"] = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]) * 100)
+        .round()
+        .astype("int64")
+    )
+    m = li.groupby("m").agg(x=("m", "size"), y=("cents", "sum"))
+    # tau-b by direct O(n^2) enumeration (months are few; no scipy here)
+    xs, ys = m["x"].tolist(), m["y"].tolist()
+    n = len(xs)
+    nc = nd = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            prod = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            nc += prod > 0
+            nd += prod < 0
+            tx += xs[i] == xs[j]
+            ty += ys[i] == ys[j]
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert got["n_periods"] == len(m)
+    assert got["n_pairs"] == len(m) * (len(m) - 1) // 2
+    assert abs(got["tau_b"] - tau) < 1e-3
+
+
+def test_dp_noisy_counts_matches_hashlib(spark, qs):
+    import math
+
+    got = (
+        qs["privacy_dp_noisy_counts"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    counts = e.groupby("event_type").size()
+    for et, n in counts.items():
+        u = (_h60(f"dp-release-1:{et}") % 16_777_216 + 0.5) / 16_777_216
+        lap = -1.0 * math.copysign(1.0, u - 0.5) * math.log(
+            1.0 - 2.0 * abs(u - 0.5)
+        )
+        exp = max(0.0, n + lap)
+        assert abs(got.loc[et, "noisy_count"] - exp) < 1e-3
+        assert got.loc[et, "epsilon"] == 1.0
+    # the release must actually perturb: not every cell noise-free
+    raw = counts.reindex(got.index).astype(float)
+    assert (got["noisy_count"] - raw).abs().max() > 1e-6
+
+
+def test_holt_forecast_matches_python_loop(spark, qs):
+    got = (
+        qs["ts_holt_linear_forecast"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    daily = (
+        e.assign(d=e["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"])
+        .size()
+        .reset_index(name="x")
+        .sort_values(["event_type", "d"])
+    )
+    for et, grp in daily.groupby("event_type"):
+        xs = grp["x"].astype(float).tolist()
+        level, b = xs[0], 0.0
+        for x in xs[1:]:
+            lnew = 0.3 * x + 0.7 * (level + b)
+            b = 0.1 * (lnew - level) + 0.9 * b
+            level = lnew
+        assert got.loc[et, "n_days"] == len(xs)
+        assert abs(got.loc[et, "level"] - level) < 1e-3
+        assert abs(got.loc[et, "trend"] - b) < 1e-3
+        assert abs(got.loc[et, "forecast_7d"] - (level + 7 * b)) < 1e-3
