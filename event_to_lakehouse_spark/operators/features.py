@@ -305,3 +305,175 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").cast("long").alias("signed_sum"),
         F.countDistinct("token").cast("long").alias("n_distinct_tokens"),
     )
+
+
+@query(
+    "ml_mutual_information",
+    f"""
+    WITH base AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN o.o_totalprice > {TE_THRESHOLD} THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cat AS (
+        SELECT c_mktsegment,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM base GROUP BY c_mktsegment
+    ),
+    tot AS (
+        SELECT CAST(sum(n_pos) AS DOUBLE) AS pos_tot,
+               CAST(sum(n_neg) AS DOUBLE) AS neg_tot,
+               CAST(sum(n_pos) + sum(n_neg) AS DOUBLE) AS n
+        FROM cat
+    ),
+    mi AS (
+        SELECT c_mktsegment, n_pos, n_neg,
+               (CASE WHEN n_pos > 0 THEN (CAST(n_pos AS DOUBLE) / n)
+                     * ln(CAST(n_pos AS DOUBLE) * n
+                          / ((CAST(n_pos AS DOUBLE) + n_neg) * pos_tot))
+                     ELSE 0.0 END
+                + CASE WHEN n_neg > 0 THEN (CAST(n_neg AS DOUBLE) / n)
+                       * ln(CAST(n_neg AS DOUBLE) * n
+                            / ((CAST(n_pos AS DOUBLE) + n_neg) * neg_tot))
+                       ELSE 0.0 END) AS contrib
+        FROM cat, tot
+    )
+    SELECT c_mktsegment, n_pos, n_neg,
+           round(contrib, 4) AS mi_contrib,
+           round(sum(contrib) OVER (), 4) AS mi_total
+    FROM mi
+    """,
+)
+def ml_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) in nats between the
+    categorical and the binary label — the model-free dependence
+    gauge next to ``ml_woe_iv`` (IV weights by distribution gap, MI by
+    joint probability; both screens run over the same contingency
+    table).
+
+    I = Σ_{{x,y}} p(x,y)·ln(p(x,y)/(p(x)p(y))) over the category×label
+    cells; empty cells contribute exactly 0 (the CASE guard — lim
+    p→0 of p·ln p). Every input is an exact integer count, so both
+    engines evaluate the same fixed expression tree; the total is
+    stamped per row via an unbounded window sum. Shape identical to
+    the WOE entry: one fact scan, broadcast dim join,
+    category-cardinality agg, scalar totals broadcast."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.when(F.col("o_totalprice") > TE_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    cat = base.groupBy("c_mktsegment").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    tot = cat.agg(
+        F.sum("n_pos").cast("double").alias("pos_tot"),
+        F.sum("n_neg").cast("double").alias("neg_tot"),
+        (F.sum("n_pos") + F.sum("n_neg")).cast("double").alias("n"),
+    )
+    j = cat.crossJoin(F.broadcast(tot))
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    nx = npos + nneg
+    n = F.col("n")
+    c_pos = F.when(
+        F.col("n_pos") > 0,
+        (npos / n) * F.log(npos * n / (nx * F.col("pos_tot"))),
+    ).otherwise(0.0)
+    c_neg = F.when(
+        F.col("n_neg") > 0,
+        (nneg / n) * F.log(nneg * n / (nx * F.col("neg_tot"))),
+    ).otherwise(0.0)
+    mi = j.select(
+        "c_mktsegment", "n_pos", "n_neg", (c_pos + c_neg).alias("contrib")
+    )
+    return mi.select(
+        "c_mktsegment",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("contrib"), 4).alias("mi_contrib"),
+        F.round(
+            F.sum("contrib").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            4,
+        ).alias("mi_total"),
+    )
+
+
+CAL_BIN_WIDTH = 50_000.0  # price-grid bins: IEEE-exact assignment
+CAL_SCALE = 50_000.0  # logistic temperature
+
+
+@query(
+    "ml_calibration_bins",
+    f"""
+    WITH scored AS (
+        SELECT CAST(floor(o_totalprice / {CAL_BIN_WIDTH}) AS BIGINT) AS bin,
+               1.0 / (1.0 + exp(-(o_totalprice - {TE_THRESHOLD})
+                                / {CAL_SCALE})) AS score,
+               CASE WHEN o_totalprice > {TE_THRESHOLD} THEN 1 ELSE 0 END AS y
+        FROM orders
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(score), 4) AS mean_score,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS frac_pos,
+           round(abs(avg(score) - CAST(sum(y) AS DOUBLE) / count(*)), 4)
+             AS calibration_gap
+    FROM scored GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a scored binary outcome — the
+    eval-side staple that checks whether a model's scores mean what
+    they say (mean predicted probability vs observed positive rate
+    per bin, plus the absolute gap the ECE sums).
+
+    The score is a deterministic logistic of the price (a stand-in
+    for a model column — swap in any probability column at no plan
+    change); BINNING is deliberately on the raw price grid
+    (floor(price/width)): IEEE division+floor of identical parquet
+    doubles is exact on both engines, so bin assignment can never
+    drift — only the transcendental exp() rides inside round(4)-
+    absorbed averages. One scan, one bins-cardinality agg; at 100 TB
+    the shuffle carries ~10 partial rows per task."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    scored = o.select(
+        F.floor(F.col("o_totalprice") / CAL_BIN_WIDTH)
+        .cast("long")
+        .alias("bin"),
+        (
+            1.0
+            / (
+                1.0
+                + F.exp(-(F.col("o_totalprice") - TE_THRESHOLD) / CAL_SCALE)
+            )
+        ).alias("score"),
+        F.when(F.col("o_totalprice") > TE_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    frac = F.sum("y").cast("double") / F.count(F.lit(1))
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+        F.round(frac, 4).alias("frac_pos"),
+        F.round(F.abs(F.avg("score") - frac), 4).alias("calibration_gap"),
+    )

@@ -1584,3 +1584,100 @@ def stats_kendall_tau_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-lag autocorrelation profile (extends events_autocorr_lag1)
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3, 7)
+
+
+def _acf_arm_duck(lag: int) -> str:
+    return f"""
+        SELECT event_type, {lag} AS lag, y,
+               lag(y, {lag}) OVER (PARTITION BY event_type ORDER BY x) AS py
+        FROM daily
+    """
+
+
+def _acf_oracle() -> str:
+    arms = " UNION ALL ".join(_acf_arm_duck(lag) for lag in ACF_LAGS)
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', date_trunc('day', ts)) AS x,
+               count(*) AS y
+        FROM events
+        GROUP BY 1, 2
+    ),
+    seq AS ({arms}),
+    s AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(py) AS DOUBLE) AS sp,
+               CAST(sum(y * py) AS DOUBLE) AS syp,
+               CAST(sum(y * y) AS DOUBLE) AS syy,
+               CAST(sum(py * py) AS DOUBLE) AS spp
+        FROM seq WHERE py IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * syy - sy * sy = 0 OR n * spp - sp * sp = 0 THEN NULL
+                ELSE round((n * syp - sy * sp)
+                           / sqrt((n * syy - sy * sy) * (n * spp - sp * sp)), 4)
+           END AS acf
+    FROM s
+    """
+
+
+@query("events_acf_profile", _acf_oracle())
+def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile at lags (1, 2, 3, 7) of the per-type
+    daily volume series — the correlogram a forecaster reads before
+    picking model order (lag-7 exposes weekly seasonality the single
+    lag-1 gauge can't see).
+
+    Same conventions as ``events_autocorr_lag1``: observed-series lags
+    (missing days skipped), textbook Pearson form over exact integer
+    sums, every sum cast to double before products so nothing wraps at
+    100 TB daily volumes, and an identical IEEE expression tree on
+    both engines. The lag fan-out multiplies the TYPES-cardinality
+    daily rollup by |lags| — four window passes over a calendar-sized
+    frame, constant cost at any corpus scale."""
+    daily = _daily_by_type(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("x")
+    arms = [
+        daily.select(
+            "event_type",
+            F.lit(lag).alias("lag"),
+            "y",
+            F.lag("y", lag).over(w).alias("py"),
+        )
+        for lag in ACF_LAGS
+    ]
+    seq = arms[0]
+    for arm in arms[1:]:
+        seq = seq.unionByName(arm)
+    seq = seq.where(F.col("py").isNotNull())
+    y, py = F.col("y"), F.col("py")
+    s = seq.groupBy("event_type", "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(py).cast("double").alias("sp"),
+        F.sum(y * py).cast("double").alias("syp"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(py * py).cast("double").alias("spp"),
+    )
+    n, sy, sp = F.col("n"), F.col("sy"), F.col("sp")
+    syp, syy, spp = F.col("syp"), F.col("syy"), F.col("spp")
+    vy = n * syy - sy * sy
+    vp = n * spp - sp * sp
+    return s.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.when((vy == 0) | (vp == 0), F.lit(None).cast("double"))
+        .otherwise(F.round((n * syp - sy * sp) / F.sqrt(vy * vp), 4))
+        .alias("acf"),
+    )

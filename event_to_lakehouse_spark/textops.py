@@ -1492,3 +1492,137 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TEXTRANK_TOPK)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/Dolma-style rule filter: the classic pretraining quality gate
+# ---------------------------------------------------------------------------
+
+GQ_MIN_WORDS = 30
+GQ_MIN_MEAN_WL = 3.9
+GQ_MAX_MEAN_WL = 4.9
+GQ_MIN_STOP_HITS = 2
+GQ_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def _gq_stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in GQ_STOPWORDS)
+
+
+@query(
+    "text_gopher_quality_rules",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    doc AS (
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(token)) AS DOUBLE) / count(*) AS mean_wl,
+               CAST(sum(CASE WHEN token IN ({_gq_stop_list_sql()})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        FROM tok WHERE token <> '' GROUP BY doc_id, source
+    ),
+    flagged AS (
+        SELECT source,
+               CASE WHEN n_words >= {GQ_MIN_WORDS} THEN 0 ELSE 1 END AS f_words,
+               CASE WHEN mean_wl >= {GQ_MIN_MEAN_WL}
+                     AND mean_wl <= {GQ_MAX_MEAN_WL} THEN 0 ELSE 1 END AS f_wl,
+               CASE WHEN stop_hits >= {GQ_MIN_STOP_HITS} THEN 0 ELSE 1 END
+                 AS f_stop,
+               mean_wl
+        FROM doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f_words + f_wl + f_stop = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           round(CAST(sum(CASE WHEN f_words + f_wl + f_stop = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS pass_rate,
+           CAST(sum(f_words) AS BIGINT) AS n_fail_words,
+           CAST(sum(f_wl) AS BIGINT) AS n_fail_wordlen,
+           CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+           round(avg(mean_wl), 4) AS avg_mean_wl
+    FROM flagged GROUP BY source
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) repetition-free quality rules —
+    the rule-based gate every pretraining corpus passes before any
+    model-based scoring: minimum document length, mean-word-length
+    band, and a stopword-presence check (documents with no function
+    words are usually boilerplate, tables, or tag soup). Thresholds
+    here are tuned to the synthetic corpus so each rule actually
+    fires; a production run swaps the constants, not the plan.
+
+    Per-rule failure counts are reported next to the pass rate per
+    source, the way corpus dashboards slice it. Exactness: words and
+    stop hits are integers; mean word length is an integer-sum ratio —
+    both engines divide the same exact values, and the per-rule flags
+    compare against literal thresholds (a mean_wl landing EXACTLY on a
+    threshold is a ratio of small integers, identically computed both
+    sides, so the comparison agrees). Shape: map-side explode → one
+    doc-cardinality agg → one source-cardinality agg; the token stream
+    never shuffles (partial aggregation collapses it per task), so the
+    gate is scan-bound at 100 TB exactly like ``text_enrich``."""
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    doc = tok.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        (
+            F.sum(F.length("token")).cast("double") / F.count(F.lit(1))
+        ).alias("mean_wl"),
+        F.sum(
+            F.when(F.col("token").isin(*GQ_STOPWORDS), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    flagged = doc.select(
+        "source",
+        F.when(F.col("n_words") >= GQ_MIN_WORDS, 0).otherwise(1).alias(
+            "f_words"
+        ),
+        F.when(
+            (F.col("mean_wl") >= GQ_MIN_MEAN_WL)
+            & (F.col("mean_wl") <= GQ_MAX_MEAN_WL),
+            0,
+        )
+        .otherwise(1)
+        .alias("f_wl"),
+        F.when(F.col("stop_hits") >= GQ_MIN_STOP_HITS, 0)
+        .otherwise(1)
+        .alias("f_stop"),
+        "mean_wl",
+    )
+    all_pass = (
+        F.col("f_words") + F.col("f_wl") + F.col("f_stop") == 0
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(all_pass, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.round(
+            F.sum(F.when(all_pass, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pass_rate"),
+        F.sum("f_words").cast("long").alias("n_fail_words"),
+        F.sum("f_wl").cast("long").alias("n_fail_wordlen"),
+        F.sum("f_stop").cast("long").alias("n_fail_stopwords"),
+        F.round(F.avg("mean_wl"), 4).alias("avg_mean_wl"),
+    )

@@ -220,3 +220,101 @@ def test_holt_forecast_matches_python_loop(spark, qs):
         assert abs(got.loc[et, "level"] - level) < 1e-3
         assert abs(got.loc[et, "trend"] - b) < 1e-3
         assert abs(got.loc[et, "forecast_7d"] - (level + 7 * b)) < 1e-3
+
+
+def test_mutual_information_matches_pandas(spark, qs, orders_cust):
+    import math
+
+    got = (
+        qs["ml_mutual_information"](spark, SF)
+        .toPandas()
+        .set_index("c_mktsegment")
+        .sort_index()
+    )
+    j = orders_cust
+    n = len(j)
+    pos_tot = j["y"].sum()
+    neg_tot = n - pos_tot
+    mi = 0.0
+    for seg, grp in j.groupby("c_mktsegment"):
+        npos, nx = grp["y"].sum(), len(grp)
+        nneg = nx - npos
+        c = 0.0
+        if npos > 0:
+            c += (npos / n) * math.log(npos * n / (nx * pos_tot))
+        if nneg > 0:
+            c += (nneg / n) * math.log(nneg * n / (nx * neg_tot))
+        mi += c
+        assert abs(got.loc[seg, "mi_contrib"] - c) < 1e-4
+    assert abs(got["mi_total"].iloc[0] - mi) < 1e-4
+    assert mi >= 0 or abs(mi) < 1e-12  # MI is non-negative
+
+
+def test_calibration_bins_matches_pandas(spark, qs):
+    import numpy as np
+
+    got = (
+        qs["ml_calibration_bins"](spark, SF)
+        .toPandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["bin"] = np.floor(o["o_totalprice"] / 50_000).astype("int64")
+    o["score"] = 1.0 / (
+        1.0 + np.exp(-(o["o_totalprice"] - 250_000.0) / 50_000.0)
+    )
+    o["y"] = (o["o_totalprice"] > 250_000.0).astype(int)
+    exp = o.groupby("bin").agg(
+        n_orders=("y", "size"), mean_score=("score", "mean"),
+        frac_pos=("y", "mean"),
+    )
+    assert (got["n_orders"] == exp["n_orders"]).all()
+    assert (got["mean_score"] - exp["mean_score"]).abs().max() < 1e-3
+    assert (got["frac_pos"] - exp["frac_pos"]).abs().max() < 1e-3
+    # monotone sanity: mean score rises with the price bin
+    assert got["mean_score"].is_monotonic_increasing
+
+
+def test_acf_profile_lag1_agrees_with_single_lag_entry(spark, qs):
+    prof = qs["events_acf_profile"](spark, SF).toPandas()
+    single = qs["events_autocorr_lag1"](spark, SF).toPandas()
+    m = prof[prof["lag"] == 1].merge(single, on="event_type")
+    assert len(m) == len(single)
+    assert (m["acf"] - m["autocorr_lag1"]).abs().max() < 1e-9
+    assert set(prof["lag"]) == {1, 2, 3, 7}
+
+
+def test_gopher_rules_match_pandas(spark, qs):
+    import re
+
+    got = (
+        qs["text_gopher_quality_rules"](spark, SF)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    stops = {"the", "a", "and", "of", "to"}
+    rows = []
+    for _, r in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", r["text"].strip().lower()) if t]
+        mean_wl = sum(map(len, toks)) / len(toks)
+        stop_hits = sum(t in stops for t in toks)
+        rows.append(
+            {
+                "source": r["source"],
+                "f_words": 0 if len(toks) >= 30 else 1,
+                "f_wl": 0 if 3.9 <= mean_wl <= 4.9 else 1,
+                "f_stop": 0 if stop_hits >= 2 else 1,
+            }
+        )
+    e = pd.DataFrame(rows)
+    e["pass"] = (e["f_words"] + e["f_wl"] + e["f_stop"] == 0).astype(int)
+    exp = e.groupby("source").agg(
+        n_docs=("pass", "size"), n_pass=("pass", "sum"),
+        n_fail_words=("f_words", "sum"), n_fail_wordlen=("f_wl", "sum"),
+        n_fail_stopwords=("f_stop", "sum"),
+    )
+    for c in exp.columns:
+        assert (got[c] == exp[c]).all(), c
