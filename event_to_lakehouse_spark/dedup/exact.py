@@ -105,3 +105,107 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, docs.doc_id == keep.keep_id).select(
         "doc_id", "lang", "source", "n_chars", "n_copies"
     )
+
+
+RECRAWL_OFFSET = 10_000_000  # synthetic re-crawl doc_id namespace
+RECRAWL_MOD = 10  # every 10th doc arrives twice
+
+
+@query(
+    "corpus_dedup_impact",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + {RECRAWL_OFFSET} AS doc_id, source, text
+        FROM documents WHERE doc_id % {RECRAWL_MOD} = 0
+    ),
+    fp AS (
+        SELECT doc_id, source, {FINGERPRINT_SQL} AS fp,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), t -> t <> '')) AS BIGINT) AS n_words
+        FROM corpus
+    ),
+    keep AS (SELECT min(doc_id) AS keep_id FROM fp GROUP BY fp)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (k.keep_id IS NOT NULL) AS BIGINT)
+             AS n_kept,
+           round(1.0 - CAST(count(*) FILTER (k.keep_id IS NOT NULL)
+                            AS DOUBLE) / count(*), 4) AS doc_dup_rate,
+           CAST(sum(f.n_words) AS BIGINT) AS tokens_total,
+           CAST(sum(f.n_words) FILTER (k.keep_id IS NOT NULL) AS BIGINT)
+             AS tokens_kept,
+           round(1.0 - CAST(sum(f.n_words) FILTER (k.keep_id IS NOT NULL)
+                            AS DOUBLE) / sum(f.n_words), 4)
+             AS token_savings_rate
+    FROM fp f LEFT JOIN keep k ON f.doc_id = k.keep_id
+    GROUP BY f.source
+    """,
+)
+def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup would SAVE, per source — the before/after
+    accounting a curation dashboard shows next to the dedup run
+    itself: document dup rate and the token mass removed when only
+    first-arrival (min doc_id) survivors are kept.
+
+    The synthetic corpus has no exact duplicates, so the entry unions
+    in a deterministic RE-CRAWL slice (every RECRAWL_MOD-th doc again
+    under a shifted doc_id namespace) — the arrival pattern dedup
+    exists for — making both the dup-rate and the survivorship
+    accounting non-trivial and hash-checked. Composes the certified
+    fingerprint (normalize→sha256, identical to ``dedup_exact_groups``)
+    with the token counter the text tier uses, so the report is
+    consistent with both families by construction. Survivor membership
+    is a LEFT join against the min-doc_id-per-fingerprint set — the
+    same window-free skew-safe shape as ``dedup_exact_survivors``. One
+    scan, one fingerprint-cardinality agg, one source-cardinality agg;
+    at 100 TB the token counting is map-side and the only wide state
+    is the fingerprint group-by the dedup itself already pays for."""
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "source", "text")
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % RECRAWL_MOD == 0).select(
+            (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"),
+            "source",
+            "text",
+        )
+    )
+    docs = corpus.select(
+        "doc_id",
+        "source",
+        fingerprint("text").alias("fp"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        )
+        .cast("long")
+        .alias("n_words"),
+    )
+    keep = docs.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    j = docs.join(
+        keep.select("keep_id"),
+        docs.doc_id == F.col("keep_id"),
+        "left",
+    )
+    kept = F.col("keep_id").isNotNull()
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.round(
+            1.0 - F.count(F.when(kept, 1)).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("doc_dup_rate"),
+        F.sum("n_words").cast("long").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("n_words"))).cast("long").alias(
+            "tokens_kept"
+        ),
+        F.round(
+            1.0
+            - F.sum(F.when(kept, F.col("n_words"))).cast("double")
+            / F.sum("n_words"),
+            4,
+        ).alias("token_savings_rate"),
+    )

@@ -1014,3 +1014,83 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_count"),
         F.lit(DP_EPSILON).alias("epsilon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local differential privacy: randomized response (Warner 1965)
+# ---------------------------------------------------------------------------
+
+RR_P_TRUTH = 0.75  # respond truthfully with this probability
+RR_SEED = "rr-release-1"
+RR_BAL_CUT = 5_000.0  # sensitive bit: account balance above this
+
+
+def _rr_u_duck() -> str:
+    from ..functions.hashing import hash60_duck
+
+    h = hash60_duck(f"'{RR_SEED}:' || CAST(c_custkey AS VARCHAR)")
+    return f"(CAST({h} % {_DP_U_BITS} AS DOUBLE) + 0.5) / {_DP_U_BITS}.0"
+
+
+def _rr_u_spark() -> str:
+    from ..functions.hashing import hash60_spark
+
+    h = hash60_spark(f"concat('{RR_SEED}:', CAST(c_custkey AS STRING))")
+    return f"(CAST({h} % {_DP_U_BITS} AS DOUBLE) + 0.5) / {_DP_U_BITS}.0"
+
+
+@query(
+    "privacy_randomized_response",
+    f"""
+    WITH resp AS (
+        SELECT c_nationkey,
+               CASE WHEN c_acctbal > {RR_BAL_CUT} THEN 1 ELSE 0 END AS a,
+               CASE WHEN ({_rr_u_duck()}) < {RR_P_TRUTH}
+                    THEN CASE WHEN c_acctbal > {RR_BAL_CUT} THEN 1 ELSE 0 END
+                    ELSE CASE WHEN c_acctbal > {RR_BAL_CUT} THEN 0 ELSE 1 END
+               END AS report
+        FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(report) AS BIGINT) AS n_report_yes,
+           round((CAST(sum(report) AS DOUBLE) / count(*)
+                  + {RR_P_TRUTH} - 1.0) / (2.0 * {RR_P_TRUTH} - 1.0), 4)
+             AS pi_hat,
+           round(CAST(sum(a) AS DOUBLE) / count(*), 4) AS true_rate
+    FROM resp GROUP BY c_nationkey
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local DP via randomized response (Warner 1965): each row
+    reports its sensitive bit truthfully with probability p and
+    flipped otherwise, giving per-row plausible deniability
+    (ε = ln(p/(1−p)) ≈ 1.1 at p=0.75); the population rate is then
+    debiased as π̂ = (mean(report) + p − 1)/(2p − 1).
+
+    The coin is the same seeded portable-hash uniform the Laplace
+    release uses (``privacy_dp_noisy_counts``) — reproducible by seed,
+    so the oracle certifies every flip and the debiased estimate
+    cell-by-cell; the true rate rides along purely as certification
+    (a production release drops it). All comparisons are against
+    literal thresholds on identical doubles — exact both engines.
+    Shape: one scan, one key-cardinality agg; the mechanism is
+    map-side arithmetic, free at 100 TB."""
+    c = load_tables(spark, sf_dir)["customer"]
+    a = F.when(F.col("c_acctbal") > RR_BAL_CUT, 1).otherwise(0)
+    u = F.expr(_rr_u_spark())
+    report = F.when(u < RR_P_TRUTH, a).otherwise(1 - a)
+    resp = c.select(
+        "c_nationkey", a.alias("a"), report.alias("report")
+    )
+    mean_rep = F.sum("report").cast("double") / F.count(F.lit(1))
+    return resp.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("report").cast("long").alias("n_report_yes"),
+        F.round(
+            (mean_rep + RR_P_TRUTH - 1.0) / (2.0 * RR_P_TRUTH - 1.0), 4
+        ).alias("pi_hat"),
+        F.round(F.sum("a").cast("double") / F.count(F.lit(1)), 4).alias(
+            "true_rate"
+        ),
+    )

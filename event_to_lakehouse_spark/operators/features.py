@@ -477,3 +477,86 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("frac_pos"),
         F.round(F.abs(F.avg("score") - frac), 4).alias("calibration_gap"),
     )
+
+
+KFOLD_K = 5
+KFOLD_SEED = "kfold-1"
+
+
+@query(
+    "ml_kfold_assignment",
+    f"""
+    WITH folds AS (
+        SELECT c_custkey,
+               {hash60_duck(f"'{KFOLD_SEED}:' || CAST(c_custkey AS VARCHAR)")}
+                 % {KFOLD_K} AS fold
+        FROM customer
+    ),
+    labeled AS (
+        SELECT f.fold, o.o_orderkey,
+               CASE WHEN o.o_totalprice > {TE_THRESHOLD} THEN 1 ELSE 0 END AS y
+        FROM folds f JOIN orders o ON f.c_custkey = o.o_custkey
+    ),
+    per_cust AS (
+        SELECT fold, CAST(count(*) AS BIGINT) AS n_customers
+        FROM folds GROUP BY fold
+    )
+    SELECT l.fold,
+           p.n_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(l.y) AS BIGINT) AS n_pos,
+           round(CAST(sum(l.y) AS DOUBLE) / count(*), 4) AS pos_rate
+    FROM labeled l JOIN per_cust p ON l.fold = p.fold
+    GROUP BY l.fold, p.n_customers
+    """,
+)
+def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split for cross-validation, assigned at
+    the GROUP level (customer), so all of an entity's orders land in
+    one fold — the grouped-CV discipline that prevents within-entity
+    leakage across train/validation (the same reason
+    ``corpus_leakage_safe_split`` splits by near-dup cluster).
+
+    fold = portable_hash(seed, custkey) mod k: stable across runs and
+    engines (no shuffle-order dependence, no RNG state), so adding
+    data never reassigns an existing entity. The report carries per
+    fold the entity count, row count, and label rate — the balance
+    check a training pipeline runs before trusting the split. Shape:
+    dim hash (map-side) → broadcast join onto the fact → k-cardinality
+    agg; at 100 TB the fold table is a projection of the dim, never
+    materialized wide."""
+    t = load_tables(spark, sf_dir)
+    folds = t["customer"].select(
+        "c_custkey",
+        (
+            F.expr(
+                hash60_spark(
+                    f"concat('{KFOLD_SEED}:', CAST(c_custkey AS STRING))"
+                )
+            )
+            % KFOLD_K
+        ).alias("fold"),
+    )
+    labeled = t["orders"].join(
+        F.broadcast(folds), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "fold",
+        F.when(F.col("o_totalprice") > TE_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    per_cust = folds.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return (
+        labeled.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 4
+            ).alias("pos_rate"),
+        )
+        .join(F.broadcast(per_cust), "fold")
+        .select("fold", "n_customers", "n_orders", "n_pos", "pos_rate")
+    )

@@ -318,3 +318,62 @@ def test_gopher_rules_match_pandas(spark, qs):
     )
     for c in exp.columns:
         assert (got[c] == exp[c]).all(), c
+
+
+def test_randomized_response_matches_hashlib(spark, qs):
+    got = (
+        qs["privacy_randomized_response"](spark, SF)
+        .toPandas()
+        .set_index("c_nationkey")
+        .sort_index()
+    )
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    c["a"] = (c["c_acctbal"] > 5_000.0).astype(int)
+    u = c["c_custkey"].map(
+        lambda k: (_h60(f"rr-release-1:{k}") % 16_777_216 + 0.5) / 16_777_216
+    )
+    c["report"] = c["a"].where(u < 0.75, 1 - c["a"])
+    exp = c.groupby("c_nationkey").agg(
+        n=("report", "size"),
+        n_report_yes=("report", "sum"),
+        true_rate=("a", "mean"),
+    )
+    exp["pi_hat"] = (
+        exp["n_report_yes"] / exp["n"] + 0.75 - 1.0
+    ) / (2 * 0.75 - 1.0)
+    assert (got["n"] == exp["n"]).all()
+    assert (got["n_report_yes"] == exp["n_report_yes"]).all()
+    assert (got["pi_hat"] - exp["pi_hat"]).abs().max() < 1e-3
+    # the mechanism must actually flip some responses
+    assert (c["report"] != c["a"]).sum() > 0
+    # debiasing: pooled pi_hat lands near the true rate
+    pooled_hat = (c["report"].mean() + 0.75 - 1.0) / (2 * 0.75 - 1.0)
+    assert abs(pooled_hat - c["a"].mean()) < 0.15
+
+
+def test_kfold_assignment_is_stable_and_partitioning(spark, qs):
+    got = qs["ml_kfold_assignment"](spark, SF).toPandas()
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    folds = c["c_custkey"].map(lambda k: _h60(f"kfold-1:{k}") % 5)
+    exp_counts = folds.value_counts().sort_index()
+    g = got.set_index("fold").sort_index()
+    assert (g["n_customers"] == exp_counts).all()
+    assert set(g.index) == {0, 1, 2, 3, 4}
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    assert g["n_orders"].sum() == len(o)  # every order in exactly one fold
+
+
+def test_dedup_impact_accounting(spark, qs):
+    got = qs["corpus_dedup_impact"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    recrawl = docs[docs["doc_id"] % 10 == 0]
+    per_src = docs.groupby("source").size()
+    per_src_re = recrawl.groupby("source").size()
+    g = got.set_index("source").sort_index()
+    exp_docs = (per_src + per_src_re.reindex(per_src.index, fill_value=0))
+    assert (g["n_docs"] == exp_docs.sort_index()).all()
+    # corpus has no organic exact dups -> kept == originals,
+    # and every re-crawled copy is dropped
+    assert (g["n_kept"] == per_src.sort_index()).all()
+    assert (g["tokens_kept"] <= g["tokens_total"]).all()
+    assert (g["doc_dup_rate"] > 0).any()
