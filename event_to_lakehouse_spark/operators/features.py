@@ -560,3 +560,23 @@ def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(per_cust), "fold")
         .select("fold", "n_customers", "n_orders", "n_pos", "pos_rate")
     )
+
+
+def target_encoder_from_state(state: DataFrame, m: float = TE_SMOOTHING) -> DataFrame:
+    """Serve the smoothed encoding off the (category, n, n_pos) state
+    table that ``streaming.jobs.target_encoder_stream`` maintains —
+    the same m-estimate formula ``ml_target_encoding`` fits in batch,
+    so a drained stream serves identical encodings (pytest-pinned)."""
+    tot = state.agg(
+        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    return state.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        (
+            (
+                F.col("n_pos").cast("double")
+                + m * (F.col("pos_tot").cast("double") / F.col("n_tot"))
+            )
+            / (F.col("n").cast("double") + m)
+        ).alias("enc"),
+    )

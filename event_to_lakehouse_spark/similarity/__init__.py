@@ -1,1 +1,1 @@
-from . import ann, ivf_index, ivfpq, ivfpq_residual, mmr, pq  # noqa: F401
+from . import ann, ivf_index, ivfpq, ivfpq_residual, mmr, pca, pq  # noqa: F401

@@ -906,3 +906,75 @@ def cdc_apply_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def target_encoder_stream(
+    orders,
+    customer_dim,
+    state_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+    token_horizon: int = 64,
+    vacuum_every: int = 32,
+    threshold: float = 250_000.0,
+):
+    """Streaming maintenance of the target-encoder sufficient
+    statistics — the online-feature-store twin of
+    ``operators.features.ml_target_encoding``: the encoder's FIT state
+    is just per-category (n, n_pos), which is mergeable integer
+    addition, so a stream of label-bearing facts keeps the encoder
+    fresh without ever re-scanning history.
+
+    Each micro-batch broadcast-joins the category dim, reduces to the
+    per-category pair, and integer-merges into the SnapshotTable
+    state (same fold shape as ``trend_partials_stream``); drained
+    state equals the whole-batch fit bit-for-bit (pytest-pinned) and
+    ``operators.features.target_encoder_from_state`` serves the same
+    smoothed encoding the batch entry computes, at any point
+    mid-stream. Durable state is category-cardinality rows forever;
+    commit metadata is bounded by the token horizon + periodic
+    vacuum like every partials stream here."""
+    from pyspark.sql import functions as F
+
+    from ..storage.snapshots import SnapshotTable
+
+    def _write(batch_df, batch_id: int) -> None:
+        tbl = SnapshotTable(batch_df.sparkSession, state_root)
+        part = (
+            batch_df.join(
+                F.broadcast(customer_dim),
+                batch_df.o_custkey == customer_dim.c_custkey,
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(
+                    F.when(F.col("o_totalprice") > threshold, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_pos"),
+            )
+        )
+        snap = tbl.snapshot()
+        if snap is not None:
+            part = (
+                tbl.read()
+                .unionByName(part)
+                .groupBy("c_mktsegment")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("n_pos").cast("long").alias("n_pos"),
+                )
+            )
+        tbl.overwrite(
+            part, keep_tokens=token_horizon, batch_token=f"b{batch_id}"
+        )
+        if vacuum_every and batch_id % vacuum_every == vacuum_every - 1:
+            tbl.vacuum(keep_versions=2)
+
+    writer = orders.writeStream.foreachBatch(_write).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

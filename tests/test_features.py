@@ -377,3 +377,31 @@ def test_dedup_impact_accounting(spark, qs):
     assert (g["n_kept"] == per_src.sort_index()).all()
     assert (g["tokens_kept"] <= g["tokens_total"]).all()
     assert (g["doc_dup_rate"] > 0).any()
+
+
+def test_pca_power_iteration_matches_numpy(spark, qs):
+    import numpy as np
+
+    got = (
+        qs["emb_pca_power_iteration"](spark, SF)
+        .toPandas()
+        .set_index("dim")
+        .sort_index()
+    )
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.stack(
+        [np.round(np.asarray(v, dtype=np.float64) * 1e6) for v in emb["embedding"]]
+    )
+    n, d = q.shape
+    cov = (q.T @ q - np.outer(q.sum(0), q.sum(0)) / n) / (n * 1e12)
+    v = np.full(d, 0.125)
+    for _ in range(3):
+        w = cov @ v
+        v = w / np.sqrt((w * w).sum())
+    lam = v @ (cov @ v)
+    assert got["n_vecs"].iloc[0] == n
+    assert np.abs(got["loading"].to_numpy() - v).max() < 1e-4
+    assert abs(got["eigval"].iloc[0] - lam) < 1e-3
+    # loadings are a unit vector; the Rayleigh quotient is a variance
+    assert abs((got["loading"] ** 2).sum() - 1.0) < 1e-3
+    assert got["eigval"].iloc[0] > 0

@@ -1192,3 +1192,96 @@ def test_cdc_apply_stream_out_of_order_and_fold(spark, tmp_dir):
     _run(f"{tmp_dir}/ckpt2")  # fresh checkpoint replays both batches
     assert t.snapshot().version == v
     assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_target_encoder_stream_equals_batch(spark, tmp_dir):
+    """Drained streaming target-encoder state == whole-batch fit
+    EXACTLY (integer sufficient statistics), and the serve helper
+    returns the identical smoothed encodings (same ints -> same
+    doubles, no tolerance needed)."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.operators.features import (
+        target_encoder_from_state,
+    )
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.streaming.jobs import target_encoder_stream
+
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    cust = spark.createDataFrame(
+        [(k, segs[k % 3]) for k in range(30)],
+        "c_custkey LONG, c_mktsegment STRING",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    src = Path(f"{tmp_dir}/orders")
+    src.mkdir(parents=True)
+    ok = 0
+    for i in range(3):
+        rows = []
+        for k in range(40):
+            rows.append(
+                {
+                    "o_orderkey": (ok := ok + 1),
+                    "o_custkey": (k * 7 + i) % 30,
+                    "o_totalprice": 100_000.0 + ((k * 13 + i * 5) % 9) * 40_000.0,
+                }
+            )
+        (src / f"part_{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    state_root = f"{tmp_dir}/enc_state"
+    q = target_encoder_stream(
+        stream, cust, state_root, f"{tmp_dir}/ckpt"
+    )
+    q.awaitTermination(120)
+
+    tbl = SnapshotTable(spark, state_root)
+    batch = spark.read.json(str(src), schema=schema)
+    want = {
+        r.c_mktsegment: (r.n, r.n_pos)
+        for r in batch.join(
+            F.broadcast(cust), batch.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 250_000.0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pos"),
+        )
+        .collect()
+    }
+    got = {r.c_mktsegment: (r.n, r.n_pos) for r in tbl.read().collect()}
+    assert got == want  # exact integer equality
+
+    # the serve helper reproduces the batch fit formula exactly
+    state = tbl.read()
+    served = {
+        r.c_mktsegment: r.enc
+        for r in target_encoder_from_state(state).collect()
+    }
+    n_tot = sum(n for n, _ in want.values())
+    pos_tot = sum(p for _, p in want.values())
+    prior = pos_tot / n_tot
+    for seg, (n, pos) in want.items():
+        assert served[seg] == (pos + 20.0 * prior) / (n + 20.0)
+
+    # replayed token: storage no-op
+    v = tbl.snapshot().version
+    tbl.overwrite(tbl.read(), batch_token="b0")
+    assert tbl.snapshot().version == v
