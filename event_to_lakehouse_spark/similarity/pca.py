@@ -108,25 +108,33 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. At 10⁹ vectors the same plan holds; only the two
     integer accumulations see the data."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cells = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                "transform(CAST(embedding AS ARRAY<DOUBLE>),"
-                f" x -> CAST(round(x * {_Q}) AS BIGINT))"
-            )
-        ).alias("i", "q"),
+    qvec = emb.select(
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            f" x -> CAST(round(x * {_Q}) AS BIGINT))"
+        ).alias("q")
     )
+    cells = qvec.select(F.posexplode("q").alias("i", "q"))
     sq = cells.groupBy("i").agg(
         F.sum("q").cast("long").alias("s"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    a = cells.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
-    b = cells.select("vec_id", F.col("i").alias("bi"), F.col("q").alias("bq"))
+    # pair products expand ROW-LOCALLY (nested HOF, no join, no shuffle
+    # of the corpus by vec_id) — the dim²-cell stream then collapses in
+    # the map-side partial agg, so only dim² rows per task ever shuffle
+    pairs = qvec.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(q, (qi, i) ->"
+                " transform(q, (qj, j) ->"
+                " struct(i AS i, j AS j, qi * qj AS p))))"
+            )
+        ).alias("c")
+    )
     sqq = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
-        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("ss"))
+        pairs.select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("ss"))
     )
     si = sq.select(F.col("i").alias("ci"), F.col("s").alias("si"), "n")
     sj = sq.select(F.col("i").alias("cj"), F.col("s").alias("sj"))
