@@ -1543,3 +1543,58 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"forecast_{HOLT_H}d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness SLO report: per-stream lag vs the newest arrival
+# ---------------------------------------------------------------------------
+
+FRESH_SLO_SEC = 1800  # 30-minute freshness objective
+
+
+@query(
+    "ops_data_freshness_slo",
+    f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS last_epoch
+        FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(last_epoch) AS global_epoch FROM m)
+    SELECT event_type, n_events,
+           CAST(global_epoch - last_epoch AS BIGINT) AS lag_sec,
+           (global_epoch - last_epoch) <= {FRESH_SLO_SEC} AS within_slo
+    FROM m, g
+    """,
+)
+def ops_data_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness lag against the newest arrival anywhere in
+    the table — the landing-page gauge of every ingestion dashboard
+    (a stream whose max(ts) trails the corpus high-water mark has a
+    stuck producer or a dead partition; at the reference this is the
+    manual check after `jobs/normalize_stream.py` deploys).
+
+    The clock is the DATA's own high-water mark, not wall time, so the
+    report is deterministic and oracle-checkable; lags are integer
+    epoch-second differences (exact cross-engine). The 30-minute SLO
+    flag fires on the synthetic corpus (2 of 5 types breach at
+    sf0.01). Shape: one scan, one key-cardinality agg, a scalar
+    broadcast of the high-water row — free at 100 TB, and the same
+    plan serves a streaming foreachBatch health probe unchanged."""
+    e = load_tables(spark, sf_dir)["events"]
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.unix_timestamp(F.max("ts")).cast("long").alias("last_epoch"),
+    )
+    g = m.agg(F.max("last_epoch").alias("global_epoch"))
+    return m.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        (F.col("global_epoch") - F.col("last_epoch"))
+        .cast("long")
+        .alias("lag_sec"),
+        (
+            (F.col("global_epoch") - F.col("last_epoch")) <= FRESH_SLO_SEC
+        ).alias("within_slo"),
+    )

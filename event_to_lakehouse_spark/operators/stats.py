@@ -1681,3 +1681,165 @@ def events_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((n * syp - sy * sp) / F.sqrt(vy * vp), 4))
         .alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: randomness screen on the daily delta signs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_runs_test",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    delta AS (
+        SELECT d, n - lag(n) OVER (ORDER BY d) AS dn FROM daily
+    ),
+    signs AS (
+        SELECT d, CASE WHEN dn > 0 THEN 1 ELSE -1 END AS s
+        FROM delta WHERE dn IS NOT NULL AND dn <> 0
+    ),
+    trans AS (
+        SELECT s, CASE WHEN s <> lag(s) OVER (ORDER BY d) THEN 1 ELSE 0 END
+                    AS flip
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (s = 1) AS BIGINT) AS n_plus,
+               CAST(count(*) FILTER (s = -1) AS BIGINT) AS n_minus,
+               CAST(1 + sum(flip) AS BIGINT) AS n_runs
+        FROM trans
+    )
+    SELECT n AS n_signs, n_plus, n_minus, n_runs,
+           round((CAST(n_runs AS DOUBLE)
+                  - (2.0 * n_plus * n_minus / n + 1.0))
+                 / sqrt(2.0 * n_plus * n_minus
+                        * (2.0 * n_plus * n_minus - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 4) AS z_runs
+    FROM agg
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of day-over-day order
+    volume deltas — the randomness screen that catches trending or
+    oscillating series before anyone trusts an i.i.d. assumption
+    (too few runs ⇒ trending; too many ⇒ alternating).
+
+    The sequence is integer deltas of integer daily counts (zero
+    deltas dropped, the standard convention), runs counted as
+    1 + sign transitions via one lag window; E[R] = 2n₊n₋/n + 1 and
+    Var[R] = 2n₊n₋(2n₊n₋−n)/(n²(n−1)) are fixed expressions over the
+    exact integer counts, so z is identical cross-engine. Shape: one
+    scan → day-cardinality agg → two lag windows over the calendar
+    frame → one scalar row; calendar-bounded cost at any data size."""
+    o = load_tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("d")
+    delta = daily.select(
+        "d", (F.col("n") - F.lag("n").over(w)).alias("dn")
+    )
+    signs = delta.where(
+        F.col("dn").isNotNull() & (F.col("dn") != 0)
+    ).select("d", F.when(F.col("dn") > 0, 1).otherwise(-1).alias("s"))
+    trans = signs.select(
+        "s",
+        F.when(F.col("s") != F.lag("s").over(w), 1).otherwise(0).alias(
+            "flip"
+        ),
+    )
+    agg = trans.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("s") == 1, 1)).cast("long").alias("n_plus"),
+        F.count(F.when(F.col("s") == -1, 1)).cast("long").alias("n_minus"),
+        (1 + F.sum("flip")).cast("long").alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    npl, nmi = F.col("n_plus").cast("double"), F.col("n_minus").cast("double")
+    e_r = 2.0 * npl * nmi / n + 1.0
+    var_r = (
+        2.0 * npl * nmi * (2.0 * npl * nmi - n) / (n * n * (n - 1))
+    )
+    return agg.select(
+        F.col("n").alias("n_signs"),
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.round(
+            (F.col("n_runs").cast("double") - e_r) / F.sqrt(var_r), 4
+        ).alias("z_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness / Fano factor of daily event volume
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_burstiness_fano",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(y * y) AS DOUBLE) AS syy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(sy / n_days, 4) AS mean_daily,
+           round((syy - sy * sy / n_days) / (n_days - 1), 4) AS var_daily,
+           round((syy - sy * sy / n_days) / (n_days - 1)
+                 / (sy / n_days), 4) AS fano,
+           round((sqrt((syy - sy * sy / n_days) / (n_days - 1))
+                  - sy / n_days)
+                 / (sqrt((syy - sy * sy / n_days) / (n_days - 1))
+                    + sy / n_days), 4) AS burstiness
+    FROM s
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean, 1 under Poisson) and the
+    Goh-Barabási burstiness index B = (σ−μ)/(σ+μ) (−1 periodic,
+    0 Poisson, →1 bursty) of daily event volume per type — the
+    dispersion screen that decides whether rate-based alerting
+    (``events_anomaly_zscore``) can assume Poisson noise or needs the
+    heavier MAD/CUSUM machinery next door.
+
+    Sufficient-statistics pattern: exact integer (n, Σy, Σy²) per
+    type, every derived value a fixed IEEE expression over them —
+    same exactness story as ``events_trend_ols``. One scan, one
+    (type, day) agg with map-side partials, one types-cardinality
+    final agg."""
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("sy") / nd
+    var = (F.col("syy") - F.col("sy") * F.col("sy") / nd) / (nd - 1)
+    sd = F.sqrt(var)
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var, 4).alias("var_daily"),
+        F.round(var / mean, 4).alias("fano"),
+        F.round((sd - mean) / (sd + mean), 4).alias("burstiness"),
+    )

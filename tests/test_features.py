@@ -405,3 +405,68 @@ def test_pca_power_iteration_matches_numpy(spark, qs):
     # loadings are a unit vector; the Rayleigh quotient is a variance
     assert abs((got["loading"] ** 2).sum() - 1.0) < 1e-3
     assert got["eigval"].iloc[0] > 0
+
+
+def test_runs_test_matches_python(spark, qs):
+    got = qs["stats_runs_test"](spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    daily = (
+        o.assign(d=o["o_orderdate"].dt.floor("D"))
+        .groupby("d")
+        .size()
+        .sort_index()
+    )
+    deltas = daily.diff().dropna()
+    s = [1 if v > 0 else -1 for v in deltas if v != 0]
+    n, npl = len(s), sum(1 for v in s if v == 1)
+    nmi = n - npl
+    runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+    e_r = 2 * npl * nmi / n + 1
+    var_r = 2 * npl * nmi * (2 * npl * nmi - n) / (n * n * (n - 1))
+    assert got["n_signs"] == n
+    assert got["n_plus"] == npl
+    assert got["n_runs"] == runs
+    assert abs(got["z_runs"] - (runs - e_r) / var_r**0.5) < 1e-3
+
+
+def test_burstiness_fano_matches_pandas(spark, qs):
+    got = (
+        qs["events_burstiness_fano"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    daily = (
+        e.assign(d=e["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"])
+        .size()
+        .rename("y")
+        .reset_index()
+    )
+    for et, grp in daily.groupby("event_type"):
+        mean, var = grp["y"].mean(), grp["y"].var(ddof=1)
+        sd = var**0.5
+        assert got.loc[et, "n_days"] == len(grp)
+        assert abs(got.loc[et, "fano"] - var / mean) < 1e-3
+        assert abs(got.loc[et, "burstiness"] - (sd - mean) / (sd + mean)) < 1e-3
+    # burstiness is bounded in (-1, 1)
+    assert got["burstiness"].between(-1, 1).all()
+
+
+def test_freshness_slo_matches_pandas(spark, qs):
+    got = (
+        qs["ops_data_freshness_slo"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    last = e.groupby("event_type")["ts"].max()
+    # per-timestamp floor(epoch), matching the entry (NOT floor of the
+    # difference — sub-second fractions make those differ by 1)
+    ep = last.map(lambda t: t.value // 10**9)
+    lag = (ep.max() - ep).astype("int64")
+    assert (got["lag_sec"] == lag.sort_index()).all()
+    assert (got["within_slo"] == (lag.sort_index() <= 1800)).all()
+    assert (got["lag_sec"] == 0).any()  # the newest stream has zero lag
