@@ -470,3 +470,61 @@ def test_freshness_slo_matches_pandas(spark, qs):
     assert (got["lag_sec"] == lag.sort_index()).all()
     assert (got["within_slo"] == (lag.sort_index() <= 1800)).all()
     assert (got["lag_sec"] == 0).any()  # the newest stream has zero lag
+
+
+def test_cross_entry_consistency_r12(spark, qs):
+    """Product-vs-product invariants across the r12 entries — shared
+    quantities computed by independent plans must agree exactly."""
+    import math
+
+    # 1. WOE/IV and mutual information share the contingency table
+    woe = (
+        qs["ml_woe_iv"](spark, SF).toPandas().set_index("c_mktsegment")
+    )
+    mi = (
+        qs["ml_mutual_information"](spark, SF)
+        .toPandas()
+        .set_index("c_mktsegment")
+    )
+    assert (woe["n_pos"].sort_index() == mi["n_pos"].sort_index()).all()
+    assert (woe["n_neg"].sort_index() == mi["n_neg"].sort_index()).all()
+
+    # 2. k-fold label totals == the shared contingency table's totals
+    kf = qs["ml_kfold_assignment"](spark, SF).toPandas()
+    assert kf["n_pos"].sum() == woe["n_pos"].sum()
+    assert kf["n_orders"].sum() == (woe["n_pos"] + woe["n_neg"]).sum()
+
+    # 3. DP release: every noisy cell within the mechanism's hard noise
+    #    bound — max |Laplace^-1(u)| on the (k+0.5)/2^24 grid
+    dp = (
+        qs["privacy_dp_noisy_counts"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    raw = (
+        pd.read_parquet(f"{SF}/events.parquet")
+        .groupby("event_type")
+        .size()
+    )
+    bound = -math.log(1.0 / 16_777_216)  # eps=1, u at the grid edge
+    diffs = (dp["noisy_count"] - raw.reindex(dp.index)).abs()
+    assert (diffs <= bound + 1e-9).all()
+
+    # 4. burstiness entry's mean * days == the type's exact event count
+    bf = (
+        qs["events_burstiness_fano"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et, n in raw.items():
+        assert abs(bf.loc[et, "mean_daily"] * bf.loc[et, "n_days"] - n) < 0.5
+
+    # 5. freshness: lag of the globally newest stream is exactly zero,
+    #    and every event count matches the raw groupBy
+    fr = (
+        qs["ops_data_freshness_slo"](spark, SF)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (fr["n_events"].sort_index() == raw.sort_index()).all()
+    assert fr["lag_sec"].min() == 0
