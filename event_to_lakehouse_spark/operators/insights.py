@@ -1344,3 +1344,151 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_frac"),
         )
     )
+
+
+@query(
+    "stats_cohens_d_value",
+    f"""
+    WITH s AS (
+        SELECT
+            count(*) FILTER (event_type = '{TT_TYPE_A}') AS na,
+            sum(value) FILTER (event_type = '{TT_TYPE_A}') AS sa,
+            sum(value * value) FILTER (event_type = '{TT_TYPE_A}') AS qa,
+            count(*) FILTER (event_type = '{TT_TYPE_B}') AS nb,
+            sum(value) FILTER (event_type = '{TT_TYPE_B}') AS sb,
+            sum(value * value) FILTER (event_type = '{TT_TYPE_B}') AS qb
+        FROM events
+        WHERE event_type IN ('{TT_TYPE_A}', '{TT_TYPE_B}')
+          AND value IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb,
+               sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,
+               (qa - sa * sa / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)
+                 AS va,
+               (qb - sb * sb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)
+                 AS vb
+        FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma - mb, 4) AS mean_diff,
+           round(sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)), 4)
+             AS pooled_sd,
+           round((ma - mb)
+                 / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)), 4)
+             AS cohens_d
+    FROM m
+    """,
+)
+def stats_cohens_d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the same two arms
+    ``stats_welch_ttest`` compares — the magnitude the t-test's
+    p-value deliberately ignores (a significant-but-d≈0.02 difference
+    ships nothing). Pooled-SD convention: √(((n₁−1)s₁² + (n₂−1)s₂²)
+    /(n₁+n₂−2)).
+
+    Same sufficient-statistics shape as the t-test (one scan, six
+    conditional partial sums, fixed IEEE tree) — the two entries share
+    a contingency of moments, which the cross-entry pytest exploits:
+    d and t must satisfy t ≈ d·√(n₁n₂/(n₁+n₂)) up to the
+    equal-variance approximation."""
+    e = load_tables(spark, sf_dir)["events"]
+    pooled = e.where(
+        F.col("event_type").isin(TT_TYPE_A, TT_TYPE_B)
+        & F.col("value").isNotNull()
+    )
+    is_a = F.col("event_type") == TT_TYPE_A
+    is_b = F.col("event_type") == TT_TYPE_B
+    v = F.col("value")
+    s = pooled.agg(
+        F.count(F.when(is_a, 1)).alias("na"),
+        F.sum(F.when(is_a, v)).alias("sa"),
+        F.sum(F.when(is_a, v * v)).alias("qa"),
+        F.count(F.when(is_b, 1)).alias("nb"),
+        F.sum(F.when(is_b, v)).alias("sb"),
+        F.sum(F.when(is_b, v * v)).alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ma, mb = F.col("sa") / na, F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - 1)
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - 1)
+    pooled_sd = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    return s.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(ma - mb, 4).alias("mean_diff"),
+        F.round(pooled_sd, 4).alias("pooled_sd"),
+        F.round((ma - mb) / pooled_sd, 4).alias("cohens_d"),
+    )
+
+
+@query(
+    "orders_gini_concentration",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM cust
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS total,
+               CAST(sum(i * cents) AS BIGINT) AS weighted
+        FROM ranked
+    )
+    SELECT n AS n_customers, total AS total_cents,
+           round(2.0 * weighted / (CAST(n AS DOUBLE) * total)
+                 - (CAST(n AS DOUBLE) + 1) / n, 4) AS gini
+    FROM s
+    """,
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality summary next to ``events_pareto_concentration``'s
+    top-share curve (one number for dashboards, the full curve for
+    diagnosis). G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over ascending-sorted
+    per-customer totals.
+
+    EXACT: per-customer revenue is per-row-rounded integer cents
+    summed as BIGINT, the rank-weighted sum is BIGINT arithmetic
+    (tie order among equal totals cannot change Σ i·xᵢ — tied blocks
+    hold consecutive ranks whose sum is fixed), so the only doubles
+    are the final two divisions. Shape: one scan → customer-cardinality
+    agg → ONE global sort of the per-customer frame (the rank) → a
+    scalar agg; at 100 TB the sort is over customers, not facts, and a
+    quantile-sketch Lorenz approximation replaces it if even that is
+    too wide. int64 posture: i·x ≤ 10⁷·10¹² needs the sketch path long
+    before overflow at real scale; exact at every test SF."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            2.0 * F.col("weighted") / (n * F.col("total"))
+            - (n + 1) / n,
+            4,
+        ).alias("gini"),
+    )

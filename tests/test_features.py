@@ -528,3 +528,45 @@ def test_cross_entry_consistency_r12(spark, qs):
     )
     assert (fr["n_events"].sort_index() == raw.sort_index()).all()
     assert fr["lag_sec"].min() == 0
+
+
+def test_cohens_d_matches_pandas_and_ttest_relation(spark, qs):
+    got = qs["stats_cohens_d_value"](spark, SF).toPandas().iloc[0]
+    e = pd.read_parquet(f"{SF}/events.parquet")
+    e = e[e["value"].notna()]
+    a = e.loc[e["event_type"] == "click", "value"]
+    b = e.loc[e["event_type"] == "view", "value"]
+    na, nb = len(a), len(b)
+    pooled = (
+        ((na - 1) * a.var(ddof=1) + (nb - 1) * b.var(ddof=1))
+        / (na + nb - 2)
+    ) ** 0.5
+    d = (a.mean() - b.mean()) / pooled
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert abs(got["cohens_d"] - d) < 1e-3
+    # cross-entry relation: t ~= d * sqrt(n1 n2 / (n1+n2)) up to the
+    # equal-variance approximation (loose tolerance by design)
+    t = qs["stats_welch_ttest"](spark, SF).toPandas().iloc[0]["t_stat"]
+    approx_t = d * (na * nb / (na + nb)) ** 0.5
+    assert abs(t - approx_t) / max(abs(t), 1e-9) < 0.2
+
+
+def test_gini_matches_python(spark, qs):
+    got = qs["orders_gini_concentration"](spark, SF).toPandas().iloc[0]
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (
+        (o["o_totalprice"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(o["o_custkey"])
+        .sum()
+        .sort_values()
+        .tolist()
+    )
+    n, tot = len(cents), sum(cents)
+    weighted = sum((i + 1) * x for i, x in enumerate(cents))
+    gini = 2.0 * weighted / (n * tot) - (n + 1) / n
+    assert got["n_customers"] == n
+    assert got["total_cents"] == tot
+    assert abs(got["gini"] - gini) < 1e-3
+    assert 0.0 <= got["gini"] < 1.0
