@@ -40,7 +40,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -937,8 +937,31 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- perceptual image hashing (dHash) + image near-dup ----------------------
 
 DHASH_W, DHASH_H = 9, 8  # 8x8 gradient bits = a 64-bit fingerprint
-DHASH_BANDS = 4  # 4 x 16-bit bands for LSH-style candidate blocking
 DHASH_MAX_HAMMING = 10  # near-dup verdict threshold (of 64 bits)
+#: bands for LSH-style candidate blocking. Pigeonhole: a pair at
+#: Hamming distance d < n_bands MUST agree on at least one band, so
+#: DHASH_MAX_HAMMING + 1 bands make banded recall GUARANTEED at the
+#: default threshold (ADVICE r11 closed in code: 4 x 16-bit bands only
+#: guaranteed d <= 3 and silently dropped spread-bit pairs in [4, 10]).
+DHASH_BANDS = DHASH_MAX_HAMMING + 1
+#: hot-bucket cap, same discipline as dedup.minhash.MAX_BUCKET: an
+#: 11-band split of 64 bits gives 5-6-bit band values, so a degenerate
+#: band value (e.g. the all-zero gradient of flat images) can collect
+#: a corpus-scale bucket; pairs inside a dropped bucket are the ONLY
+#: recall exception, and they are the non-discriminative ones.
+DHASH_MAX_BUCKET = 200
+
+
+def _dhash_band_slices(n_bands: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band covering all 64 bits as evenly as
+    possible — 11 bands = 9x6 + 2x5 bits."""
+    base, rem = divmod(64, n_bands)
+    slices, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        slices.append((off, w))
+        off += w
+    return slices
 
 
 def image_dhash(payload: bytes) -> int:
@@ -1004,22 +1027,27 @@ def dhash_assets(assets: DataFrame) -> DataFrame:
 
 
 def phash_neardup_pairs(
-    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+    hashes: DataFrame,
+    max_hamming: int = DHASH_MAX_HAMMING,
+    max_bucket: int = DHASH_MAX_BUCKET,
 ) -> DataFrame:
     """(a, b, hamming): image near-dup pairs from banded blocking —
-    the SimHash discipline applied to the perceptual hash: split the
-    64 bits into ``DHASH_BANDS`` 16-bit bands; a pair is a CANDIDATE
-    iff it collides in at least one band, then the exact
-    ``bit_count(xor)`` verdict filters. Recall contract (ADVICE r11):
-    pigeonhole GUARANTEES a band collision only for Hamming distance
-    < ``DHASH_BANDS`` (4); for distances in [DHASH_BANDS,
-    max_hamming] recall is PROBABILISTIC — a true pair whose
-    differing bits spread across all 4 bands produces no candidate
-    and is missed. Raise DHASH_BANDS (narrower bands) for guaranteed
-    recall at a given threshold, or treat the output as a
-    high-precision candidate miner, as the dedup tier does.
+    the SimHash discipline applied to the perceptual hash, with the
+    multi-index-hashing band count (Norouzi et al.): split the 64 bits
+    into ``max_hamming + 1`` near-even bands; a pair is a CANDIDATE iff
+    it collides in at least one band, then the exact ``bit_count(xor)``
+    verdict filters. Recall contract (ADVICE r11, closed in code):
+    with ``n_bands = max_hamming + 1``, pigeonhole GUARANTEES every
+    pair at Hamming distance <= ``max_hamming`` shares an identical
+    band — recall is exact, not probabilistic. The only exception is
+    the hot-bucket guard: a band value held by more than ``max_bucket``
+    assets (a degenerate, non-discriminative value such as the all-zero
+    gradient of flat images) is dropped before the self-join, exactly
+    as ``dedup.minhash.guard_hot_buckets`` does — pass
+    ``max_bucket=None`` to disable and keep the guarantee absolute.
     Everything after the hash is JVM-side: band explode,
     hash-partitioned equi self-join, integer popcount."""
+    n_bands = min(max(max_hamming + 1, 1), 64)
     banded = hashes.select(
         "asset_id",
         "dhash",
@@ -1029,14 +1057,23 @@ def phash_neardup_pairs(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.expr(
-                            f"(dhash >> {16 * i}) & 65535"
+                            f"(dhash >> {off}) & {(1 << w) - 1}"
                         ).alias("val"),
                     )
-                    for i in range(DHASH_BANDS)
+                    for i, (off, w) in enumerate(
+                        _dhash_band_slices(n_bands)
+                    )
                 ]
             )
         ).alias("s"),
     ).select("asset_id", "dhash", "s.band", "s.val")
+    if max_bucket is not None:
+        win = Window.partitionBy("band", "val")
+        banded = (
+            banded.withColumn("bucket_n", F.count(F.lit(1)).over(win))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     a = banded.select(
         F.col("asset_id").alias("a"),
         F.col("dhash").alias("ha"),

@@ -558,3 +558,50 @@ def test_image_dhash_neardup_pairs(spark):
 
     for (a, b), d in pairs.items():
         assert d == py_ham(hv[a], hv[b]) <= DHASH_MAX_HAMMING
+
+
+def test_dhash_banding_guaranteed_recall(spark):
+    """ADVICE r11 closed in code: planted pairs at EVERY Hamming
+    distance in [4, 10] — with the differing bits deliberately spread
+    one-per-16-bit-quarter (the exact adversarial layout the old
+    4x16-bit banding missed) — are all found, because n_bands =
+    max_hamming + 1 pigeonholes an identical band for any pair at
+    distance <= max_hamming. A pair one past the threshold is planted
+    too and must be rejected by the exact popcount verdict."""
+    from event_to_lakehouse_spark.multimodal.binary import (
+        DHASH_BANDS,
+        DHASH_MAX_HAMMING,
+        _dhash_band_slices,
+        phash_neardup_pairs,
+    )
+
+    assert DHASH_BANDS == DHASH_MAX_HAMMING + 1
+    slices = _dhash_band_slices(DHASH_BANDS)
+    assert sum(w for _, w in slices) == 64
+    assert [off for off, _ in slices] == [
+        sum(w for _, w in slices[:i]) for i in range(len(slices))
+    ]
+
+    base = 0x5A5A_C3C3_0F0F_9696
+    rows = [(0, _signed64(base))]
+    # distance d: flip d bits spread across the 64-bit word so that
+    # every old 16-bit quarter carries at least one flip once d >= 4
+    for d in range(4, DHASH_MAX_HAMMING + 2):  # 4..10 plus one over
+        h = base
+        for j in range(d):
+            h ^= 1 << ((j * 16 + (j // 4) * 5) % 64)
+        assert bin(base ^ h).count("1") == d
+        rows.append((d, _signed64(h)))
+    df = spark.createDataFrame(rows, "asset_id long, dhash long")
+
+    pairs = {
+        (r.a, r.b): r.hamming for r in phash_neardup_pairs(df).collect()
+    }
+    for d in range(4, DHASH_MAX_HAMMING + 1):
+        assert (0, d) in pairs and pairs[(0, d)] == d, f"missed d={d}"
+    over = DHASH_MAX_HAMMING + 1
+    assert (0, over) not in pairs  # exact verdict rejects one-over
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= 1 << 63 else h
