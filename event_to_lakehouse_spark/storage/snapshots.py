@@ -1491,25 +1491,38 @@ def token_consistent_versions(*tables: "SnapshotTable") -> list[int | None]:
     incremental path where mid-stream readers exist. Untokened ad-hoc
     appends don't move any chain and are invisible to pinning.
 
-    PRECONDITION (ADVICE r11): the paired writers must NOT trim their
-    token chains (``keep_tokens`` must stay True for every table passed
-    here). Rewind matching is exact SET equality against the
-    intersection of the LATEST chains; a writer that bounds its chain
-    (as ``cdc_apply_stream`` and ``BloomIndex`` do on their own,
-    unpaired tables) makes historical windows unequal to that
-    intersection forever, and the pin silently degrades to
-    serve-latest. Current callers (``InvertedIndex``, ``StatsCatalog``)
-    write untrimmed chains; keep it that way or switch this matcher to
-    newest-common-token comparison first.
+    Matching is by NEWEST COMMON TOKEN (ADVICE r11, closed in code):
+    the frontier is the newest token every latest chain still carries
+    (paired writers append batch tokens in the same order, so position
+    in any one chain orders the candidates), and each table pins to the
+    newest version whose chain ENDS in that token — i.e. the last
+    commit before the table moved past the frontier. Because only the
+    chain TAIL is compared, a writer that bounds its chain
+    (``keep_tokens`` as an int, the ``cdc_apply_stream`` / ``BloomIndex``
+    discipline) still gets exact consistent reads: trimming rewrites
+    history's prefix, never the tail. The only requirement is that the
+    retained window still overlaps across tables — disjoint windows
+    have no common token and serve latest (explicit, safe: the race
+    window is one batch wide; trim horizons are many batches).
     """
     snaps = [t.snapshot() for t in tables]
     if any(s is None for s in snaps):
         return [None] * len(tables)
-    sets = [set(s.batch_tokens) for s in snaps]
-    common = set.intersection(*sets)
+    chains = [list(s.batch_tokens) for s in snaps]
+    others = [set(c) for c in chains[1:]]
+    target = next(
+        (
+            tok
+            for tok in reversed(chains[0])
+            if all(tok in o for o in others)
+        ),
+        None,
+    )
+    if target is None:
+        return [None] * len(tables)  # no common token: serve latest
     pinned: list[int | None] = []
-    for t, s, toks in zip(tables, snaps, sets):
-        if toks == common:
+    for t, s, chain in zip(tables, snaps, chains):
+        if chain and chain[-1] == target:
             pinned.append(s.version)
             continue
         choice: int | None = s.version
@@ -1518,7 +1531,9 @@ def token_consistent_versions(*tables: "SnapshotTable") -> list[int | None]:
                 sv = t.snapshot(v)
             except FileNotFoundError:
                 break  # vacuumed past the frontier: serve latest
-            if sv is not None and set(sv.batch_tokens) == common:
+            if sv is not None and (
+                list(sv.batch_tokens)[-1:] == [target]
+            ):
                 choice = v
                 break
         pinned.append(choice)

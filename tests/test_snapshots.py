@@ -981,3 +981,46 @@ def test_vacuum_sweeps_changelog_sidecars(spark, tmp_dir):
     assert [p.name for p in root.iterdir()] == ["v3"]
     # the surviving sidecar is intact (-pre/+post of v3)
     assert spark.read.parquet(str(root / "v3")).count() == 2
+
+
+def test_token_pin_survives_chain_trimming_writer(spark, tmp_dir):
+    """ADVICE r11 closed in code: token_consistent_versions now matches
+    on the NEWEST COMMON TOKEN (chain tail), not full-set equality, so
+    a writer that bounds its token chain (keep_tokens as an int) still
+    gets an exact consistent historical read. Old behavior: the
+    trimmed table's historical windows never set-equal the
+    intersection, silently degrading the pin to serve-latest — exactly
+    the mismatched-corpora read the pin exists to prevent."""
+    from event_to_lakehouse_spark.storage.snapshots import (
+        token_consistent_versions,
+    )
+
+    a = SnapshotTable(spark, f"{tmp_dir}/a")  # trimming writer
+    b = SnapshotTable(spark, f"{tmp_dir}/b")  # untrimmed partner
+    for i in range(6):
+        a.append(_batch(spark, i * 10, 10), batch_token=f"b{i}",
+                 keep_tokens=3)
+        b.append(_batch(spark, i * 10, 10), batch_token=f"b{i}")
+
+    # crash window: batch b6 lands on A only; A's trimmed chain is
+    # [b4, b5, b6], B's is [b0..b5] — set-intersection equality can
+    # never hold, but the newest common token is b5.
+    a.append(_batch(spark, 60, 10), batch_token="b6", keep_tokens=3)
+    pa, pb = token_consistent_versions(a, b)
+    assert pb == b.snapshot().version  # partner serves latest
+    assert pa == a.snapshot().version - 1  # ahead table rewinds one
+    assert a.read(version=pa).count() == 60  # b6's rows excluded
+    assert b.read(version=pb).count() == 60  # same corpus frontier
+
+    # retry completes the batch on B: both serve latest again
+    b.append(_batch(spark, 60, 10), batch_token="b6")
+    assert token_consistent_versions(a, b) == [
+        a.snapshot().version,
+        b.snapshot().version,
+    ]
+
+    # disjoint retained windows (trim horizon passed with no common
+    # token) fall back to serve-latest explicitly, never mis-pin
+    c = SnapshotTable(spark, f"{tmp_dir}/c")
+    c.append(_batch(spark, 0, 5), batch_token="z9")
+    assert token_consistent_versions(a, c) == [None, None]
