@@ -92,12 +92,13 @@ def coarse_centroids_trained(
     micro grid so every step is cross-engine bit-checkable (snap once,
     integer-L2 argmin assignment, round(sum/n) integer-division update,
     empty cells keep their previous centroid). Initialized from the
-    deterministic ``vec_id % stride == 0`` sample, so ``n_iters=0``
-    degenerates to the untrained stride centroids UP TO micro-grid
-    rounding (ADVICE r11: the snap/unsnap round-trip leaves up to
-    5e-7 per-dimension drift vs the raw embeddings ``build()``'s
-    untrained branch pins — use that branch, not ``n_iters=0``, when
-    bit-exact stride centroids matter).
+    deterministic ``vec_id % stride == 0`` sample; ``n_iters=0``
+    short-circuits to the RAW stride centroids — bit-exact equal to
+    ``build()``'s untrained branch, never touching the micro grid
+    (ADVICE r11, closed in code: the snap/unsnap round-trip used to
+    leave up to 5e-7 per-dimension drift in the degenerate case; the
+    grid exists to make ITERATIONS cross-engine checkable, so zero
+    iterations take zero grid trips).
 
     Scale shape per iteration: assignment is a broadcast of the ≤
     ``IVFPQ_MAX_CELLS``-row centroid frame against the training corpus
@@ -105,6 +106,14 @@ def coarse_centroids_trained(
     update shuffles only cells × EMB_DIM partial sums per partition.
     Training is decoupled from indexing (train on a sample, index the
     firehose), so even that linear pass is sample-sized in production."""
+    from ..functions.vectors import l2_norm
+
+    if n_iters <= 0:
+        return emb.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+        )
     v = emb.select(
         "vec_id",
         F.expr(
@@ -149,8 +158,6 @@ def coarse_centroids_trained(
         cents = cents.join(upd, "cent_id", "left").select(
             "cent_id", F.coalesce("new_c", "c").alias("c")
         )
-    from ..functions.vectors import l2_norm
-
     return cents.select(
         "cent_id",
         F.expr(f"transform(c, x -> CAST(x AS DOUBLE) / {_MICRO})").alias(
@@ -163,7 +170,14 @@ def _coarse_trained_ctes(stride_sql: str, n_iters: int) -> str:
     """The coarse Lloyd loop as chained CTEs, ending in the SAME
     ``centc(ccent_id, cc_emb)`` shape the untrained oracle's stride
     sample produces — every iteration's integer assignment and update
-    is value-checked, exactly like ``_pq_trained_cent_ctes``."""
+    is value-checked, exactly like ``_pq_trained_cent_ctes``.
+    ``n_iters=0`` mirrors the Python short-circuit: raw stride
+    embeddings, no micro-grid round trip."""
+    if n_iters <= 0:
+        return f"""centc AS (
+      SELECT vec_id AS ccent_id, embedding AS cc_emb
+      FROM embeddings WHERE vec_id % ({stride_sql}) = 0
+    )"""
     d2 = (
         "CAST(list_sum(list_transform(list_zip({a}, {b}),"
         " p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"

@@ -1071,16 +1071,18 @@ class SnapshotTable:
         surfaces as ValueError (consumers fall back to a rebuild, never
         to silently wrong deltas).
 
-        FEED-IDENTITY CONTRACT (ADVICE r11): row identity is
-        ``(key, order_col[, tiebreak])`` — ``order_col`` is the VERSION
-        column. A CDC source MUST strictly increase ``order_col``
-        whenever any payload column changes; an upsert that alters
-        payload while REUSING the base row's order_col value is treated
-        as the same version — the feed emits nothing for it, while
-        ``latest_per_key``'s winner for that tie is nondeterministic,
-        so the fact table may change under a silent feed. Sources that
-        cannot guarantee monotone versions should synthesize one
-        (ingest timestamp, log offset) before calling this.
+        FEED-IDENTITY CONTRACT (ADVICE r11, closed in code): row
+        identity for the feed is ``(key, order_col[, tiebreak])`` PLUS
+        a full-row fingerprint, and the merge's tie rule is
+        deterministic — at equal ``(order_col, tiebreak)`` the batch
+        row beats the base row (last-writer-wins at equal version). An
+        upsert that alters payload while REUSING the base row's
+        order_col therefore APPLIES, and the feed emits '-' for the
+        old payload and '+' for the new one; a byte-identical reapply
+        emits nothing. A silent-divergence feed (table changed, feed
+        empty) is impossible by construction. Well-behaved CDC sources
+        should still strictly increase ``order_col`` on payload change;
+        the fingerprint is the safety net, not the contract.
 
         Semantics: the per-key verdict is the NEWEST change in the
         batch by ``order_col`` (ties broken by ``tiebreak``, falling
@@ -1135,13 +1137,30 @@ class SnapshotTable:
         evolved = self._evolve(snap.schema, upserts)
         pre_images = None
         if touched:
+            from pyspark.sql import Window
+
             base = self._read_files([f["path"] for f in touched], snap.schema)
             kept = base.join(del_keys, key, "left_anti")
-            merged = latest_per_key(
-                kept.unionByName(upserts, allowMissingColumns=True),
-                key,
-                order_col,
-                tiebreak,
+            # Latest-wins with a DETERMINISTIC full-identity tie rule
+            # (ADVICE r11, closed in code): at equal
+            # (order_col, tiebreak) the BATCH row beats the base row —
+            # last-writer-wins at equal version — instead of
+            # row_number's arbitrary pick. Without this, an upsert that
+            # rewrites payload under a reused identity applied or
+            # vanished at random, and no feed could be truthful about it.
+            pool = kept.withColumn("_pref", F.lit(0)).unionByName(
+                upserts.withColumn("_pref", F.lit(1)),
+                allowMissingColumns=True,
+            )
+            w = Window.partitionBy(key).orderBy(
+                F.col(order_col).desc(),
+                F.col(tiebreak or key).desc(),
+                F.col("_pref").desc(),
+            )
+            merged = (
+                pool.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_pref")
             )
             if changelog:
                 # pre-images: every base row whose key the batch touched
@@ -1173,23 +1192,59 @@ class SnapshotTable:
             # surviving pre-image and '+' for the never-applied upsert
             # would silently diverge change_feed consumers
             # (RollupView._fold_feed) from the fact table. Row identity
-            # is (key, order_col[, tiebreak]): order_col IS the version
-            # column — the latest_per_key contract treats rows sharing
-            # it (after the tiebreak) as the same version.
+            # is (key, order_col[, tiebreak]) PLUS a full-row
+            # fingerprint (ADVICE r11, closed in code): an upsert that
+            # REUSES a base row's (key, order_col) with a different
+            # payload previously matched on ident alone and emitted
+            # nothing — a silent-divergence feed (table changed, feed
+            # empty). The xxhash64 over every evolved column makes such
+            # a rewrite emit '-' old / '+' new; a byte-identical
+            # reapply still nets to no emission. Pre-images are lifted
+            # to the evolved schema (missing columns null, shared
+            # columns cast) so the compare never differs on dtype alone.
             ident = [key, order_col] + ([tiebreak] if tiebreak else [])
-            applied = merged.join(net.select(key).distinct(), key, "semi")
+            # Read the APPLIED rows back from the files the commit just
+            # wrote instead of recomputing the merge plan: the feed's
+            # two sides then scan independent parquet (no shared
+            # window/union lineage to re-execute), which is both
+            # cheaper and immune to exchange-reuse planner quirks.
+            applied_rows = self._read_files(
+                [f["path"] for f in self._file_entries(commit_dir)],
+                evolved,
+            )
+            applied = applied_rows.join(
+                net.select(key).distinct(), key, "semi"
+            )
             plus = applied
             feed = None
             if pre_images is not None:
                 # '+' only for net-key rows actually present in merged
-                # that are NOT a surviving base row; '-' only for base
-                # rows actually replaced or deleted.
-                plus = applied.join(
-                    pre_images.select(*ident), ident, "left_anti"
+                # that are NOT a surviving base row (same ident AND
+                # same payload); '-' only for base rows actually
+                # replaced, rewritten in place, or deleted.
+                cols = applied.columns
+                lifted = pre_images
+                for fld in merged.schema.fields:
+                    src = (
+                        F.col(fld.name)
+                        if fld.name in lifted.columns
+                        else F.lit(None)
+                    )
+                    lifted = lifted.withColumn(
+                        fld.name, src.cast(fld.dataType)
+                    )
+                lifted = lifted.select(*cols)
+                app_fp = applied.withColumn("_row_fp", F.xxhash64(*cols))
+                pre_fp = lifted.withColumn("_row_fp", F.xxhash64(*cols))
+                on = ident + ["_row_fp"]
+                plus = app_fp.join(
+                    pre_fp.select(*on), on, "left_anti"
+                ).drop("_row_fp")
+                feed = (
+                    pre_fp.join(app_fp.select(*on), on, "left_anti")
+                    .drop("_row_fp")
+                    .withColumn("_change", F.lit("-"))
                 )
-                feed = pre_images.join(
-                    applied.select(*ident), ident, "left_anti"
-                ).withColumn("_change", F.lit("-"))
             plus = plus.withColumn("_change", F.lit("+"))
             feed = (
                 plus

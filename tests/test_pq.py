@@ -595,3 +595,36 @@ def test_trained_residual_codebook_reduces_reconstruction_error(spark):
     seed_err = err(pq_codebook(resid))
     trained_err = err(pq_codebook_trained(resid, PQ_TRAIN_ITERS))
     assert trained_err < seed_err
+
+
+def test_coarse_n_iters_zero_is_bit_exact_stride_sample(spark):
+    """ADVICE r11 closed in code: ``coarse_centroids_trained`` with
+    ``n_iters=0`` returns the RAW stride centroids bit-exact — equal to
+    ``build()``'s untrained branch — instead of a micro-grid snapped
+    copy that drifted up to 5e-7 per dimension. The micro grid is for
+    checking ITERATIONS; zero iterations take zero grid trips."""
+    from event_to_lakehouse_spark.functions.vectors import l2_norm
+    from event_to_lakehouse_spark.similarity.ivfpq import (
+        coarse_centroids_trained,
+    )
+
+    emb = load_tables(spark, SF)["embeddings"].select("vec_id", "embedding")
+    stride = 7
+    got = {
+        r.cent_id: (list(r.c_emb), r.c_norm)
+        for r in coarse_centroids_trained(emb, stride, 0).collect()
+    }
+    want = {
+        r.cent_id: (list(r.c_emb), r.c_norm)
+        for r in emb.filter(F.col("vec_id") % stride == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_norm"),
+        )
+        .collect()
+    }
+    assert got == want  # exact float equality, no tolerance
+    # one iteration still rides the grid (trained path unchanged)
+    trained = coarse_centroids_trained(emb, stride, 1)
+    assert trained.count() == len(want)

@@ -1024,3 +1024,56 @@ def test_token_pin_survives_chain_trimming_writer(spark, tmp_dir):
     c = SnapshotTable(spark, f"{tmp_dir}/c")
     c.append(_batch(spark, 0, 5), batch_token="z9")
     assert token_consistent_versions(a, c) == [None, None]
+
+
+def test_changelog_detects_payload_change_under_reused_order_col(
+    spark, tmp_dir
+):
+    """ADVICE r11 closed in code: an upsert that rewrites a base row's
+    payload under a REUSED (key, order_col) used to (a) win or lose
+    the merge tie NONDETERMINISTICALLY and (b) match the pre-image on
+    identity alone and emit NOTHING — the table could change while the
+    feed stayed empty, silently diverging every change_feed consumer.
+    Now the tie rule is deterministic (batch row wins at equal
+    version: last-writer-wins) and feed identity carries a full-row
+    fingerprint, so the rewrite emits '-' old / '+' new; a
+    byte-identical reapply still emits nothing; and folding the feed
+    over the pre-state reproduces the table."""
+    t = SnapshotTable(spark, f"{tmp_dir}/cdc2", stats_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(1, 5, "alpha"), (2, 5, "beta")], ["id", "ord", "val"]
+        )
+    )
+    v1 = t.snapshot().version
+    pre = [tuple(r) for r in t.read().collect()]
+
+    # key 1: same (id, ord), new payload — the deterministic tie rule
+    #        applies it (alpha -> ALPHA) and the feed must say so
+    # key 2: byte-identical reapply -> must stay silent
+    t.apply_changes(
+        spark.createDataFrame(
+            [(1, 5, "ALPHA", "U"), (2, 5, "beta", "U")],
+            "id long, ord long, val string, _op string",
+        ),
+        key="id",
+        order_col="ord",
+        changelog=True,
+    )
+    assert {r.id: r.val for r in t.read().collect()} == {
+        1: "ALPHA",
+        2: "beta",
+    }
+    feed = sorted(
+        (r.id, r.ord, r.val, r._change)
+        for r in t.change_feed(v1).collect()
+    )
+    assert feed == [(1, 5, "ALPHA", "+"), (1, 5, "alpha", "-")]
+
+    # divergence impossible: pre-state + feed == post-state
+    minus = {(r.id, r.ord, r.val) for r in t.change_feed(v1).collect()
+             if r._change == "-"}
+    plus = [(r.id, r.ord, r.val) for r in t.change_feed(v1).collect()
+            if r._change == "+"]
+    folded = sorted([r for r in pre if r not in minus] + plus)
+    assert folded == sorted(tuple(r) for r in t.read().collect())
