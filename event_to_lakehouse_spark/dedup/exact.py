@@ -107,7 +107,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RECRAWL_OFFSET = 10_000_000  # synthetic re-crawl doc_id namespace
+#: synthetic re-crawl doc_id namespace starts at max(doc_id)+1
+#: (ADVICE r12, closed in code: a fixed 10M constant silently aliased
+#: organic doc_ids >= 10M on a bigger corpus, corrupting min-doc_id
+#: survivor accounting; deriving from the corpus maximum can never
+#: collide). Both engines compute it as the same scalar subquery.
+RECRAWL_OFFSET_SQL = "(SELECT max(doc_id) + 1 FROM documents)"
 RECRAWL_MOD = 10  # every 10th doc arrives twice
 
 
@@ -117,7 +122,7 @@ RECRAWL_MOD = 10  # every 10th doc arrives twice
     WITH corpus AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
-        SELECT doc_id + {RECRAWL_OFFSET} AS doc_id, source, text
+        SELECT doc_id + {RECRAWL_OFFSET_SQL} AS doc_id, source, text
         FROM documents WHERE doc_id % {RECRAWL_MOD} = 0
     ),
     fp AS (
@@ -151,9 +156,11 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic corpus has no exact duplicates, so the entry unions
     in a deterministic RE-CRAWL slice (every RECRAWL_MOD-th doc again
-    under a shifted doc_id namespace) — the arrival pattern dedup
-    exists for — making both the dup-rate and the survivorship
-    accounting non-trivial and hash-checked. Composes the certified
+    under a shifted doc_id namespace starting at max(doc_id)+1, a
+    broadcast scalar both engines derive from the corpus itself — see
+    RECRAWL_OFFSET_SQL) — the arrival pattern dedup exists for —
+    making both the dup-rate and the survivorship accounting
+    non-trivial and hash-checked. Composes the certified
     fingerprint (normalize→sha256, identical to ``dedup_exact_groups``)
     with the token counter the text tier uses, so the report is
     consistent with both families by construction. Survivor membership
@@ -164,9 +171,12 @@ def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fingerprint group-by the dedup itself already pays for."""
     t = load_tables(spark, sf_dir)
     base = t["documents"].select("doc_id", "source", "text")
+    off = base.agg((F.max("doc_id") + 1).alias("_recrawl_off"))
     corpus = base.unionByName(
-        base.filter(F.col("doc_id") % RECRAWL_MOD == 0).select(
-            (F.col("doc_id") + RECRAWL_OFFSET).alias("doc_id"),
+        base.filter(F.col("doc_id") % RECRAWL_MOD == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("_recrawl_off")).alias("doc_id"),
             "source",
             "text",
         )

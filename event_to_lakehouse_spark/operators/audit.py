@@ -992,8 +992,18 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace⁻¹(u) = -(1/eps)·sign(u-1/2)·ln(1-2|u-1/2|) — so the release
     is reproducible (same seed ⇒ same table, the property an audited
     publication pipeline needs) and DuckDB certifies every noisy cell
-    bit-identically. A production rotation would swap DP_SEED per
-    release. Offset +0.5 keeps u strictly inside (0,1): ln(0) is
+    bit-identically.
+
+    MECHANISM DEMONSTRATION, NOT A PRIVACY-PROVIDING RELEASE (ADVICE
+    r12): DP_SEED here is a public code constant, so anyone reading
+    the repo can reconstruct every Laplace draw exactly and recover
+    the true counts — the stated eps-DP guarantee holds ONLY if the
+    seed is generated secretly per release (a CSPRNG draw), never
+    persisted, and discarded after the noise is applied. Rotating to
+    another KNOWN seed still voids the guarantee. This entry exists to
+    certify the mechanism's arithmetic cross-engine; a real release
+    swaps the seeded hash for secret entropy and gives up the oracle.
+    Offset +0.5 keeps u strictly inside (0,1): ln(0) is
     unreachable, and u=0.5 (noise exactly 0) is well-defined. Shape:
     one scan, one key-cardinality agg, map-side-computable noise — the
     same cost as the raw histogram at any scale."""
@@ -1071,8 +1081,13 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     The coin is the same seeded portable-hash uniform the Laplace
     release uses (``privacy_dp_noisy_counts``) — reproducible by seed,
     so the oracle certifies every flip and the debiased estimate
-    cell-by-cell; the true rate rides along purely as certification
-    (a production release drops it). All comparisons are against
+    cell-by-cell; the true rate rides along purely as certification.
+    MECHANISM DEMONSTRATION, NOT A PRIVACY-PROVIDING RELEASE (ADVICE
+    r12): with the seed a public code constant every flip is exactly
+    reconstructable, so the plausible-deniability claim holds ONLY
+    with a secret, discarded, per-release seed — and a real release
+    also drops the true_rate column, which this entry emits solely so
+    the oracle can certify the debiasing. All comparisons are against
     literal thresholds on identical doubles — exact both engines.
     Shape: one scan, one key-cardinality agg; the mechanism is
     map-side arithmetic, free at 100 TB."""

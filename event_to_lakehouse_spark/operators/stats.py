@@ -642,18 +642,16 @@ def stats_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     final z). U_a = R_a − n_a(n_a+1)/2; z uses the no-tie-correction
     normal approximation (documented; the correction term is a fixed
     expression over tie-group sizes if ever needed). Shape: one scan,
-    ONE global sort of the two types' rows (the rank), then scalar
-    aggregation — at 100 TB you'd swap the exact rank for a quantile-
-    sketch approximation, same downstream formula.
+    then a RANGE-PARTITIONED exact rank (``_global_row_numbers``,
+    ADVICE r12 — no single-partition sort; bit-identical values), then
+    scalar aggregation.
     """
     e = load_tables(spark, sf_dir)["events"]
     pooled = e.where(
         F.col("event_type").isin(MW_TYPE_A, MW_TYPE_B)
         & F.col("value").isNotNull()
     ).select("event_type", "value", "event_id")
-    ranked = pooled.withColumn(
-        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
-    )
+    ranked = _global_row_numbers(pooled, "value", "event_id")
     wv = Window.partitionBy("value")
     tied = ranked.select(
         "event_type",
@@ -1368,6 +1366,53 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _global_row_numbers(
+    df: DataFrame, value_col: str, id_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """``df`` + ``rn``: EXACT global row_number over
+    ``(value_col, id_col)`` without the single-partition sort a bare
+    ``Window.orderBy`` plans (ADVICE r12: that sort was the registry's
+    worst 10x-probe entry). Range-partitioned ranking: sample B-1
+    value splits, bucket each row by how many splits lie strictly
+    below its value (equal values always share a bucket, so tie
+    blocks never straddle a boundary), row_number within each bucket,
+    then shift by the broadcast prefix-count of lower buckets. The
+    rank values are bit-identical for ANY monotone split set, so the
+    sketched splits (percentile_approx) affect only load balance,
+    never results — which is also why the DuckDB oracles keep their
+    one-line global sort. Driver traffic: one collect of <= B-1
+    doubles (metadata-scale). Widest task state: ~n/B rows; B scales
+    with the cluster (64 here, thousands on a real one)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile_approx(value_col, qs, 1000).alias("s")
+    ).first()
+    splits = sorted(set(row["s"] or [])) if row is not None else []
+    bkt = F.lit(0)
+    for s in splits:
+        bkt = bkt + F.when(F.col(value_col) > F.lit(s), 1).otherwise(0)
+    b = df.withColumn("_bkt", bkt.cast("int"))
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = counts.select(
+        "_bkt",
+        (
+            F.sum("_c").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_c")
+        ).alias("_off"),
+    )
+    w = Window.partitionBy("_bkt").orderBy(value_col, id_col)
+    return (
+        b.withColumn("_brn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_bkt")
+        .withColumn("rn", F.col("_off") + F.col("_brn"))
+        .drop("_bkt", "_brn", "_off")
+    )
+
+
 @query(
     "stats_kruskal_wallis",
     """
@@ -1428,17 +1473,21 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     every group rank-sum is exact FP addition. H = 12/(N(N+1)) ·
     Σ R_g²/n_g − 3(N+1); the tie-corrected H divides by
     1 − Σ(t³−t)/(N³−N) with t the tie-group sizes (both sides compute
-    the same fixed expression tree). Shape: one scan, one global rank
-    sort, a k-cardinality group agg, plus a value-cardinality tie agg
-    folded in as a scalar broadcast — at 100 TB the exact rank swaps
-    for a quantile-sketch rank, same downstream formula."""
+    the same fixed expression tree).
+
+    Shape (ADVICE r12, closed in code): the global rank is
+    RANGE-PARTITIONED via ``_global_row_numbers`` — sampled value
+    splits bucket the pool, row_number runs per bucket, and a
+    broadcast bucket-count prefix shifts each bucket to its global
+    offset. The widest task state is n/B rows instead of the whole
+    pooled fact table (the r12 10x probe's 3.6x worst case was this
+    one single-partition sort); the rank VALUES are bit-identical for
+    any monotone split set, so the oracle keeps its one global sort."""
     e = load_tables(spark, sf_dir)["events"]
     pooled = e.filter(F.col("value").isNotNull()).select(
         "event_type", "value", "event_id"
     )
-    ranked = pooled.withColumn(
-        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
-    )
+    ranked = _global_row_numbers(pooled, "value", "event_id")
     wv = Window.partitionBy("value")
     tied = ranked.select(
         "event_type",
