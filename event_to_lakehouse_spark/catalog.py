@@ -105,8 +105,34 @@ FINAL_CATALOG: list[str] = [
     "events_windowed_agg",
     "dedup_exact",
     "text_enrich",
-    "text_samples",
-    "gold_asset_posture",
+    # r13 swap (VERDICT r12 #3): ops_cbo_advised_join in, text_samples
+    # retired (multi-sibling containment: the deterministic sample's
+    # seeded-hash threshold filter is the same portable-hash scalar
+    # leg the seated dedup_bloom_prefilter builds its bitmap from and
+    # scalar_functions_suite's sha2-uid certifies; the stratified
+    # sample's per-group window pick is a strict subset of
+    # window_analytics' seated ranking suite. The retired entry stays
+    # registry+pytest+oracle-green.) The promoted entry brings the one
+    # plan family NO seat exercises: STATS-DRIVEN strategy selection —
+    # the advised join reads the durable StatsCatalog (metadata-scale
+    # row counts + KMV sketches), picks broadcast vs shuffle from the
+    # advice, and constructs that join; the live plan FLIP under
+    # flipped stats is pinned by test_stats_catalog, and the oracle
+    # certifies the joined values strategy-invariantly.
+    "ops_cbo_advised_join",
+    # r13 swap (VERDICT r12 #3): privacy_k_anonymize in,
+    # gold_asset_posture retired (multi-sibling containment: its
+    # latest-per-key rn=1 pick is a strict subset of the seated
+    # gold_scd2_history's row_number/lag/lead window stack, and its
+    # conditional posture aggregate is the same conditional-sum shape
+    # the seated quality_expectations_report runs per table. The
+    # retired entry stays registry+pytest+oracle-green.) The promoted
+    # entry carries the gauge-LADDER plan family no seat exercises:
+    # iterative quasi-identifier generalization (coarsening rollups
+    # re-gauged per rung, each rung a metadata-scale .first() probe),
+    # then below-k group suppression via a broadcast semi-join — the
+    # k-anonymization TRANSFORM, not just the gauge.
+    "privacy_k_anonymize",
     "q2_min_cost_per_part",
     "q9_product_profit",
     "q13_order_count_distribution",
@@ -131,7 +157,23 @@ FINAL_CATALOG: list[str] = [
     # (VERDICT r3 #1); the xxhash64 production flavors stay in the
     # master registry, pytest-pinned.
     "dedup_minhash_lsh_portable",
-    "dedup_simhash_pairs_portable",
+    # r13 swap (VERDICT r12 #3): ml_target_encoding in,
+    # dedup_simhash_pairs_portable retired (multi-sibling containment:
+    # its band-explode -> hash-partitioned equi self-join -> DISTINCT
+    # candidate pipeline is the IDENTICAL shape of the seated
+    # dedup_minhash_lsh_portable's band-bucket join; its bitwise
+    # XOR/popcount verdict stays certified through the seated
+    # dedup_bloom_prefilter's bitwise bitmap probe and the planted-pair
+    # Hamming pins in test_multimodal/test_dedup_similarity. The
+    # retired entry stays registry+pytest+oracle-green.) The promoted
+    # entry brings the ML-feature fit+transform plan family no seat
+    # exercises: smoothed target encoding in ONE plan — a
+    # category-cardinality sufficient-statistics fit (integer counts,
+    # m-estimate shrinkage toward the global prior), the fitted
+    # encoder BROADCAST back onto the fact rows (train/apply in the
+    # same DAG, the feature-store serving shape), and a report
+    # aggregate that hash-checks both the fit and the application.
+    "ml_target_encoding",
     # r10 swap: ann_pq_trained_adc_topk in, dedup_embedding_neardup
     # retired (multi-sibling containment: its blocked-pair generation —
     # posexplode block keys -> hash-partitioned equi self-join ->

@@ -212,6 +212,8 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
         # seats above, so it inherits exactly their intended
         # broadcast-NL sites (centroid assignment + 1-row BM25 stats):
         "retrieval_hybrid_index_persisted",
+        # r13 seat swap — same scalar pattern as the r5 rows above:
+        "ml_target_encoding",  # 5 category rows × broadcast 1-row prior totals
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():
