@@ -582,6 +582,15 @@ def main() -> None:
                 ab[name]["cpu_ratio"] = (
                     round(bcm / acm, 3) if acm > 0 else None
                 )
+                # min-vs-min is the steady-state CPU estimator: JIT/
+                # codegen warm-up and GC only ever ADD cpu-seconds to
+                # a pass, so the minimum over passes approaches the
+                # converged cost from above on both sides (the r12 q9
+                # "cpu_ratio 2.705" was exactly a warm-up pass landing
+                # inside a 3-run median — see BENCH_NOTES.md).
+                ab[name]["cpu_min_ratio"] = (
+                    round(min(bct) / min(act), 3) if min(act) > 0 else None
+                )
         detail["ab"] = ab
         out["ab_baseline_ref"] = baseline[0][:12]
         ratios = sorted(v["ratio"] for v in ab.values() if v["ratio"])
@@ -597,6 +606,21 @@ def main() -> None:
             out["ab_median_cpu_ratio"] = round(
                 cpu_ratios[len(cpu_ratios) // 2], 3
             )
+        # CPU-RATIO ALARM (VERDICT r12 #4): a shared query whose
+        # STEADY-STATE cpu ratio (min-vs-min, warm-up-immune — see
+        # above) moves past 2x is flagged by NAME in the headline even
+        # when its wall ratio hides inside the drift band (the r12
+        # case: q9 at median-cpu 2.705 / wall 1.277 surfaced only
+        # because a human read the raw A/B block; its min-ratio was
+        # ~1, which is why the alarm keys on min). An alarm is a
+        # profile-this-query order for the round, not a verdict.
+        alarms = sorted(
+            n for n, v in ab.items()
+            if (v.get("cpu_min_ratio") or 0) > 2.0
+        )
+        if alarms:
+            out["cpu_alarms"] = alarms[:8]  # headline size cap
+            detail["cpu_alarms_full"] = alarms
         # Total over only the queries BOTH sides ran — the number to
         # compare against the previous round's total when HEADLINE
         # gained entries this round (the raw "value" would inflate).
