@@ -1460,22 +1460,22 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tie order among equal totals cannot change Σ i·xᵢ — tied blocks
     hold consecutive ranks whose sum is fixed), so the only doubles
     are the final two divisions. Shape: one scan → customer-cardinality
-    agg → ONE global sort of the per-customer frame (the rank) → a
-    scalar agg; at 100 TB the sort is over customers, not facts, and a
-    quantile-sketch Lorenz approximation replaces it if even that is
-    too wide. int64 posture: i·x ≤ 10⁷·10¹² needs the sketch path long
-    before overflow at real scale; exact at every test SF."""
+    agg → a RANGE-PARTITIONED exact rank of the per-customer frame
+    (``stats._global_row_numbers``, ADVICE r12 follow-through: no
+    single-partition sort even at customer cardinality; rank values
+    bit-identical) → a scalar agg. int64 posture: i·x ≤ 10⁷·10¹² needs
+    a quantile-sketch Lorenz path long before overflow at real scale;
+    exact at every test SF."""
+    from .stats import _global_row_numbers
+
     o = load_tables(spark, sf_dir)["orders"]
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
-        .alias("cents")
+        .alias("cents"),
     )
-    ranked = cust.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_custkey"))
-        .alias("i"),
+    ranked = _global_row_numbers(cust, "cents", "o_custkey").select(
+        "cents", F.col("rn").alias("i")
     )
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -220,15 +220,19 @@ class InvertedIndex:
                 F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
             )
         )
+        # top-k first (TakeOrderedAndProject: per-partition k-row
+        # heaps, no single-partition sort of every matching doc), then
+        # rank the <= k survivors — same deterministic tiebreak, same
+        # values (ADVICE r12 follow-through, as text_bm25_search).
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
-            scored.select(
+            top.select(
                 "doc_id",
                 F.round("score", 6).alias("score"),
                 "n_terms_hit",
                 F.row_number().over(w).cast("int").alias("rank"),
             )
-            .filter(F.col("rank") <= k)
             .orderBy("rank")
         )
 

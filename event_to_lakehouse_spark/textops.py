@@ -1089,15 +1089,24 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # top-k FIRST via orderBy().limit() — TakeOrderedAndProject keeps
+    # per-partition heaps of k rows (no global sort); the ranking
+    # window then runs over the <= k survivors only (ADVICE r12
+    # follow-through: the old window-then-filter planned a
+    # single-partition sort of every matching doc). Deterministic
+    # tiebreak (score desc, doc_id asc) makes the k-set and ranks
+    # bit-identical to the old plan.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+        BM25_TOPK
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.select(
+        top.select(
             "doc_id",
             F.round("score", 6).alias("score"),
             "n_terms_hit",
             F.row_number().over(w).cast("int").alias("rank"),
         )
-        .filter(F.col("rank") <= BM25_TOPK)
         .orderBy("rank")
     )
 
