@@ -1373,7 +1373,11 @@ _RANK_SMALL_BYTES = 4 << 20
 
 
 def _global_row_numbers(
-    df: DataFrame, value_col: str, id_col: str, n_buckets: int = 64
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+    force_bucketed: bool = False,
 ) -> DataFrame:
     """``df`` + ``rn``: EXACT global row_number over
     ``(value_col, id_col)`` without the single-partition sort a bare
@@ -1404,7 +1408,7 @@ def _global_row_numbers(
         )
     except Exception:  # estimate unavailable: assume large (safe path)
         est = _RANK_SMALL_BYTES
-    if est < _RANK_SMALL_BYTES:
+    if est < _RANK_SMALL_BYTES and not force_bucketed:
         w = Window.orderBy(value_col, id_col)
         return df.withColumn(
             "rn", F.row_number().over(w).cast("long")

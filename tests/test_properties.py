@@ -609,3 +609,52 @@ def test_mmr_greedy_reference_properties(pool_rels, rnd):
         sel.append(best)
     assert len(set(sel)) == len(sel)
     assert sel[0] == min(ids, key=lambda c: (-rel[c], c))
+
+
+def test_global_row_numbers_equals_single_sort(spark):
+    """The range-partitioned exact rank (ADVICE r12) must equal the
+    single-window row_number for EVERY input shape — both plan
+    branches of the adaptive helper and the bucketed path under
+    adversarial value distributions: massive tie blocks (every rank
+    in one bucket), skewed heads, negatives, and a constant column
+    (splits collapse to one bucket). Forcing n_buckets=5 on tiny
+    frames exercises bucket boundaries directly regardless of the
+    size-estimate branch; force_bucketed pins the bucketed plan (the
+    size estimate would otherwise route these tiny frames direct, and
+    the direct branch IS the reference being compared against)."""
+    from pyspark.sql import functions as F, Window
+
+    from event_to_lakehouse_spark.operators.stats import (
+        _global_row_numbers,
+    )
+
+    cases = [
+        # (values, ids): ties, skew, negatives, constants, singleton
+        ([5.0] * 40 + [1.0, 2.0, 3.0], range(43)),
+        ([float(i % 3) for i in range(50)], range(50)),
+        ([-2.5, -2.5, 0.0, 7.75, 7.75, 7.75], range(6)),
+        ([0.0] * 25, range(25)),
+        ([42.0], [7]),
+    ]
+    for vals, ids in cases:
+        df = spark.createDataFrame(
+            list(zip(map(float, vals), map(int, ids))),
+            "value double, event_id long",
+        )
+        got = {
+            (r.value, r.event_id): r.rn
+            for r in _global_row_numbers(
+                df, "value", "event_id", n_buckets=5,
+                force_bucketed=True,
+            ).collect()
+        }
+        want = {
+            (r.value, r.event_id): r.rn
+            for r in df.withColumn(
+                "rn",
+                F.row_number()
+                .over(Window.orderBy("value", "event_id"))
+                .cast("long"),
+            ).collect()
+        }
+        assert got == want, (vals[:5], len(vals))
