@@ -62,6 +62,22 @@ def _stat_safe(v):
     return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
 
+def _contains_map(dt) -> bool:
+    """True when a dataType holds a MapType anywhere (top level or
+    nested in struct/array) — such columns can't feed xxhash64 (maps
+    are unordered, Spark refuses a canonical hash) and go through
+    to_json in the change-feed row fingerprint instead."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -1234,8 +1250,21 @@ class SnapshotTable:
                         fld.name, src.cast(fld.dataType)
                     )
                 lifted = lifted.select(*cols)
-                app_fp = applied.withColumn("_row_fp", F.xxhash64(*cols))
-                pre_fp = lifted.withColumn("_row_fp", F.xxhash64(*cols))
+                # xxhash64 rejects MapType (unordered — no canonical
+                # hash); fingerprint such columns through to_json
+                # instead. Both sides serialize the same stored
+                # entry order, so equal stored rows hash equal; a
+                # rewrite that only reorders map entries registers as
+                # a change (spurious but CONSISTENT -/+ pair — the
+                # fold still reproduces the table).
+                fp_in = [
+                    F.to_json(F.col(fld.name))
+                    if _contains_map(fld.dataType)
+                    else F.col(fld.name)
+                    for fld in merged.schema.fields
+                ]
+                app_fp = applied.withColumn("_row_fp", F.xxhash64(*fp_in))
+                pre_fp = lifted.withColumn("_row_fp", F.xxhash64(*fp_in))
                 on = ident + ["_row_fp"]
                 plus = app_fp.join(
                     pre_fp.select(*on), on, "left_anti"

@@ -1077,3 +1077,37 @@ def test_changelog_detects_payload_change_under_reused_order_col(
             if r._change == "+"]
     folded = sorted([r for r in pre if r not in minus] + plus)
     assert folded == sorted(tuple(r) for r in t.read().collect())
+
+
+def test_changelog_fingerprint_handles_map_columns(spark, tmp_dir):
+    """xxhash64 rejects MapType; the feed fingerprint must route map
+    columns through to_json instead of throwing — and still detect a
+    map-payload rewrite under a reused (key, order_col) while staying
+    silent on a byte-identical reapply."""
+    t = SnapshotTable(spark, f"{tmp_dir}/cdcmap", stats_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(1, 5, {"a": 1}), (2, 5, {"b": 2})],
+            "id long, ord long, props map<string,int>",
+        )
+    )
+    v1 = t.snapshot().version
+    t.apply_changes(
+        spark.createDataFrame(
+            [(1, 5, {"a": 99}, "U"), (2, 5, {"b": 2}, "U")],
+            "id long, ord long, props map<string,int>, _op string",
+        ),
+        key="id",
+        order_col="ord",
+        changelog=True,
+    )
+    feed = sorted(
+        ((r.id, r._change, dict(r.props))
+         for r in t.change_feed(v1).collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    assert feed == [(1, "+", {"a": 99}), (1, "-", {"a": 1})]
+    assert {r.id: dict(r.props) for r in t.read().collect()} == {
+        1: {"a": 99},
+        2: {"b": 2},
+    }
