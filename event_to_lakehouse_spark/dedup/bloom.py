@@ -329,7 +329,18 @@ class BloomIndex:
         positives; carrying the chain is strictly stronger: every
         surviving key the replayed batch contributed is already in the
         rebuild, so skipping it loses nothing.) A replayed
-        ``batch_token`` for the rebuild itself is likewise a no-op."""
+        ``batch_token`` for the rebuild itself is likewise a no-op.
+
+        CONCURRENCY: the commit is anchored on the parent version, and
+        losing the race to a concurrent ``add_batch`` RAISES instead of
+        retrying — deliberately. The racer's keys are not in the
+        survivors frame this rebuild derived its words from, so a
+        blind retry would wipe the racer's bits while carrying its
+        batch token (a replay would then skip), manufacturing the one
+        verdict the index must never emit: a false negative. The
+        caller re-derives survivors from the post-race source of truth
+        and calls again — which is exactly what a maintenance loop's
+        next tick does."""
         parent = self.table.snapshot()
         if (
             batch_token is not None
@@ -338,12 +349,20 @@ class BloomIndex:
         ):
             return parent  # replayed rebuild: already applied
         words = build_bloom(keys, col, self.m_bits, self.k)
-        return self.table.overwrite(
-            words,
-            keep_tokens=self.KEEP_TOKENS,
-            batch_token=batch_token,
-            parent_version=parent.version if parent else 0,
-        )
+        try:
+            return self.table.overwrite(
+                words,
+                keep_tokens=self.KEEP_TOKENS,
+                batch_token=batch_token,
+                parent_version=parent.version if parent else 0,
+            )
+        except FileExistsError:
+            raise RuntimeError(
+                f"rebuild_from at {self.root} lost its anchored commit "
+                "to a concurrent writer; re-derive survivors from the "
+                "current source of truth and rebuild again (a blind "
+                "retry would drop the racer's keys from the bitmap)"
+            ) from None
 
     def sync_from_changelog(
         self,

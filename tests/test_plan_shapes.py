@@ -381,3 +381,43 @@ def test_bloom_gauge_no_sort_merge(spark, qs):
     a = audit_plan(qs["dedup_bloom_prefilter"](spark, SF_DIR))
     assert a.sort_merge_joins == 0
     assert a.broadcast_hash_joins >= 2  # words probe + verdict rejoin
+
+
+def test_bucketed_rank_plans_no_single_partition_sort(spark):
+    """ADVICE r12 plan pin: the bucketed branch of
+    `_global_row_numbers` must never funnel the input through a
+    SinglePartition exchange (the scale-killer the helper replaces) —
+    its row_number window is hash-partitioned by bucket and the only
+    global order left is over the B-row offset frame. The direct
+    branch IS a single-partition sort by design (size-gated); pin the
+    bucketed one."""
+    from pyspark.sql import functions as F
+
+    from event_to_lakehouse_spark.operators.stats import (
+        _global_row_numbers,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    ranked = _global_row_numbers(
+        df, "value", "event_id", force_bucketed=True
+    )
+    ranked.write.format("noop").mode("overwrite").save()
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    # the window sort must be bucket-partitioned: every exchange that
+    # feeds data-sized operators is hashpartitioning; SinglePartition
+    # may appear only for the <= B-row offsets/splits scalar frames
+    import re
+
+    singles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln
+    ]
+    # the offsets prefix-sum runs over the <= n_buckets count frame —
+    # that tiny frame is the only SinglePartition allowed, and it is
+    # fed by a partial-agg HashAggregate, never by the raw input
+    assert len(singles) <= 1, plan
+    assert "hashpartitioning(_bkt" in plan, plan
