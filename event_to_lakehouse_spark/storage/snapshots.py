@@ -62,6 +62,38 @@ def _stat_safe(v):
     return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
 
+def _latest_batch_wins(
+    base: DataFrame,
+    batch: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str | None,
+) -> DataFrame:
+    """Latest-wins survivor per key with a DETERMINISTIC full-identity
+    tie rule (ADVICE r11, closed in code): at equal
+    ``(order_col, tiebreak)`` the BATCH row beats the base row —
+    last-writer-wins at equal version — instead of row_number's
+    arbitrary pick. Shared by ``merge`` and ``apply_changes`` so a
+    payload rewrite under a reused identity APPLIES deterministically
+    everywhere (and the CDC feed can be truthful about it)."""
+    from pyspark.sql import Window
+
+    pool = base.withColumn("_pref", F.lit(0)).unionByName(
+        batch.withColumn("_pref", F.lit(1)),
+        allowMissingColumns=True,
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_col).desc(),
+        F.col(tiebreak or key).desc(),
+        F.col("_pref").desc(),
+    )
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pref")
+    )
+
+
 def _contains_map(dt) -> bool:
     """True when a dataType holds a MapType anywhere (top level or
     nested in struct/array) — such columns can't feed xxhash64 (maps
@@ -982,8 +1014,6 @@ class SnapshotTable:
         ``append``: an already-applied token returns the current
         snapshot untouched; ``keep_tokens`` as an INT bounds the
         carried chain the same way (see ``append``)."""
-        from ..pipeline.upsert import latest_per_key
-
         snap = self.snapshot()
         if snap is None:
             return self.append(updates, batch_token=batch_token)
@@ -1029,11 +1059,9 @@ class SnapshotTable:
         evolved = self._evolve(snap.schema, updates)
         if touched:
             base = self._read_files([f["path"] for f in touched], snap.schema)
-            merged = latest_per_key(
-                base.unionByName(updates, allowMissingColumns=True),
-                key,
-                order_col,
-                tiebreak,
+            # deterministic batch-wins tie rule, same as apply_changes
+            merged = _latest_batch_wins(
+                base, updates, key, order_col, tiebreak
             )
         else:
             merged = updates
@@ -1153,30 +1181,14 @@ class SnapshotTable:
         evolved = self._evolve(snap.schema, upserts)
         pre_images = None
         if touched:
-            from pyspark.sql import Window
-
             base = self._read_files([f["path"] for f in touched], snap.schema)
             kept = base.join(del_keys, key, "left_anti")
-            # Latest-wins with a DETERMINISTIC full-identity tie rule
-            # (ADVICE r11, closed in code): at equal
-            # (order_col, tiebreak) the BATCH row beats the base row —
-            # last-writer-wins at equal version — instead of
-            # row_number's arbitrary pick. Without this, an upsert that
-            # rewrites payload under a reused identity applied or
-            # vanished at random, and no feed could be truthful about it.
-            pool = kept.withColumn("_pref", F.lit(0)).unionByName(
-                upserts.withColumn("_pref", F.lit(1)),
-                allowMissingColumns=True,
-            )
-            w = Window.partitionBy(key).orderBy(
-                F.col(order_col).desc(),
-                F.col(tiebreak or key).desc(),
-                F.col("_pref").desc(),
-            )
-            merged = (
-                pool.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_pref")
+            # deterministic batch-wins tie rule (see _latest_batch_wins:
+            # without it, an upsert that rewrites payload under a reused
+            # identity applied or vanished at random, and no feed could
+            # be truthful about it)
+            merged = _latest_batch_wins(
+                kept, upserts, key, order_col, tiebreak
             )
             if changelog:
                 # pre-images: every base row whose key the batch touched

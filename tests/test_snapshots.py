@@ -1111,3 +1111,58 @@ def test_changelog_fingerprint_handles_map_columns(spark, tmp_dir):
         1: {"a": 99},
         2: {"b": 2},
     }
+
+
+def test_changelog_fingerprint_detects_column_adding_rewrite(
+    spark, tmp_dir
+):
+    """A reused-identity upsert that only ADDS a new column (payload
+    otherwise byte-identical) must still surface in the feed: the
+    pre-image is lifted to the evolved schema with NULL for the new
+    column, so the fingerprints differ exactly when the table row
+    gained data."""
+    t = SnapshotTable(spark, f"{tmp_dir}/cdcevo", stats_col="id")
+    t.append(
+        spark.createDataFrame([(1, 5, "alpha")], "id long, ord long, val string")
+    )
+    v1 = t.snapshot().version
+    t.apply_changes(
+        spark.createDataFrame(
+            [(1, 5, "alpha", "enriched", "U")],
+            "id long, ord long, val string, extra string, _op string",
+        ),
+        key="id",
+        order_col="ord",
+        changelog=True,
+    )
+    feed = sorted(
+        ((r.id, r.val, r.extra, r._change)
+         for r in t.change_feed(v1).collect()),
+        key=lambda x: (x[0], x[3]),
+    )
+    assert feed == [
+        (1, "alpha", "enriched", "+"),
+        (1, "alpha", None, "-"),
+    ]
+    assert t.read().filter(F.col("extra") == "enriched").count() == 1
+
+
+def test_merge_tie_rule_is_deterministic_batch_wins(spark, tmp_dir):
+    """merge() shares apply_changes' batch-wins tie rule: an update
+    reusing the base row's (key, order_col) deterministically APPLIES
+    instead of winning or losing row_number's arbitrary pick."""
+    t = SnapshotTable(spark, f"{tmp_dir}/mrg", stats_col="id")
+    t.append(
+        spark.createDataFrame(
+            [(1, 5, "old"), (2, 1, "keep")], ["id", "ord", "val"]
+        )
+    )
+    t.merge(
+        spark.createDataFrame([(1, 5, "NEW")], ["id", "ord", "val"]),
+        key="id",
+        order_col="ord",
+    )
+    assert {r.id: r.val for r in t.read().collect()} == {
+        1: "NEW",
+        2: "keep",
+    }
