@@ -337,7 +337,25 @@ FINAL_CATALOG: list[str] = [
     "graph_label_propagation",   # iterative: 2 LPA rounds, chained-CTE oracle
     "graph_link_prediction_capped",  # the scale-safe wedge plan (r5 weak item)
     "agg_kmv_setops",            # the only intersectable sketch
-    "stats_corr_matrix",         # one-scan sufficient-stats matrix
+    # r14 swap (VERDICT r13 #1): emb_pca_power_iteration in,
+    # stats_corr_matrix retired (multi-sibling containment: its
+    # one-scan sufficient-statistics accumulation — n, Σx, Σxy with
+    # the textbook (nΣxy − ΣxΣy) centering — is the IDENTICAL
+    # covariance-accumulation leg the promoted PCA entry runs (per-dim
+    # Σq and per-pair Σq_iq_j feeding the same centered form); its
+    # literal-struct-array melt of one aggregate row stays
+    # driver-certified through the seated quality_expectations_report's
+    # array-of-structs melt, and its scalar expression tree through
+    # scalar_functions_suite. The retired entry stays
+    # registry+pytest+oracle-green.) The promoted entry brings the
+    # LAST flagship LLM-pipeline family the driver gate never
+    # certified: exact integer Gram/covariance sufficient statistics
+    # over the embedding corpus (the only data-sized pass, map-side
+    # partial agg, dim²-bounded shuffle), then ITERATIVE normalized
+    # power iteration + Rayleigh-quotient eigenvalue over the
+    # corpus-independent dim²-row frame — all one Catalyst plan,
+    # value-checked per iteration by the chained-CTE oracle.
+    "emb_pca_power_iteration",
     # --- late-r6 swap-ins: the business-insight tier gets two seats
     # under the same strict-containment discipline:
     #   join_basket_copurchase -> market_basket_rules (the rule mining

@@ -214,6 +214,9 @@ def test_plan_policy_no_unexpected_nested_loops(spark, qs):
         "retrieval_hybrid_index_persisted",
         # r13 seat swap — same scalar pattern as the r5 rows above:
         "ml_target_encoding",  # 5 category rows × broadcast 1-row prior totals
+        # r14 seat swap — dim-row iteration frames × broadcast 1-row
+        # scalars (norm per iteration, eigenvalue, n_vecs):
+        "emb_pca_power_iteration",
     }
     offenders, cartesian = [], []
     for name, fn in driver_queries().items():
@@ -289,6 +292,25 @@ def test_graph_queries_use_equi_joins_only(spark, qs):
     ):
         a = audit_plan(qs[name](spark, SF_DIR))
         assert a.nested_loop_joins == 0, name
+
+
+def test_link_prediction_wedge_exchange_pinned(spark, qs):
+    """The CANDIDATE-PAIR exchange (wedge output, keyed (a, c)) must
+    carry REPARTITION_BY_NUM origin so AQE cannot coalesce it — the
+    r13 cpu_min alarm was AQE sizing that exchange from session-
+    varying map statistics, landing the candidate pipeline on a
+    session-varying task count (BENCH_NOTES.md). The pin REPLACES the
+    AQE-managed exchange: (a, c) is the anti-join/groupBy key, so both
+    downstream operators must reuse the pinned partitioning (no second
+    fact-sized exchange after it)."""
+    from event_to_lakehouse_spark.plans import audit_plan
+
+    a = audit_plan(qs["graph_link_prediction_capped"](spark, SF_DIR))
+    assert a.text.count("REPARTITION_BY_NUM") >= 1, (
+        "candidate-pair exchange lost its explicit-count pin:\n"
+        + a.text[:2000]
+    )
+    assert a.nested_loop_joins == 0
 
 
 def test_er_fuzzy_blocks_before_distance(spark, qs):
