@@ -323,8 +323,14 @@ class BloomIndex:
         Parent batch tokens are CARRIED (VERDICT r12 #2: replay no-op,
         closed in code): a pre-delete batch replayed after the rebuild
         is a storage no-op — its token is still in the chain — so
-        deleted keys' bits can never resurrect through replay, and the
-        bitmap stays bit-for-bit ``build_bloom(survivors)``. (The r12
+        deleted keys' bits can never resurrect through replay WITHIN
+        the ``KEEP_TOKENS`` retained horizon (ADVICE r13: a batch
+        replayed after its token scrolls out of the 8-deep window
+        passes the replay check and re-merges its bits — false
+        positives only, so the no-false-negative contract still holds;
+        exactly-once is guaranteed for the replay horizon, the same
+        qualified wording as ``cdc_apply_stream``), and inside that
+        horizon the bitmap stays bit-for-bit ``build_bloom(survivors)``. (The r12
         contract dropped tokens and tolerated re-merged false
         positives; carrying the chain is strictly stronger: every
         surviving key the replayed batch contributed is already in the
@@ -379,21 +385,31 @@ class BloomIndex:
 
         - a feed with NO retractions folds in the '+' keys via
           ``add_batch`` (bit_or merge, exactly-once on ``batch_token``);
-        - ANY '-' row triggers ``rebuild_from(survivors)`` — bits can't
-          be unset, so a retraction window rebuilds from the paired
-          exact index's post-delete key set (which already reflects the
-          window's '+' rows too; the survivors frame is the
-          source of truth, the feed just the trigger).
+        - ANY '-' row triggers a rebuild from ``survivors`` UNIONED
+          with the feed's own '+' keys — bits can't be unset, so a
+          retraction window rebuilds from the paired exact index's
+          post-delete key set, and the union makes the result correct
+          even when the caller derived ``survivors`` BEFORE the
+          window's inserts (ADVICE r13: dropping the '+' rows trusted
+          the survivors frame to be post-window; a pre-window frame
+          would lose those keys' bits — false NEGATIVES, the one
+          verdict the index forbids). The union is idempotent under
+          ``build_bloom``'s bit_or; its one skew is a key inserted and
+          deleted in the SAME window, whose bits stay set — a false
+          positive, which the downstream exact probe resolves.
 
-        Both paths are no-ops on a replayed ``batch_token``, so a
-        crashed-and-retried maintenance loop converges. The
-        has-retractions probe is a LIMIT-1 scan of the changed-keys-
-        sized feed, not a corpus pass."""
+        Both paths are one commit, no-ops on a replayed
+        ``batch_token``, so a crashed-and-retried maintenance loop
+        converges. The has-retractions probe is a LIMIT-1 scan of the
+        changed-keys-sized feed, not a corpus pass."""
         has_minus = bool(
             feed.filter(F.col("_change") == "-").limit(1).take(1)
         )
         if has_minus:
-            return self.rebuild_from(survivors, col, batch_token=batch_token)
+            rebuilt_keys = survivors.select(col).unionByName(
+                feed.filter(F.col("_change") == "+").select(col)
+            )
+            return self.rebuild_from(rebuilt_keys, col, batch_token=batch_token)
         return self.add_batch(
             feed.filter(F.col("_change") == "+").select(col),
             col,

@@ -378,3 +378,44 @@ def test_bloom_sync_from_changelog_and_replay_noop(spark, tmp_dir):
     idx.sync_from_changelog(minus_feed, "fp", survivors,
                             batch_token="forget1")
     assert idx.table.snapshot().version == v_after
+
+
+def test_bloom_sync_mixed_feed_pre_window_survivors(spark, tmp_dir):
+    """ADVICE r13 closed: a MIXED feed ('+' and '-' in one window)
+    whose survivors frame was derived BEFORE the window's inserts must
+    still set the new keys' bits — the rebuild unions the feed's '+'
+    keys into the survivor set, so a stale-but-pre-window survivors
+    frame can cost only false positives, never the false negatives the
+    index forbids."""
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex, bloom_bits
+
+    keys = spark.range(0, 200).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("fp"), "id"
+    ).localCheckpoint()
+    new_keys = spark.range(200, 260).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("fp"), "id"
+    ).localCheckpoint()
+    m = bloom_bits(260)
+    idx = BloomIndex(spark, f"{tmp_dir}/bfmix", m_bits=m)
+    idx.add_batch(keys.select("fp"), "fp", batch_token="seed")
+
+    # one CDC window: delete id%4==0 of the old keys AND insert 60 new
+    # ones; the caller's survivors frame predates the inserts (the
+    # post-delete OLD key set only — the ADVICE r13 trap)
+    pre_window_survivors = keys.filter("id % 4 != 0").select("fp")
+    feed = (
+        keys.filter("id % 4 = 0")
+        .select("fp", F.lit("-").alias("_change"))
+        .unionByName(new_keys.select("fp", F.lit("+").alias("_change")))
+    )
+    idx.sync_from_changelog(feed, "fp", pre_window_survivors,
+                            batch_token="w1")
+
+    # the window's inserts must be admitted: zero false negatives
+    assert idx.probe(new_keys, "fp").filter(
+        ~F.col("bloom_maybe")
+    ).count() == 0
+    # survivors stay admitted too
+    assert idx.probe(
+        keys.filter("id % 4 != 0"), "fp"
+    ).filter(~F.col("bloom_maybe")).count() == 0
