@@ -614,9 +614,13 @@ def main() -> None:
         # because a human read the raw A/B block; its min-ratio was
         # ~1, which is why the alarm keys on min). An alarm is a
         # profile-this-query order for the round, not a verdict.
+        # worst offenders first (ADVICE r13: an alphabetical sort made
+        # the [:8] headline cap drop names arbitrarily), name as the
+        # deterministic tiebreak; the full list stays in the detail file
         alarms = sorted(
-            n for n, v in ab.items()
-            if (v.get("cpu_min_ratio") or 0) > 2.0
+            (n for n, v in ab.items()
+             if (v.get("cpu_min_ratio") or 0) > 2.0),
+            key=lambda n: (-(ab[n].get("cpu_min_ratio") or 0), n),
         )
         if alarms:
             out["cpu_alarms"] = alarms[:8]  # headline size cap

@@ -1031,22 +1031,28 @@ def phash_neardup_pairs(
     max_hamming: int = DHASH_MAX_HAMMING,
     max_bucket: int = DHASH_MAX_BUCKET,
 ) -> DataFrame:
-    """(a, b, hamming): image near-dup pairs from banded blocking —
-    the SimHash discipline applied to the perceptual hash, with the
-    multi-index-hashing band count (Norouzi et al.): split the 64 bits
-    into ``max_hamming + 1`` near-even bands; a pair is a CANDIDATE iff
-    it collides in at least one band, then the exact ``bit_count(xor)``
-    verdict filters. Recall contract (ADVICE r11, closed in code):
-    with ``n_bands = max_hamming + 1``, pigeonhole GUARANTEES every
-    pair at Hamming distance <= ``max_hamming`` shares an identical
-    band — recall is exact, not probabilistic. The only exception is
-    the hot-bucket guard: a band value held by more than ``max_bucket``
-    assets (a degenerate, non-discriminative value such as the all-zero
-    gradient of flat images) is dropped before the self-join, exactly
-    as ``dedup.minhash.guard_hot_buckets`` does — pass
-    ``max_bucket=None`` to disable and keep the guarantee absolute.
-    Everything after the hash is JVM-side: band explode,
-    hash-partitioned equi self-join, integer popcount."""
+    """(a, b, hamming): image near-dup pairs from banded blocking.
+
+    RECALL CONTRACT, guard first (ADVICE r13): the pigeonhole
+    guarantee below is ABSOLUTE only with ``max_bucket=None``. At the
+    default ``max_bucket``, a band value held by more than that many
+    assets (a degenerate, non-discriminative value such as the
+    all-zero gradient of flat images) is dropped before the self-join
+    — exactly as ``dedup.minhash.guard_hot_buckets`` does — so a true
+    pair whose EVERY shared band lands in a hot bucket is silently
+    skipped. With the guard on, recall is "exact outside hot buckets";
+    callers needing the absolute guarantee pass ``max_bucket=None``
+    and accept the skew cost.
+
+    The blocking is the SimHash discipline applied to the perceptual
+    hash, with the multi-index-hashing band count (Norouzi et al.):
+    split the 64 bits into ``max_hamming + 1`` near-even bands; a pair
+    is a CANDIDATE iff it collides in at least one band, then the
+    exact ``bit_count(xor)`` verdict filters. With ``n_bands =
+    max_hamming + 1``, pigeonhole guarantees every pair at Hamming
+    distance <= ``max_hamming`` shares an identical band (ADVICE r11,
+    closed in code). Everything after the hash is JVM-side: band
+    explode, hash-partitioned equi self-join, integer popcount."""
     n_bands = min(max(max_hamming + 1, 1), 64)
     banded = hashes.select(
         "asset_id",

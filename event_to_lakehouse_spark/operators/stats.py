@@ -1401,7 +1401,15 @@ def _global_row_numbers(
     way — so small inputs keep the direct plan. Both branches produce
     identical rn values; the estimate only picks the physical strategy
     (the 10x/30x probes exercise the bucketed branch, the sf<=0.1
-    solo bench the direct one)."""
+    solo bench the direct one).
+
+    Spark Connect caveat (ADVICE r13): the size estimate reads
+    ``df._jdf.queryExecution()`` — private JVM internals a Connect
+    client cannot reach — so under Connect the except clause routes
+    EVERY input to the bucketed plan. Correctness is unaffected (both
+    branches rank identically); only the small-input direct-plan
+    shortcut silently disappears. Gate on a supported public size
+    estimate API when Spark exposes one."""
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
