@@ -311,6 +311,16 @@ class SnapshotTable:
             self._advance_pointer(v)
         return self.snapshot(v)  # type: ignore[return-value]
 
+    def _pointer_version(self) -> int:
+        """The ``_latest`` hint file's value — 0 when absent (fresh
+        table, object-store mode, or a crash before the first
+        advance). Advisory only: authoritative resolution is always
+        ``_latest_version()``'s manifest listing."""
+        try:
+            return int((self.root / "meta" / "_latest").read_text())
+        except (FileNotFoundError, ValueError):
+            return 0
+
     def _advance_pointer(self, v: int) -> None:
         """Move ``_latest`` forward to ``v`` unless it already points at
         something newer. Check-then-rename alone races: concurrent
@@ -320,12 +330,23 @@ class SnapshotTable:
         existing v3 manifest, and the table wedges. An advisory flock
         around the check+swap makes the pair atomic among cooperating
         writers (posix/NFSv4; on object stores resolve latest by
-        listing the manifest chain instead)."""
+        listing the manifest chain instead).
+
+        The monotonic check compares against the POINTER's own value —
+        not ``_latest_version()``, whose manifest listing already
+        contains the just-committed v and would make the guard
+        always-false (r14: that bug left ``_latest`` never written;
+        internal resolution never noticed because every reader goes
+        through the manifest listing). Because the pointer trails the
+        manifest create, a crash in the gap leaves it STALE — readers
+        are unaffected (manifest listing is authoritative), and the
+        next successful commit's advance heals it, both pinned by
+        ``test_commit_crash_between_link_and_pointer_advance``."""
         lock = self.root / "meta" / "_latest.lock"
         lock_fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            if v > self._latest_version():  # never move the pointer backwards
+            if v > self._pointer_version():  # never move it backwards
                 tmp = self.root / "meta" / f"_latest.tmp.{uuid.uuid4().hex[:8]}"
                 tmp.write_text(str(v))
                 tmp.rename(self.root / "meta" / "_latest")  # atomic swap

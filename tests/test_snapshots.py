@@ -1166,3 +1166,64 @@ def test_merge_tie_rule_is_deterministic_batch_wins(spark, tmp_dir):
         1: "NEW",
         2: "keep",
     }
+
+
+def test_commit_crash_between_link_and_pointer_advance(spark, tmp_dir, monkeypatch):
+    """VERDICT r13 #4: the two-step commit's crash point. ``_commit``
+    publishes the manifest atomically (hard link), then
+    ``_advance_pointer`` runs a beat later — kill the writer in that
+    gap and prove (a) the commit IS durable: a fresh handle resolves
+    v-latest from the manifest dir, never the stale pointer, (b) the
+    crashed batch's token is in the chain, so its replay is a no-op,
+    and (c) the next successful commit HEALS the pointer forward."""
+    import pytest
+
+    root = f"{tmp_dir}/crashpt"
+    t = SnapshotTable(spark, root)
+    t.append(_batch(spark, 0, 10), batch_token="b0")  # v1, pointer -> 1
+    meta = t.root / "meta"
+    assert (meta / "_latest").read_text() == "1"
+
+    class Killed(BaseException):
+        """Simulated process death (BaseException: no handler eats it)."""
+
+    def boom(self, v):
+        raise Killed(f"killed before advancing pointer to v{v}")
+
+    monkeypatch.setattr(SnapshotTable, "_advance_pointer", boom)
+    with pytest.raises(Killed):
+        t.append(_batch(spark, 10, 10), batch_token="b1")
+    monkeypatch.undo()
+
+    # crash state: v2 manifest published, pointer still at 1
+    assert (meta / "v2.json").exists()
+    assert (meta / "_latest").read_text() == "1"
+
+    # (a) a FRESH reader/writer resolves latest from the manifest dir
+    t2 = SnapshotTable(spark, root)
+    assert t2._latest_version() == 2
+    assert t2.snapshot().version == 2
+    assert t2.read().count() == 20  # the crashed commit's rows are live
+
+    # (b) replaying the crashed batch is an exactly-once no-op
+    snap = t2.append(_batch(spark, 10, 10), batch_token="b1")
+    assert snap.version == 2
+    assert not (meta / "v3.json").exists()
+
+    # (c) the next real commit advances the pointer past the gap
+    t2.append(_batch(spark, 20, 10), batch_token="b2")
+    assert (meta / "_latest").read_text() == "3"
+    assert t2.read().count() == 30
+
+
+def test_pointer_tracks_commits_and_survives_concurrent_race(spark, tmp_dir):
+    """r14 regression pin for the always-false advance guard: the
+    ``_latest`` hint must exist and track the manifest chain after
+    ordinary sequential commits (it was silently never written when
+    the monotonic check compared against the manifest listing, which
+    already contained the just-committed version)."""
+    t = SnapshotTable(spark, f"{tmp_dir}/ptr")
+    for i in range(3):
+        t.append(_batch(spark, i * 10, 10), batch_token=f"b{i}")
+        assert (t.root / "meta" / "_latest").read_text() == str(i + 1)
+    assert t._pointer_version() == t._latest_version() == 3
