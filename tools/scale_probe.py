@@ -199,6 +199,61 @@ EXTRA_QUERIES = {
 }
 
 
+def _index_build_probes():
+    """BUILD-phase probes for the durable-index entries (VERDICT r13
+    #5): SCALING.md's query rows cover serving; these time the
+    one-per-corpus index CONSTRUCTION (train + two exactly-once
+    batch commits) — expected ~linear map-side work (encode/tokenize)
+    over a sub-linear shuffle (posting/cell groupBy keyed on
+    vocabulary/cells, not corpus rows). Each call builds into a fresh
+    temp root so commits are real, never replay no-ops."""
+    import tempfile
+
+    from event_to_lakehouse_spark import textindex as ti
+    from event_to_lakehouse_spark.similarity import ivfpq as iv
+    from event_to_lakehouse_spark.similarity import pq
+
+    def ivfpq_build(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        idx = iv.IVFPQIndex.build(
+            spark,
+            tempfile.mkdtemp(prefix="probe_ivfpq_"),
+            train=emb,
+            train_iters=pq.PQ_TRAIN_ITERS,
+            coarse_iters=iv.COARSE_TRAIN_ITERS,
+        )
+        idx.add_batch(emb.filter(F.col("vec_id") % 2 == 0), batch_token="even")
+        idx.add_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_token="odd")
+
+    def bm25_build(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        idx = ti.InvertedIndex(spark, tempfile.mkdtemp(prefix="probe_inv_"))
+        idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_token="even")
+        idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_token="odd")
+
+    return {
+        "ivfpq_index_build": ivfpq_build,
+        "bm25_index_build": bm25_build,
+    }
+
+
+def time_build(fn, spark, sf_dir, runs) -> float:
+    """Builds are eager (commits run on call): one untimed warm pass
+    (codegen + file-index listing), then the mean of ``runs`` timed
+    fresh builds."""
+    fn(spark, sf_dir)
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir)
+        ts.append(time.time() - t0)
+    return statistics.mean(ts)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -215,6 +270,11 @@ def main() -> None:
         "dedup/ANN family these are the PAIR counts — the quantity "
         "that must not grow super-linearly)",
     )
+    ap.add_argument(
+        "--builds", action="store_true",
+        help="probe the durable-index BUILD phases (IVFPQ + BM25) "
+        "instead of queries (VERDICT r13 #5)",
+    )
     args = ap.parse_args()
 
     from event_to_lakehouse_spark.session import get_spark
@@ -223,6 +283,25 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = build_corpus(spark, args.copies, salt=args.salt)
+
+    if args.builds:
+        rows = {}
+        print("| build | sf0.1 s | " + f"{args.copies}x s | ratio |")
+        print("|---|---|---|---|")
+        for name, fn in _index_build_probes().items():
+            t1 = time_build(fn, spark, BASE, args.runs)
+            t10 = time_build(fn, spark, big, args.runs)
+            rows[name] = {
+                "base_s": round(t1, 2),
+                "big_s": round(t10, 2),
+                "ratio": round(t10 / t1, 1) if t1 > 0 else None,
+            }
+            r = rows[name]
+            print(f"| {name} | {r['base_s']} | {r['big_s']} | {r['ratio']} |")
+        print(json.dumps({"copies": args.copies, "runs": args.runs,
+                          "salt": args.salt, "builds": rows}))
+        return
+
     qs = dict(QUERIES)
     qs.update(EXTRA_QUERIES)
 
