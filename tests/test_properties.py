@@ -306,7 +306,7 @@ def test_interval_islands_match_sweep_reference(spark):
 # structures so structural edge cases (stars, chains, ties) are
 # exercised, with few examples (each spins Spark jobs).
 
-from hypothesis import settings
+from hypothesis import HealthCheck, settings
 
 
 @given(
@@ -658,3 +658,75 @@ def test_global_row_numbers_equals_single_sort(spark):
             ).collect()
         }
         assert got == want, (vals[:5], len(vals))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # token id (≤5 unique)
+            st.booleans(),  # crash between manifest link and pointer advance
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_snapshot_commit_replay_crash_property(spark, ops):
+    """r14 property pin for the two-step commit: under ANY sequence of
+    token-carrying appends — including replays and writers killed
+    between the manifest hard-link and the pointer advance — the table
+    reads exactly ONE copy of each unique token's batch, the manifest
+    chain is authoritative (crashed commits are durable), the stale
+    pointer never exceeds the manifest max, and one clean commit heals
+    it to the tip."""
+    import tempfile
+    from unittest import mock
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="snapprop_")
+    t = SnapshotTable(spark, root)
+
+    def batch(tid):
+        return spark.createDataFrame(
+            [(tid, tid * 10 + j) for j in range(2)], ["tid", "val"]
+        )
+
+    class Killed(BaseException):
+        pass
+
+    committed: list[int] = []  # unique tids in effective commit order
+    for tid, crash in ops:
+        is_replay = tid in committed
+        if crash and not is_replay:
+            with mock.patch.object(
+                SnapshotTable, "_advance_pointer",
+                side_effect=Killed("crash in the gap"),
+            ):
+                try:
+                    t.append(batch(tid), batch_token=f"t{tid}")
+                except Killed:
+                    pass
+            t = SnapshotTable(spark, root)  # the killed writer's successor
+        else:
+            t.append(batch(tid), batch_token=f"t{tid}")
+        if not is_replay:
+            committed.append(tid)
+        # invariants after every op: chain length == effective commits,
+        # pointer never past the manifests
+        assert t._latest_version() == len(committed)
+        assert t._pointer_version() <= t._latest_version()
+
+    got = sorted(
+        (r.tid, r.val) for r in t.read().collect()
+    )
+    want = sorted((tid, tid * 10 + j) for tid in committed for j in range(2))
+    assert got == want  # exactly-once per token, crashes notwithstanding
+
+    # one clean commit heals the pointer to the tip
+    t.append(batch(9), batch_token="t9")
+    assert t._pointer_version() == t._latest_version() == len(committed) + 1
