@@ -330,7 +330,15 @@ class BloomIndex:
         positives only, so the no-false-negative contract still holds;
         exactly-once is guaranteed for the replay horizon, the same
         qualified wording as ``cdc_apply_stream``), and inside that
-        horizon the bitmap stays bit-for-bit ``build_bloom(survivors)``. (The r12
+        horizon the bitmap stays bit-for-bit
+        ``build_bloom(keys-as-passed)``. One qualification (ADVICE
+        r14): when the caller is ``sync_from_changelog``'s mixed-feed
+        path, ``keys`` is survivors UNIONED with the window's '+'
+        rows, so a key inserted and deleted in the SAME window keeps
+        its bits set — the result is bit-for-bit the union build, not
+        necessarily ``build_bloom(post-window survivors)``; the skew
+        is false-positive-only and the downstream exact probe
+        resolves it. (The r12
         contract dropped tokens and tolerated re-merged false
         positives; carrying the chain is strictly stronger: every
         surviving key the replayed batch contributed is already in the

@@ -723,9 +723,17 @@ def link_prediction(
     # vs the unpinned plan. defaultParallelism, not a literal, so a
     # 1000-executor cluster gets its own width. Plan pin:
     # test_plan_shapes::test_link_prediction_wedge_exchange_pinned.
-    wedge = wedge.repartition(
-        edges.sparkSession.sparkContext.defaultParallelism, "a", "c"
-    )
+    # Spark Connect caveat (ADVICE r14): ``sparkContext`` is a
+    # JVM-internal a Connect client cannot reach, so the lookup is
+    # guarded like stats._global_row_numbers' size estimate — the
+    # fallback pins to spark.sql.shuffle.partitions, which any
+    # deployment sizes to its cluster width anyway.
+    spark = edges.sparkSession
+    try:
+        pin_width = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext on the client
+        pin_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wedge = wedge.repartition(pin_width, "a", "c")
     non_edge = wedge.join(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("c")),
         ["a", "c"],

@@ -206,7 +206,10 @@ def _index_build_probes():
     batch commits) — expected ~linear map-side work (encode/tokenize)
     over a sub-linear shuffle (posting/cell groupBy keyed on
     vocabulary/cells, not corpus rows). Each call builds into a fresh
-    temp root so commits are real, never replay no-ops."""
+    temp root so commits are real, never replay no-ops, and RETURNS
+    the root so ``time_build`` can rmtree it off the clock (ADVICE
+    r14: repeated --builds runs were accumulating full index copies
+    in /tmp)."""
     import tempfile
 
     from event_to_lakehouse_spark import textindex as ti
@@ -214,26 +217,30 @@ def _index_build_probes():
     from event_to_lakehouse_spark.similarity import pq
 
     def ivfpq_build(spark, sf_dir):
+        root = tempfile.mkdtemp(prefix="probe_ivfpq_")
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
         )
         idx = iv.IVFPQIndex.build(
             spark,
-            tempfile.mkdtemp(prefix="probe_ivfpq_"),
+            root,
             train=emb,
             train_iters=pq.PQ_TRAIN_ITERS,
             coarse_iters=iv.COARSE_TRAIN_ITERS,
         )
         idx.add_batch(emb.filter(F.col("vec_id") % 2 == 0), batch_token="even")
         idx.add_batch(emb.filter(F.col("vec_id") % 2 == 1), batch_token="odd")
+        return root
 
     def bm25_build(spark, sf_dir):
+        root = tempfile.mkdtemp(prefix="probe_inv_")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        idx = ti.InvertedIndex(spark, tempfile.mkdtemp(prefix="probe_inv_"))
+        idx = ti.InvertedIndex(spark, root)
         idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0), batch_token="even")
         idx.add_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_token="odd")
+        return root
 
     return {
         "ivfpq_index_build": ivfpq_build,
@@ -244,13 +251,19 @@ def _index_build_probes():
 def time_build(fn, spark, sf_dir, runs) -> float:
     """Builds are eager (commits run on call): one untimed warm pass
     (codegen + file-index listing), then the mean of ``runs`` timed
-    fresh builds."""
-    fn(spark, sf_dir)
+    fresh builds. Each build returns its temp index root, which is
+    rmtree'd OUTSIDE the timed region (ADVICE r14: roots were leaking
+    into /tmp; deleting inside the clock would bias the 10x/30x
+    ratios since delete cost scales with index size)."""
+    import shutil
+
+    shutil.rmtree(fn(spark, sf_dir), ignore_errors=True)
     ts = []
     for _ in range(runs):
         t0 = time.time()
-        fn(spark, sf_dir)
+        root = fn(spark, sf_dir)
         ts.append(time.time() - t0)
+        shutil.rmtree(root, ignore_errors=True)
     return statistics.mean(ts)
 
 
