@@ -571,6 +571,15 @@ def main() -> None:
                 "a": round(am, 3),
                 "b": round(bm, 3),
                 "ratio": round(bm / am, 3) if am > 0 else None,
+                # min-vs-min WALL: the warm-up-immune counterpart of
+                # cpu_min_ratio (VERDICT r14 #1) — warm-up, GC and
+                # co-tenant stalls only ever ADD wall-seconds, so the
+                # per-side minimum approaches the converged time from
+                # above and its ratio drifts less across sessions than
+                # the median ratio does.
+                "min_ratio": (
+                    round(min(bt) / min(at), 3) if min(at) > 0 else None
+                ),
                 "a_sd": round(statistics.stdev(at), 3) if len(at) > 1 else 0.0,
                 "b_sd": round(statistics.stdev(bt), 3) if len(bt) > 1 else 0.0,
             }
@@ -596,6 +605,20 @@ def main() -> None:
         ratios = sorted(v["ratio"] for v in ab.values() if v["ratio"])
         if ratios:
             out["ab_median_ratio"] = round(ratios[len(ratios) // 2], 3)
+        # Warm-up-immune wall headline (VERDICT r14 #1): median over
+        # per-query min-vs-min wall ratios. Two same-code sessions put
+        # ab_median_ratio at 0.959 and 1.076 — a ±10% band nothing
+        # below 2x should be read through; this estimator is the
+        # tighter round-over-round wall signal. The empirical drift
+        # band for ALL headline ratio fields is written down in
+        # BENCH_NOTES.md ("Drift band").
+        min_ratios = sorted(
+            v["min_ratio"] for v in ab.values() if v.get("min_ratio")
+        )
+        if min_ratios:
+            out["ab_median_min_ratio"] = round(
+                min_ratios[len(min_ratios) // 2], 3
+            )
         # CPU-seconds median ratio: insensitive to co-tenant wall drift
         # (VERDICT r9 #4/#5) — THE number the round verdict should cite
         # when wall and CPU disagree.
