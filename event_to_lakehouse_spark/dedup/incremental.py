@@ -17,7 +17,11 @@ against them:
 1. shingle → signature → band rows for the new docs ONLY,
 2. the new batch's distinct band keys are BROADCAST against the index
    scan — the index is filtered to probed buckets without a shuffle
-   (its text was never read, its bands never re-hashed),
+   (its text was never read, its bands never re-hashed) — after
+   dropping the batch's OWN doc_ids from the stored side (broadcast
+   anti probe, r15: makes crash-retried and replayed tokens return
+   the fresh-probe result instead of pairing the batch against its
+   already-committed copies),
 3. the hot-bucket guard applies over index∪batch counts per probed
    bucket (the semi-filtered index retains every row of a probed
    bucket, so counts equal full-recompute counts),
@@ -152,8 +156,26 @@ class NearDupIndex:
             band_concat=self.hash_flavor == "portable",
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
+        # SELF-EXCLUSION (r15, found by the hypothesis add/forget
+        # property suite): the stored side drops the batch's OWN
+        # doc_ids before probing. Without it, a replayed or
+        # crash-retried batch_token — whose band/sig rows are already
+        # committed — probed the batch against its own indexed copies:
+        # bucket counts doubled (hot-bucket guard could drop pairs
+        # near max_bucket) and the duplicated signature rows
+        # multiplied each scored pair row 2-4×
+        # (tests/test_index_deletes.py::test_neardup_replay_returns_same_pairs).
+        # With the exclusion, EVERY index_batch call — first,
+        # crash-retry, or late replay — returns exactly the fresh
+        # probe of the batch against (stored \ batch). Batch ids are
+        # batch-scale, so the anti joins stay broadcast hash probes on
+        # the index scans — no new shuffle.
+        batch_ids = new_sigs.select("doc_id")
         idx_bands = self._stored(self.bands_table)
         if idx_bands is not None:
+            idx_bands = idx_bands.join(
+                F.broadcast(batch_ids), "doc_id", "left_anti"
+            )
             # Broadcast the batch's band keys; the index side is
             # filtered by hash probe during its scan — never shuffled.
             keys = new_bands.select("band_idx", "band_hash").distinct()
@@ -189,6 +211,10 @@ class NearDupIndex:
             .dropDuplicates(["doc_id_a", "doc_id_b"])
         )
         idx_sigs = self._stored(self.sigs_table)
+        if idx_sigs is not None:
+            idx_sigs = idx_sigs.join(
+                F.broadcast(batch_ids), "doc_id", "left_anti"
+            )
         all_sigs = (
             new_sigs
             if idx_sigs is None

@@ -213,6 +213,42 @@ def test_neardup_index_forget_equals_recompute(spark, tmp_dir):
     assert idx.doc_count() == fresh.doc_count()
 
 
+def test_neardup_replay_returns_same_pairs(spark, tmp_dir):
+    """r15 regression pin (found by the hypothesis add/forget property
+    suite): a REPLAYED batch_token must return exactly the rows a
+    fresh probe of the batch against (stored \\ batch) returns —
+    duplicate-free. Before the self-exclusion fix in
+    ``NearDupIndex.index_batch``, the replayed batch paired against
+    its own committed band/sig copies: each in-batch pair row came
+    back 4x (duplicated signature rows on both join sides) and each
+    cross pair 2x, and doubled bucket counts could push hot buckets
+    over ``max_bucket``."""
+    from event_to_lakehouse_spark.dedup.incremental import NearDupIndex
+
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    u = "the quick brown fox jumps over the lazy dog today"
+    v = "pack my box with five dozen liquor jugs right now"
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0, b1 = [(1, t), (2, t), (3, v)], [(10, u), (11, t)]
+    idx = NearDupIndex(spark, f"{tmp_dir}/nd")
+    first = sorted(map(tuple, idx.index_batch(df(b0), batch_token="a0").collect()))
+    idx.index_batch(df(b1), batch_token="a1")
+    replay = sorted(map(tuple, idx.index_batch(df(b0), batch_token="a0").collect()))
+
+    assert len(replay) == len(set(replay))  # duplicate-free
+    assert set(first) <= set(replay)  # original pairs still reported
+    # replay == fresh probe of b0 against the index WITHOUT b0
+    fresh = NearDupIndex(spark, f"{tmp_dir}/fresh")
+    fresh.index_batch(df(b1), batch_token="m")
+    want = sorted(map(tuple, fresh.index_batch(df(b0), batch_token="n").collect()))
+    assert replay == want
+    # storage stayed exactly-once through the replay
+    assert idx.doc_count() == 5
+
+
 # -- exact dedup index -------------------------------------------------------
 
 
@@ -248,6 +284,66 @@ def test_exact_index_forget_and_content_forget(spark, tmp_dir):
     before = idx.doc_count()
     idx.delete_fps(fps, batch_token="content-forget")
     assert idx.doc_count() < before
+
+
+def test_exact_index_bloom_crash_retry_no_false_negative(spark, tmp_dir):
+    """r15 pin for the admission pairing's crash window: a writer
+    killed between the exact-table append and the bloom merge, then
+    retried with the same token, must leave filter and index in
+    lock-step — no permanent bloom false negative.
+
+    The design self-heals through the admission gate itself: on retry
+    the bloom (still missing the batch) reports bloom_maybe=False, so
+    the held-index join never sees the batch's committed copies,
+    new_uniques recomputes to the SAME key set, the table append
+    no-ops on its token, and the bloom commit lands with the right
+    keys. A full replay (both committed) then no-ops everywhere with
+    the bitmap intact. Probed here because the recompute-under-retry
+    is subtle enough that a refactor could silently break it."""
+    from unittest import mock
+
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+
+    idx = ExactDedupIndex(spark, f"{tmp_dir}/exact")
+    bloom = BloomIndex(spark, f"{tmp_dir}/bloom", m_bits=4096, k=4)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    class Killed(BaseException):
+        pass
+
+    b0 = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+    with mock.patch.object(BloomIndex, "add_batch", side_effect=Killed()):
+        try:
+            idx.index_batch(df(b0), batch_token="t0", bloom=bloom)
+        except Killed:
+            pass
+    # retry: same token — resolution columns reproduce the first run
+    out = {
+        r.doc_id: (r.is_new_unique, r.dup_of)
+        for r in idx.index_batch(df(b0), batch_token="t0", bloom=bloom).collect()
+    }
+    assert out == {1: (True, None), 2: (True, None)}
+    assert idx.doc_count() == 2  # exactly-once through the crash
+
+    # full replay: both committed — storage no-ops, same verdicts
+    again = {
+        r.doc_id: (r.is_new_unique, r.dup_of)
+        for r in idx.index_batch(df(b0), batch_token="t0", bloom=bloom).collect()
+    }
+    assert again == out
+    assert idx.doc_count() == 2
+
+    # the healed bloom must not miss: a future duplicate is flagged
+    fut = {
+        r.doc_id: (r.is_new_unique, r.dup_of, r.bloom_maybe)
+        for r in idx.index_batch(
+            df([(9, "alpha beta gamma")]), batch_token="t1", bloom=bloom
+        ).collect()
+    }
+    assert fut == {9: (False, 1, True)}
 
 
 # -- IVFPQ index -------------------------------------------------------------

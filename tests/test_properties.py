@@ -730,3 +730,312 @@ def test_snapshot_commit_replay_crash_property(spark, ops):
     # one clean commit heals the pointer to the tip
     t.append(batch(9), batch_token="t9")
     assert t._pointer_version() == t._latest_version() == len(committed) + 1
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r14 #2: extend the bug-finding property pattern (the r14
+# commit suite flushed out the always-false pointer guard) to the
+# OTHER stateful maintainer with replay/merge invariants — the
+# incremental near-dup index (dedup/incremental.py index_batch /
+# delete_docs).
+
+_ND_POOL = [
+    "the quick brown fox jumps over the lazy dog tonight",
+    "the quick brown fox jumps over the lazy dog today",
+    "pack my box with five dozen liquor jugs right now",
+    "sphinx of black quartz judge my vow before noon",
+    "the quick brown fox jumps over the lazy dog tonight",  # exact dup of [0]
+]
+
+
+def _nd_batch(spark, batch_id):
+    """Deterministic 4-doc batch: ids unique per batch, texts drawn
+    from a small pool so near-duplicate pairs exist across batches."""
+    rows = [
+        (batch_id * 10 + j, _ND_POOL[(batch_id + j) % len(_ND_POOL)])
+        for j in range(4)
+    ]
+    return rows
+
+
+def _nd_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _nd_index(spark, prefix):
+    import tempfile
+
+    from event_to_lakehouse_spark.dedup.incremental import NearDupIndex
+
+    return NearDupIndex(
+        spark,
+        tempfile.mkdtemp(prefix=prefix),
+        n_hashes=8,
+        bands=4,
+        max_bucket=50,
+    )
+
+
+def _nd_probe_fresh(spark, model, batch_rows):
+    """REFERENCE result: probing ``batch_rows`` against a fresh
+    one-shot index holding exactly ``model`` (the union-equivalence
+    theorem's right-hand side)."""
+    ref = _nd_index(spark, "ndprop_ref_")
+    held = [(i, t) for i, t in sorted(model.items())]
+    if held:
+        ref.index_batch(_nd_df(spark, held), batch_token="m")
+    got = ref.index_batch(_nd_df(spark, batch_rows), batch_token="n")
+    return sorted((r.doc_id_a, r.doc_id_b, r.jaccard_est) for r in got.collect())
+
+
+def _nd_stored_ids(table):
+    try:
+        return {r.doc_id for r in table.read().select("doc_id").collect()}
+    except FileNotFoundError:
+        return set()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["add", "forget"]),
+            st.integers(min_value=0, max_value=3),  # batch id / residue
+            st.booleans(),  # crash between the two table commits
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_neardup_index_add_forget_replay_crash_property(spark, ops):
+    """Under ANY interleaving of index_batch / delete_docs — including
+    token replays and writers killed between the bands commit and the
+    sigs commit — the index must stay in lock-step with a model dict:
+
+    - bands doc_ids == sigs doc_ids == model keys after every
+      completed (retried-if-crashed) op — the two tables never drift;
+    - doc_count() == len(model) — exactly-once per token;
+    - EVERY index_batch call (first, crash-retry, or late replay)
+      returns exactly the pairs a FRESH index over (model \\ batch)
+      would return for that batch — i.e. a batch's own committed
+      copies never self-pair, never double bucket counts, never
+      duplicate scored rows (union-equivalence under history).
+    """
+    from unittest import mock
+
+    class Killed(BaseException):
+        pass
+
+    idx = _nd_index(spark, "ndprop_idx_")
+    model: dict[int, str] = {}
+    seen_ops: set[tuple[str, int]] = set()
+
+    for kind, sel, crash in ops:
+        if kind == "add":
+            rows = _nd_batch(spark, sel)
+            token = f"add{sel}"
+            is_replay = ("add", sel) in seen_ops
+            pre_model = {
+                i: t for i, t in model.items()
+                if i not in {r[0] for r in rows}
+            }
+            if crash:
+                with mock.patch.object(
+                    idx.sigs_table, "append", side_effect=Killed("gap")
+                ):
+                    try:
+                        idx.index_batch(_nd_df(spark, rows), batch_token=token)
+                    except Killed:
+                        pass
+                # the retry is the completed op whose result we check
+            got = idx.index_batch(_nd_df(spark, rows), batch_token=token)
+            got_rows = sorted(
+                (r.doc_id_a, r.doc_id_b, r.jaccard_est) for r in got.collect()
+            )
+            want_rows = _nd_probe_fresh(spark, pre_model, rows)
+            assert got_rows == want_rows, (kind, sel, crash, is_replay)
+            model.update({i: t for i, t in rows})
+            seen_ops.add(("add", sel))
+        else:
+            victims = sorted(i for i in model if i % 3 == sel % 3)
+            if not victims:
+                continue
+            token = f"del{sel}"
+            is_replay = ("forget", sel) in seen_ops
+            vdf = _nd_df(spark, [(i, "") for i in victims]).select("doc_id")
+            if crash:
+                with mock.patch.object(
+                    idx.sigs_table, "delete_keys", side_effect=Killed("gap")
+                ):
+                    try:
+                        idx.delete_docs(vdf, batch_token=token)
+                    except Killed:
+                        pass
+            idx.delete_docs(vdf, batch_token=token)
+            if not is_replay:
+                for i in victims:
+                    del model[i]
+            seen_ops.add(("forget", sel))
+        assert _nd_stored_ids(idx.bands_table) == set(model)
+        assert _nd_stored_ids(idx.sigs_table) == set(model)
+        assert idx.doc_count() == len(model)
+
+# ---------------------------------------------------------------------------
+# VERDICT r14 #3: the same random-interleaving property pattern for the
+# CDC apply merge (storage.snapshots.apply_changes — the batch kernel
+# cdc_apply_stream commits through): random I/U/D batches with reused
+# identities, token replays, and sidecar gaps vs a model dict.
+
+_cdc_batches = st.lists(
+    st.tuples(
+        st.sampled_from(["apply", "replay", "gap"]),
+        st.dictionaries(
+            keys=st.tuples(
+                st.integers(min_value=0, max_value=3),  # key
+                st.integers(min_value=0, max_value=2),  # order_col
+                st.integers(min_value=0, max_value=1),  # seq tiebreak
+            ),
+            values=st.tuples(
+                st.sampled_from(["I", "U", "D"]),
+                st.sampled_from(["red", "blue", "green"]),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def _cdc_model_apply(model, batch):
+    """Reference semantics of apply_changes: net per key = newest by
+    (order, seq); net D deletes UNCONDITIONALLY (kept = base anti
+    del_keys — no order check on deletes); net I/U applies iff its
+    (order, seq) >= the base row's (batch beats base at equal
+    identity — the deterministic r13 tie rule)."""
+    net = {}
+    for (k, o, s), (op, p) in batch.items():
+        if k not in net or (o, s) > (net[k][0], net[k][1]):
+            net[k] = (o, s, op, p)
+    for k, (o, s, op, p) in net.items():
+        if op == "D":
+            model.pop(k, None)
+        elif k not in model or (o, s) >= (model[k][0], model[k][1]):
+            model[k] = (o, s, p)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_cdc_batches, pruned=st.booleans())
+def test_cdc_apply_changes_replay_gap_property(spark, ops, pruned):
+    """Under ANY sequence of CDC batches — reused (key, order, seq)
+    identities with different payloads, replayed batch tokens, and
+    delete-bearing commits written WITHOUT their changelog sidecar
+    (the documented crash gap) — the fact table equals the model
+    dict, replays are exact no-ops, every recorded feed folds its
+    commit (before + '+' − '-' == after as multisets, empty when the
+    commit changed nothing), and the feed surfaces a sidecar gap as
+    ValueError instead of silently wrong deltas. ``pruned`` runs the
+    whole property again with stats_col=key (the manifest-pruned
+    merge path)."""
+    import tempfile
+    from collections import Counter
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="cdcprop_")
+    t = SnapshotTable(spark, root, stats_col="k" if pruned else None)
+    model: dict[int, tuple[int, int, str]] = {}
+    applied: list[dict] = []  # batches by token index
+    gap_versions: list[int] = []
+
+    def table_rows():
+        try:
+            return Counter(
+                (r.k, r.o, r.seq, r.payload) for r in t.read().collect()
+            )
+        except FileNotFoundError:
+            return Counter()
+
+    def model_rows():
+        return Counter((k, o, s, p) for k, (o, s, p) in model.items())
+
+    for kind, batch in ops:
+        if kind == "replay" and not applied:
+            continue
+        if kind == "replay":
+            bi = len(applied) - 1
+            batch = applied[bi]
+            token = f"b{bi}"
+        else:
+            token = f"b{len(applied)}"
+        rows = [
+            (k, o, s, op, p) for (k, o, s), (op, p) in sorted(batch.items())
+        ]
+        df = spark.createDataFrame(
+            rows, "k int, o int, seq int, _op string, payload string"
+        )
+        before = table_rows()
+        v_before = t._latest_version()
+        snap = t.apply_changes(
+            df,
+            key="k",
+            order_col="o",
+            tiebreak="seq",
+            batch_token=token,
+            changelog=(kind != "gap"),
+        )
+        if kind == "replay":
+            assert snap.version == v_before  # storage no-op
+            assert table_rows() == before
+            continue
+        _cdc_model_apply(model, batch)
+        applied.append(batch)
+        after = table_rows()
+        assert after == model_rows(), (kind, rows)
+        if snap.version > v_before:
+            # A sidecar-less ("gap") commit may refuse the feed even
+            # when no ROW changed: apply_changes rewrites the touched
+            # FILES regardless (hypothesis found this with a delete of
+            # an absent key — version advanced, rows identical, paths
+            # new). The contract is therefore: refusing is legal ONLY
+            # for gap commits; any feed that IS served must fold its
+            # commit exactly, and a no-row-change commit's feed is
+            # empty.
+            try:
+                feed = t.change_feed(snap.version - 1, snap.version).collect()
+            except ValueError:
+                assert kind == "gap", "changelog commit refused its feed"
+                gap_versions.append(snap.version)
+            else:
+                plus = Counter(
+                    (r.k, r.o, r.seq, r.payload)
+                    for r in feed
+                    if r._change == "+"
+                )
+                minus = Counter(
+                    (r.k, r.o, r.seq, r.payload)
+                    for r in feed
+                    if r._change == "-"
+                )
+                assert before + plus - minus == after, (rows, feed)
+                if before == after:
+                    assert not feed  # no silent noise when nothing changed
+            # (no "gap must refuse" converse: a pruned or first-commit
+            # gap op can legitimately commit append-only — old paths
+            # all retained — and such feeds are expressible and served)
+    # a feed scan spanning any gap refuses too
+    if gap_versions:
+        try:
+            t.change_feed(0, t._latest_version())
+            raise AssertionError("range feed crossed a sidecar gap")
+        except ValueError:
+            pass

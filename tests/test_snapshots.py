@@ -53,17 +53,55 @@ def test_stats_file_skipping(spark, tmp_dir):
 def test_object_store_mode_no_pointer(spark, tmp_dir):
     """posix_rename=False: the object-store protocol never creates the
     ``_latest`` pointer or lock; resolution is manifest-chain listing
-    and every read still sees complete committed versions."""
+    and every read still sees complete committed versions.
+
+    Extended per VERDICT r14 #5 (the ``_pointer_version`` fix
+    postdates the original pin): (a) the no-flock path must never even
+    CONSULT the hint machinery — ``_pointer_version`` /
+    ``_advance_pointer`` are asserted unreached across appends, reads
+    and time travel; (b) a stale or corrupt ``_latest`` file planted
+    by an outside writer must not affect any read in either mode
+    (manifest resolution is authoritative), and in posix mode the next
+    clean commit heals a stale-low pointer to the tip."""
     import os
+    from unittest import mock
 
     t = SnapshotTable(spark, f"{tmp_dir}/tbl", posix_rename=False)
-    t.append(_batch(spark, 0, 10))
-    t.append(_batch(spark, 10, 5))
-    meta = os.listdir(f"{tmp_dir}/tbl/meta")
-    assert "_latest" not in meta and "_latest.lock" not in meta
-    assert sorted(meta) == ["v1.json", "v2.json"]
-    assert t.read().count() == 15
-    assert t.read(version=1).count() == 10
+    with mock.patch.object(
+        SnapshotTable,
+        "_pointer_version",
+        side_effect=AssertionError("object-store path consulted _latest"),
+    ), mock.patch.object(
+        SnapshotTable,
+        "_advance_pointer",
+        side_effect=AssertionError("object-store path advanced _latest"),
+    ):
+        t.append(_batch(spark, 0, 10))
+        t.append(_batch(spark, 10, 5))
+        meta = os.listdir(f"{tmp_dir}/tbl/meta")
+        assert "_latest" not in meta and "_latest.lock" not in meta
+        assert sorted(meta) == ["v1.json", "v2.json"]
+        assert t.read().count() == 15
+        assert t.read(version=1).count() == 10
+
+    # (b) stale/corrupt pointers are advisory-only for READS everywhere
+    ptr = f"{tmp_dir}/tbl/meta/_latest"
+    for bogus in ("1", "999", "garbage"):
+        with open(ptr, "w") as fh:
+            fh.write(bogus)
+        assert t.read().count() == 15  # object-store reader: unaffected
+        posix_reader = SnapshotTable(spark, f"{tmp_dir}/tbl")
+        assert posix_reader.read().count() == 15
+        assert posix_reader._latest_version() == 2
+    # posix mode: a clean commit heals a stale-LOW pointer to the tip
+    # (the r14 _pointer_version fix; a corrupt-HIGH value is never
+    # moved backwards by design — readers don't care either way)
+    with open(ptr, "w") as fh:
+        fh.write("1")
+    w = SnapshotTable(spark, f"{tmp_dir}/tbl")
+    w.append(_batch(spark, 20, 5))
+    assert w._pointer_version() == w._latest_version() == 3
+    assert w.read().count() == 20
 
 
 def test_readers_never_observe_half_commit(spark, tmp_dir):
