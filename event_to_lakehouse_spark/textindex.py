@@ -129,6 +129,7 @@ class InvertedIndex:
         feed: DataFrame,
         batch_token: str | None = None,
         order_col: str | None = None,
+        tiebreak_col: str | None = None,
     ) -> None:
         """Consume a docs-table CHANGE DATA FEED
         (``SnapshotTable.change_feed`` rows: table schema + ``_change``
@@ -151,11 +152,28 @@ class InvertedIndex:
         window may span several commits: such a window can carry
         multiple generations of one doc ('+' v1, '-' v1, '+' v2 …),
         and the index must fold them to the NET outcome — newest row
-        per doc wins, with '-' beating '+' at equal version (a
+        per doc wins, with '-' beating '+' at equal identity (a
         retraction of row v is the later event than v's application,
         so an insert-then-delete window nets to forgotten, never
         re-indexed). A single-commit feed needs no fold: ``apply_changes``
-        already nets each key to one verdict."""
+        already nets each key to one verdict.
+
+        ``tiebreak_col`` names the SOURCE table's tiebreak column and
+        must be passed whenever the source uses one (r15, found by the
+        feed-composition property suite): a same-``order_col`` payload
+        rewrite — the reused-identity upsert the r13 fingerprint work
+        makes truthful — emits '-'(v, old-tiebreak) / '+'(v,
+        new-tiebreak) in ONE window, and folding on (order, _change)
+        alone let the '-' win, so the index forgot a doc the table
+        still holds (a serving false negative). With the tiebreak in
+        the fold the rewritten '+' outranks the retracted pre-image,
+        while a genuine delete — whose '-' carries the SAME (order,
+        tiebreak) as the row it retracts — still nets to forgotten
+        via the '-' > '+' final key. A source that rewrites payloads
+        at fully-reused (order, tiebreak) identity is indistinguishable
+        from insert-then-delete inside one window; such sources must
+        strictly increase ``order_col``/``tiebreak_col`` on change (the
+        ``apply_changes`` contract) or be synced per-commit windows."""
         minus = feed.filter(F.col("_change") == "-").select("doc_id")
         try:
             self.delete_docs(
@@ -166,11 +184,21 @@ class InvertedIndex:
             pass  # feed replayed onto an empty index: nothing to clear
         plus = feed
         if order_col is not None:
-            from .pipeline.upsert import latest_per_key
+            from pyspark.sql import Window
 
-            # '-' > '+' in the tiebreak: at equal version the
-            # retraction is the later event (see docstring).
-            plus = latest_per_key(feed, "doc_id", order_col, "_change")
+            # fold key: (order, source tiebreak if any, then '-' > '+'
+            # — at fully-equal identity the retraction is the later
+            # event; see docstring).
+            order = [F.col(order_col).desc()]
+            if tiebreak_col is not None:
+                order.append(F.col(tiebreak_col).desc())
+            order.append(F.col("_change").desc())
+            w = Window.partitionBy("doc_id").orderBy(*order)
+            plus = (
+                feed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         self.add_batch(
             plus.filter(F.col("_change") == "+").select("doc_id", "text"),
             batch_token=batch_token,

@@ -181,6 +181,60 @@ def test_inverted_index_cdc_multi_commit_window(spark, tmp_dir):
     assert idx.doc_count() == t.read().count()
 
 
+def test_inverted_index_sync_same_version_rewrite(spark, tmp_dir):
+    """r15 regression pin (found composing the CDC property suite with
+    the index sync): a multi-commit feed window carrying a
+    same-order_col payload REWRITE — '-'(v, seq0, old) / '+'(v, seq1,
+    new), the reused-identity upsert the r13 fingerprint work makes
+    truthful — must keep the doc indexed with the NEW text. Before the
+    tiebreak_col fix, the fold ranked the '-' above both '+' rows and
+    the index forgot a doc the table still holds (a serving false
+    negative). A genuine delete in the same window — whose '-' carries
+    the SAME (v, seq) as the row it retracts — still nets to
+    forgotten."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+
+    t = SnapshotTable(spark, f"{tmp_dir}/src")
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, v int, seq int, _op string, text string"
+        )
+
+    t.apply_changes(
+        ch([(7, 1, 0, "I", "old words here"), (8, 1, 0, "I", "stable doc")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="c1", changelog=True,
+    )
+    t.apply_changes(  # same-version payload rewrite of doc 7
+        ch([(7, 1, 1, "U", "new words there")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="c2", changelog=True,
+    )
+    t.apply_changes(  # genuine delete of doc 8
+        ch([(8, 2, 0, "D", "x")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="c3", changelog=True,
+    )
+
+    idx = InvertedIndex(spark, f"{tmp_dir}/idx")
+    idx.sync_from_changelog(
+        t.change_feed(0), batch_token="w1", order_col="v", tiebreak_col="seq"
+    )
+    assert sorted(
+        r.doc_id for r in idx.doclens_table.read().collect()
+    ) == [7]
+    # and the indexed text is the REWRITTEN one
+    terms = {
+        r.term for r in idx.postings_table.read().collect() if r.doc_id == 7
+    }
+    assert "new" in terms and "old" not in terms
+    # synced == fresh over the table (the lock-step contract)
+    fresh = InvertedIndex(spark, f"{tmp_dir}/fresh")
+    fresh.add_batch(t.read().select("doc_id", "text"), batch_token="s")
+    assert idx.doc_count() == fresh.doc_count() == 1
+
+
 # -- near-dup index ----------------------------------------------------------
 
 

@@ -1039,3 +1039,114 @@ def test_cdc_apply_changes_replay_gap_property(spark, ops, pruned):
             raise AssertionError("range feed crossed a sidecar gap")
         except ValueError:
             pass
+
+# ---------------------------------------------------------------------------
+# r15: compose the two maintainers — random CDC commits into a source
+# table, randomly-batched change_feed windows synced into the
+# InvertedIndex. This composition is what flushed out the
+# same-version-rewrite fold bug (textindex.sync_from_changelog
+# tiebreak_col; pinned deterministically in test_index_deletes).
+
+_IDX_POOL = ["crimson rose red", "azure sea blue", "verdant leaf green"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.dictionaries(
+                keys=st.tuples(
+                    st.integers(min_value=0, max_value=3),  # doc_id
+                    st.integers(min_value=0, max_value=2),  # version
+                    st.integers(min_value=0, max_value=1),  # seq tiebreak
+                ),
+                values=st.sampled_from(["I", "U", "D"]),
+                min_size=1,
+                max_size=3,
+            ),
+            st.booleans(),  # sync a window after this commit?
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_inverted_index_feed_sync_lockstep_property(spark, ops):
+    """Under ANY sequence of CDC commits (inserts, same-version
+    payload rewrites via seq, deletes) synced into the inverted index
+    through randomly-batched multi-commit feed windows — each window
+    also REPLAYED once with its token — the index must equal a fresh
+    index over the table's final rows: same doc set, same postings,
+    same doc lengths. Payload is a deterministic function of the
+    (doc_id, v, seq) identity, so a reused identity is always a
+    byte-identical reapply (the fingerprint contract; a payload
+    rewrite at fully-reused identity is documented as out of the
+    fold's reach)."""
+    import tempfile
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+
+    root = tempfile.mkdtemp(prefix="idxsync_")
+    t = SnapshotTable(spark, f"{root}/src")
+    idx = InvertedIndex(spark, f"{root}/idx")
+    last_synced, wi = 0, 0
+
+    def sync_window():
+        nonlocal last_synced, wi
+        if t._latest_version() <= last_synced:
+            return
+        feed = t.change_feed(last_synced)
+        for _ in range(2):  # second pass = replayed window
+            idx.sync_from_changelog(
+                feed,
+                batch_token=f"w{wi}",
+                order_col="v",
+                tiebreak_col="seq",
+            )
+        last_synced, wi = t._latest_version(), wi + 1
+
+    for n, (batch, sync_now) in enumerate(ops):
+        rows = [
+            (k, o, s, op, _IDX_POOL[(k + 2 * o + s) % 3])
+            for (k, o, s), op in sorted(batch.items())
+        ]
+        t.apply_changes(
+            spark.createDataFrame(
+                rows, "doc_id long, v int, seq int, _op string, text string"
+            ),
+            key="doc_id",
+            order_col="v",
+            tiebreak="seq",
+            batch_token=f"b{n}",
+            changelog=True,
+        )
+        if sync_now:
+            sync_window()
+    sync_window()
+
+    fresh = InvertedIndex(spark, f"{root}/fresh")
+    fresh.add_batch(t.read().select("doc_id", "text"), batch_token="f")
+
+    def postings(i):
+        try:
+            return {
+                (r.doc_id, r.term, r.tf)
+                for r in i.postings_table.read().collect()
+            }
+        except FileNotFoundError:
+            return set()
+
+    def doclens(i):
+        try:
+            return {
+                (r.doc_id, r.dl) for r in i.doclens_table.read().collect()
+            }
+        except FileNotFoundError:
+            return set()
+
+    assert postings(idx) == postings(fresh)
+    assert doclens(idx) == doclens(fresh)
