@@ -1150,3 +1150,94 @@ def test_inverted_index_feed_sync_lockstep_property(spark, ops):
 
     assert postings(idx) == postings(fresh)
     assert doclens(idx) == doclens(fresh)
+
+# ---------------------------------------------------------------------------
+# r15: the third stateful consumer — RollupView maintenance folded over
+# random CDC / append / compaction interleavings, with the engine's own
+# equals_recompute (full-fact groupBy, exceptAll both ways) as referee.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["cdc", "append", "refresh", "compact"]),
+            st.dictionaries(
+                keys=st.tuples(
+                    st.integers(min_value=0, max_value=3),  # row id
+                    st.integers(min_value=0, max_value=2),  # version
+                    st.integers(min_value=0, max_value=1),  # seq tiebreak
+                ),
+                values=st.sampled_from(["I", "U", "D"]),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_rollup_view_fold_equals_recompute_property(spark, ops):
+    """Under ANY interleaving of fact commits — CDC apply_changes with
+    recorded feeds (retraction fold path), plain appends (insert fold
+    path), compactions (feed-less rewrite → full-rebuild fallback) —
+    and refreshes at arbitrary points, every refresh must leave the
+    maintained view EQUAL to the full recompute (count/sum/min/max),
+    and an immediately repeated refresh must no-op. Measures stay on
+    an integer grid so the compare is exact."""
+    import tempfile
+
+    from event_to_lakehouse_spark.storage.compaction import compact_snapshot
+    from event_to_lakehouse_spark.storage.rollup import RollupView
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="rollprop_")
+    fact = SnapshotTable(spark, f"{root}/fact")
+    view = RollupView(
+        spark, f"{root}/view", keys=["k"], sums=["x"], mins=["x"], maxs=["x"]
+    )
+
+    def rows_df(batch, with_op):
+        rows = [
+            (i, v, s, i % 2, (i + 3 * v + s) % 7)
+            + ((op,) if with_op else ())
+            for (i, v, s), op in sorted(batch.items())
+        ]
+        schema = "id long, v int, seq int, k int, x long" + (
+            ", _op string" if with_op else ""
+        )
+        return spark.createDataFrame(rows, schema)
+
+    n_commits = 0
+    for n, (kind, batch) in enumerate(ops):
+        if kind == "cdc":
+            fact.apply_changes(
+                rows_df(batch, True),
+                key="id",
+                order_col="v",
+                tiebreak="seq",
+                batch_token=f"c{n}",
+                changelog=True,
+            )
+            n_commits += 1
+        elif kind == "append":
+            fact.append(rows_df(batch, False), batch_token=f"a{n}")
+            n_commits += 1
+        elif kind == "compact":
+            if fact.snapshot() is not None:
+                compact_snapshot(fact, sort_cols=["k"])
+                n_commits += 1
+        else:
+            if fact.snapshot() is None:
+                continue
+            snap = view.refresh(fact)
+            assert view.equals_recompute(fact), (n, kind)
+            again = view.refresh(fact)
+            assert again.version == snap.version  # replayed refresh no-ops
+    if fact.snapshot() is not None:
+        view.refresh(fact)
+        assert view.equals_recompute(fact)
