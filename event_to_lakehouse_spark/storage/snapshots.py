@@ -957,7 +957,11 @@ class SnapshotTable:
     ) -> DataFrame:
         """CHANGE DATA FEED scan: the net ``(+/-)`` row stream between
         two versions — rows carry the table schema plus ``_change``
-        (``'+'`` applied row, ``'-'`` retracted pre-image). Append
+        (``'+'`` applied row, ``'-'`` retracted pre-image) and
+        ``_commit_version`` (r15: the commit each row belongs to, so
+        order-sensitive consumers can fold multi-commit windows in
+        commit order — see ``InvertedIndex.sync_from_changelog``).
+        Append
         commits contribute their added rows as ``'+'`` (manifest-only,
         no sidecar needed); ``apply_changes(changelog=True)`` commits
         contribute their recorded retraction sidecar; any other rewrite
@@ -977,12 +981,22 @@ class SnapshotTable:
         prev = self.snapshot(from_version) if from_version > 0 else None
         prev_paths = set(prev.paths) if prev else set()
         frames: list[DataFrame] = []
+        # Every frame carries ``_commit_version`` (r15): signed
+        # count/sum folds commute across commits, but ORDER-sensitive
+        # consumers (an inverted index folding delete-then-reinsert)
+        # cannot recover commit order from the unioned rows alone —
+        # a '-' pre-image carries the OLD row's order_col, which can
+        # out-rank a later commit's re-insert at a lower version.
         for v in range(from_version + 1, to_v + 1):
             snap = self.snapshot(v)
             cur_paths = set(snap.paths)
             clog = self.root / "changelog" / f"v{v}"
             if clog.exists():
-                frames.append(self.spark.read.parquet(str(clog)))
+                frames.append(
+                    self.spark.read.parquet(str(clog)).withColumn(
+                        "_commit_version", F.lit(v)
+                    )
+                )
             elif prev_paths - cur_paths:
                 raise ValueError(
                     f"v{v} is a rewrite commit with no changelog sidecar; "
@@ -993,9 +1007,9 @@ class SnapshotTable:
                 added = [p for p in snap.paths if p not in prev_paths]
                 if added:
                     frames.append(
-                        self._read_files(added, snap.schema).withColumn(
-                            "_change", F.lit("+")
-                        )
+                        self._read_files(added, snap.schema)
+                        .withColumn("_change", F.lit("+"))
+                        .withColumn("_commit_version", F.lit(v))
                     )
             prev_paths = cur_paths
         if not frames:
@@ -1003,6 +1017,7 @@ class SnapshotTable:
             return (
                 self._read_files([ref.paths[0]], ref.schema)
                 .withColumn("_change", F.lit("+"))
+                .withColumn("_commit_version", F.lit(to_v))
                 .limit(0)
             )
         out = frames[0]

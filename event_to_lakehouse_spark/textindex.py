@@ -147,33 +147,38 @@ class InvertedIndex:
         Delete-then-reinsert is the standard inverted-index CDC fold;
         both halves are tokened off ``batch_token`` so a replay of the
         same feed window converges (delete of already-deleted keys and
-        re-append are both storage no-ops). ``order_col`` names the
-        source table's version column and is REQUIRED whenever the
-        window may span several commits: such a window can carry
-        multiple generations of one doc ('+' v1, '-' v1, '+' v2 …),
-        and the index must fold them to the NET outcome — newest row
-        per doc wins, with '-' beating '+' at equal identity (a
-        retraction of row v is the later event than v's application,
-        so an insert-then-delete window nets to forgotten, never
-        re-indexed). A single-commit feed needs no fold: ``apply_changes``
+        re-append are both storage no-ops). A window spanning several
+        commits can carry multiple generations of one doc ('+' v1,
+        '-' v1, '+' v2 …) and must fold to the NET outcome. When the
+        feed carries ``_commit_version`` (every ``change_feed`` since
+        r15 does), the fold is COMMIT-ORDERED — newest commit wins,
+        '+' beats '-' within one commit (a rewrite commit means
+        survival with the new text) — which is correct for ANY source
+        history, including delete-then-reinsert at a lower version.
+        For feeds without commit provenance, ``order_col`` (REQUIRED
+        then for multi-commit windows) + ``tiebreak_col`` order by row
+        identity with '-' beating '+' at equal identity (a retraction
+        of row v is the later event than v's application) — correct
+        only while the source strictly increases its order column per
+        doc. A single-commit feed needs no fold: ``apply_changes``
         already nets each key to one verdict.
 
-        ``tiebreak_col`` names the SOURCE table's tiebreak column and
-        must be passed whenever the source uses one (r15, found by the
-        feed-composition property suite): a same-``order_col`` payload
+        History of the fallback path's fold key (both r15, both found
+        by the feed-composition property suite): folding on
+        (order, _change) alone dropped a same-``order_col`` payload
         rewrite — the reused-identity upsert the r13 fingerprint work
-        makes truthful — emits '-'(v, old-tiebreak) / '+'(v,
-        new-tiebreak) in ONE window, and folding on (order, _change)
-        alone let the '-' win, so the index forgot a doc the table
-        still holds (a serving false negative). With the tiebreak in
-        the fold the rewritten '+' outranks the retracted pre-image,
-        while a genuine delete — whose '-' carries the SAME (order,
-        tiebreak) as the row it retracts — still nets to forgotten
-        via the '-' > '+' final key. A source that rewrites payloads
-        at fully-reused (order, tiebreak) identity is indistinguishable
-        from insert-then-delete inside one window; such sources must
-        strictly increase ``order_col``/``tiebreak_col`` on change (the
-        ``apply_changes`` contract) or be synced per-commit windows."""
+        makes truthful emits '-'(v, old-tiebreak) / '+'(v,
+        new-tiebreak), and the '-' won, so the index forgot a doc the
+        table still holds (a serving false negative); ``tiebreak_col``
+        fixes that case, and a genuine delete — whose '-' carries the
+        SAME (order, tiebreak) as the row it retracts — still nets to
+        forgotten via the '-' > '+' final key. One hypothesis round
+        later the suite produced delete-then-reinsert-at-a-LOWER-
+        version, which NO row-identity key can order — hence the
+        commit-ordered primary path above. Sources without commit
+        provenance that rewrite payloads at fully-reused identity or
+        re-insert at lower versions must be synced per-commit
+        windows."""
         minus = feed.filter(F.col("_change") == "-").select("doc_id")
         try:
             self.delete_docs(
@@ -183,12 +188,42 @@ class InvertedIndex:
         except FileNotFoundError:
             pass  # feed replayed onto an empty index: nothing to clear
         plus = feed
-        if order_col is not None:
+        if "_commit_version" in feed.columns:
             from pyspark.sql import Window
 
-            # fold key: (order, source tiebreak if any, then '-' > '+'
+            # COMMIT-ORDER fold (r15, found by the same property suite
+            # one round deeper): row-identity ordering breaks on
+            # delete-then-REINSERT-at-a-lower-version across commits —
+            # the '-' pre-image carries the OLD row's order_col, which
+            # out-ranks the later commit's re-insert, and the index
+            # forgets a doc the table holds. ``change_feed`` rows carry
+            # their commit, which totally orders the generations: the
+            # newest COMMIT wins, and within one commit '+' beats '-'
+            # (a commit that both retracts and applies — a rewrite —
+            # means the doc survives with the new text; apply_changes
+            # nets one verdict per key, so a commit has at most one
+            # '+' and one '-' per doc). order_col/tiebreak_col refine
+            # the within-commit order only for non-key-unique append
+            # feeds.
+            order = [F.col("_commit_version").desc(), F.col("_change").asc()]
+            if order_col is not None:
+                order.append(F.col(order_col).desc())
+            if tiebreak_col is not None:
+                order.append(F.col(tiebreak_col).desc())
+            w = Window.partitionBy("doc_id").orderBy(*order)
+            plus = (
+                feed.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        elif order_col is not None:
+            from pyspark.sql import Window
+
+            # Feeds without commit provenance fall back to row-identity
+            # ordering: (order, source tiebreak if any, then '-' > '+'
             # — at fully-equal identity the retraction is the later
-            # event; see docstring).
+            # event; see docstring). Correct only while order_col
+            # increases monotonically per doc across the window.
             order = [F.col(order_col).desc()]
             if tiebreak_col is not None:
                 order.append(F.col(tiebreak_col).desc())

@@ -235,6 +235,72 @@ def test_inverted_index_sync_same_version_rewrite(spark, tmp_dir):
     assert idx.doc_count() == fresh.doc_count() == 1
 
 
+def test_inverted_index_sync_delete_then_reinsert_lower_version(spark, tmp_dir):
+    """r15 regression pin (hypothesis, one round after the rewrite
+    case): commit A deletes doc 1 (its '-' pre-image carries the OLD
+    row's version v=2), commit B re-inserts doc 1 at a LOWER version
+    (v=0 — legal: deletes are unconditional, so the base has no row to
+    out-rank it). A multi-commit window folded by row identity ranks
+    the '-'(v=2) above the '+'(v=0) and forgets a doc the table holds.
+    The commit-ordered fold (change_feed's _commit_version) keeps it:
+    the re-insert's COMMIT is later."""
+    from event_to_lakehouse_spark.textindex import InvertedIndex
+
+    t = SnapshotTable(spark, f"{tmp_dir}/src")
+
+    def ch(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, v int, seq int, _op string, text string"
+        )
+
+    t.apply_changes(
+        ch([(1, 2, 0, "I", "original words")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="c1", changelog=True,
+    )
+    v0 = t.snapshot().version
+    t.apply_changes(  # delete: '-' carries (v=2, seq=0)
+        ch([(1, 2, 0, "D", "x")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="c2", changelog=True,
+    )
+    t.apply_changes(  # re-insert at LOWER version
+        ch([(1, 0, 0, "I", "reborn words")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="c3", changelog=True,
+    )
+    assert t.read().count() == 1  # the table holds the reborn doc
+
+    idx = InvertedIndex(spark, f"{tmp_dir}/idx")
+    idx.add_batch(
+        spark.createDataFrame([(1, "original words")], "doc_id long, text string"),
+        batch_token="boot",
+    )
+    idx.sync_from_changelog(
+        t.change_feed(v0), batch_token="w", order_col="v", tiebreak_col="seq"
+    )
+    assert idx.doc_count() == 1
+    terms = {r.term for r in idx.postings_table.read().collect()}
+    assert "reborn" in terms and "original" not in terms
+    # and the reverse history still forgets: insert then delete
+    t2 = SnapshotTable(spark, f"{tmp_dir}/src2")
+    t2.apply_changes(
+        ch([(5, 0, 0, "I", "fleeting words")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="d1", changelog=True,
+    )
+    t2.apply_changes(
+        ch([(5, 9, 0, "D", "x")]),
+        key="doc_id", order_col="v", tiebreak="seq",
+        batch_token="d2", changelog=True,
+    )
+    idx2 = InvertedIndex(spark, f"{tmp_dir}/idx2")
+    idx2.sync_from_changelog(
+        t2.change_feed(0), batch_token="w", order_col="v", tiebreak_col="seq"
+    )
+    assert idx2.doc_count() == 0
+
+
 # -- near-dup index ----------------------------------------------------------
 
 
