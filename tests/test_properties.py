@@ -1241,3 +1241,256 @@ def test_rollup_view_fold_equals_recompute_property(spark, ops):
     if fact.snapshot() is not None:
         view.refresh(fact)
         assert view.equals_recompute(fact)
+
+
+# ---------------------------------------------------------------------------
+# r15 extension of the VERDICT-r14 property pattern: the incremental
+# SCD2 maintainer (pipeline/gold.py scd2_apply_batch) was pinned only
+# by example-based tests (time-ordered splits of the real event log).
+# Random keyed batches explore what those examples cannot: PARTIAL
+# lateness inside one batch, state changes landing at ts EXACTLY equal
+# to the open version's valid_from (zero-width versions), same-ts
+# events within and across batches, token replays, and writers killed
+# in the commit gap — all checked after every op against a pure-Python
+# SCD2 model over the accepted-event union (the docstring's own
+# equivalence claim: "the result equals gold_scd2_history over the
+# union of all applied batches").
+
+
+def _scd2_model(accepted):
+    """Reference SCD2 over accepted (uid, state, ts, eid) events: per
+    key, sort by (ts, eid), collapse consecutive same-state runs, and
+    emit [valid_from, valid_to) version rows numbered from 1."""
+    bykey: dict = {}
+    for uid, state, ts, eid in accepted:
+        bykey.setdefault(uid, []).append((ts, eid, state))
+    out = []
+    for uid, evs in bykey.items():
+        evs.sort()
+        changes = []
+        prev = None
+        for ts, eid, state in evs:
+            if prev is None or state != prev:
+                changes.append((ts, state))
+            prev = state
+        for i, (ts, state) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.append((uid, state, ts, nxt, nxt is None, i + 1))
+    return sorted(out, key=lambda r: (r[0], r[5]))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=1),  # asset key
+                    st.integers(min_value=0, max_value=2),  # state id
+                    st.integers(min_value=0, max_value=5),  # event ts
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+            st.booleans(),  # replay the batch token right after
+            st.booleans(),  # crash in the commit gap, then retry
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_apply_batch_model_property(spark, ops):
+    """Under ANY sequence of event batches — partial lateness, equal
+    timestamps, replays, commit-gap crashes with retry — the table
+    after every completed op equals the pure-Python SCD2 model over
+    the union of ACCEPTED events, the late count matches the model's
+    drop rule (ts < the PRE-batch open version's valid_from), and a
+    replayed token leaves the storage version untouched.
+
+    Event ids grow monotonically across batches (the real log's
+    shape); within that contract the equivalence is exact, including
+    zero-width versions from same-ts state flips."""
+    import tempfile
+    from unittest import mock
+
+    from event_to_lakehouse_spark.pipeline.gold import scd2_apply_batch
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    class Killed(BaseException):
+        pass
+
+    root = tempfile.mkdtemp(prefix="scd2prop_")
+    table = SnapshotTable(spark, root, stats_col="hist_key")
+    accepted: list = []
+    eid = 0
+    cols = ["asset_uid", "state", "valid_from", "valid_to", "is_current", "version"]
+    for n, (batch, replay, crash) in enumerate(ops):
+        rows = []
+        for uid, s, ts in batch:
+            rows.append((uid, f"s{s}", ts, eid))
+            eid += 1
+        df = spark.createDataFrame(
+            rows, "asset_uid long, state string, ts long, event_id long"
+        )
+        # model late rule: vs the PRE-batch open version's valid_from
+        open_vf = {
+            r[0]: r[2] for r in _scd2_model(accepted) if r[4]
+        }
+        acc = [
+            r for r in rows
+            if r[0] not in open_vf or r[2] >= open_vf[r[0]]
+        ]
+        token = f"b{n}"
+        if crash:
+            with mock.patch.object(
+                SnapshotTable,
+                "_advance_pointer",
+                side_effect=Killed("crash in the gap"),
+            ):
+                try:
+                    scd2_apply_batch(table, df, batch_token=token)
+                except Killed:
+                    pass
+            table = SnapshotTable(spark, root, stats_col="hist_key")
+            scd2_apply_batch(table, df, batch_token=token)  # retry
+        else:
+            res = scd2_apply_batch(table, df, batch_token=token)
+            assert res["n_late_dropped"] == len(rows) - len(acc), (n, rows)
+        accepted.extend(acc)
+        if replay:
+            v = table.snapshot().version
+            scd2_apply_batch(table, df, batch_token=token)
+            assert table.snapshot().version == v  # replay no-ops
+        got = sorted(
+            (tuple(r) for r in table.read().select(*cols).collect()),
+            key=lambda r: (r[0], r[5]),
+        )
+        assert got == _scd2_model(accepted), (n, rows)
+        # the surrogate merge key never collides
+        hk = [r.hist_key for r in table.read().select("hist_key").collect()]
+        assert len(hk) == len(set(hk))
+
+
+# ---------------------------------------------------------------------------
+# r15: same pattern for the Bloom admission filter (dedup/bloom.py) —
+# its example pins (mixed-feed sync, replay no-op) fix single
+# scenarios; the property walks random insert/delete windows with
+# PRE- or POST-window survivors frames, token replays, and commit-gap
+# crashes, holding the one verdict the index must never emit: a FALSE
+# NEGATIVE for a key the exact index holds. Pure rebuilds additionally
+# pin the bit-for-bit build_bloom(survivors) claim.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ins", "del", "rebuild"]),
+            st.lists(
+                st.integers(min_value=0, max_value=7), min_size=1, max_size=3
+            ),  # window keys ('+' for ins; '-' candidates for del)
+            st.booleans(),  # del windows: survivors frame is PRE-window
+            st.booleans(),  # replay the op's token right after
+            st.booleans(),  # crash in the commit gap, then retry
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_bloom_index_no_false_negative_property(spark, ops):
+    """Under ANY interleaving of '+'-only windows, mixed/'-' windows
+    (rebuild path, survivors frame derived before OR after the
+    window), direct rebuilds, token replays, and writers killed in the
+    commit gap: every key the model survivor set holds probes
+    ``bloom_maybe = True`` after every completed op, replays leave the
+    storage version untouched, and a PURE rebuild (no feed skew)
+    leaves the bitmap bit-for-bit equal to ``build_bloom(survivors)``."""
+    import tempfile
+    from unittest import mock
+
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex, build_bloom
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    class Killed(BaseException):
+        pass
+
+    root = tempfile.mkdtemp(prefix="bloomprop_")
+    idx = BloomIndex(spark, root, m_bits=64)
+    survivors: set = set()
+
+    def kdf(keys):
+        return spark.createDataFrame(
+            [(f"k{i}",) for i in sorted(keys)], "fp string"
+        )
+
+    def feed_df(plus, minus):
+        rows = [(f"k{i}", "+") for i in sorted(plus)] + [
+            (f"k{i}", "-") for i in sorted(minus)
+        ]
+        return spark.createDataFrame(rows, "fp string, _change string")
+
+    def run(op_fn, crash):
+        if not crash:
+            return op_fn()
+        with mock.patch.object(
+            SnapshotTable,
+            "_advance_pointer",
+            side_effect=Killed("crash in the gap"),
+        ):
+            try:
+                op_fn()
+            except Killed:
+                pass
+        return op_fn()  # retry: durable manifest → token no-op
+
+    for n, (kind, keys, pre_frame, replay, crash) in enumerate(ops):
+        token = f"t{n}"
+        keys = set(keys)
+        if kind == "ins":
+            op = lambda: idx.sync_from_changelog(
+                feed_df(keys, set()), "fp",
+                kdf(survivors | keys), batch_token=token,
+            )
+            survivors_after = survivors | keys
+        elif kind == "del":
+            minus = keys & survivors  # feed only retracts held keys
+            plus = keys - survivors  # mixed window: inserts alongside
+            survivors_after = (survivors - minus) | plus
+            frame = survivors if pre_frame else survivors_after
+            op = lambda: idx.sync_from_changelog(
+                feed_df(plus, minus), "fp", kdf(frame), batch_token=token
+            )
+        else:  # pure rebuild from the current truth
+            survivors_after = set(survivors)
+            op = lambda: idx.rebuild_from(
+                kdf(survivors_after), "fp", batch_token=token
+            )
+        run(op, crash)
+        survivors = survivors_after
+        if replay:
+            v = idx.table.snapshot().version
+            op()
+            assert idx.table.snapshot().version == v  # replay no-ops
+        # THE contract: no false negatives for the survivor set
+        if survivors:
+            probed = idx.probe(kdf(survivors), "fp").collect()
+            missed = [r.fp for r in probed if not r.bloom_maybe]
+            assert not missed, (n, kind, missed)
+        if kind == "rebuild":
+            got = sorted(
+                (r.word_idx, r.word)
+                for r in idx.table.read().collect()
+            )
+            want = sorted(
+                (r.word_idx, r.word)
+                for r in build_bloom(kdf(survivors), "fp", 64).collect()
+            )
+            assert got == want  # bit-for-bit, the rebuild_from claim
