@@ -1494,3 +1494,120 @@ def test_bloom_index_no_false_negative_property(spark, ops):
                 for r in build_bloom(kdf(survivors), "fp", 64).collect()
             )
             assert got == want  # bit-for-bit, the rebuild_from claim
+
+
+# ---------------------------------------------------------------------------
+# r15: same pattern for the durable IVFPQ ANN index (similarity/
+# ivfpq.py) — the delete path's serve-equivalence is example-pinned
+# (test_index_deletes); the property walks random add / delete /
+# re-add / maintain interleavings with replays and commit-gap crashes,
+# holding the codes table in lock-step with a model membership set and
+# pinning encode DETERMINISM: a vector deleted and re-added must get
+# byte-identical code rows (the quantizers are build-pinned).
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["add", "del", "maintain"]),
+            st.lists(
+                st.integers(min_value=0, max_value=19),
+                min_size=1,
+                max_size=4,
+            ),
+            st.booleans(),  # replay the op's token right after
+            st.booleans(),  # crash in the commit gap, then retry
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ivfpq_index_membership_lockstep_property(spark, ops):
+    """Under ANY interleaving of add_batch / delete_vecs (held and
+    unheld ids alike) / maintain, with token replays and writers
+    killed in the commit gap: the codes table holds EXACTLY the model
+    membership set — PQ_M rows per held vector, one per subspace —
+    every vector's code rows are identical every time it is (re)added
+    (pinned quantizers ⇒ deterministic encode), compaction never
+    changes the logical rows, and replayed tokens leave the storage
+    version untouched."""
+    import tempfile
+    from unittest import mock
+
+    from event_to_lakehouse_spark.similarity.ivfpq import IVFPQIndex
+    from event_to_lakehouse_spark.similarity.pq import PQ_M
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    class Killed(BaseException):
+        pass
+
+    def vecs_df(ids):
+        rows = [
+            (i, [float((i * 7 + s) % 5) for s in range(8)])
+            for i in sorted(ids)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    root = tempfile.mkdtemp(prefix="ivfprop_")
+    idx = IVFPQIndex.build(spark, root, train=vecs_df(range(20)))
+    held: set = set()
+    frozen: dict = {}  # vec_id -> the id's code rows, pinned at first add
+
+    def run(op_fn, crash):
+        if not crash:
+            return op_fn()
+        with mock.patch.object(
+            SnapshotTable,
+            "_advance_pointer",
+            side_effect=Killed("crash in the gap"),
+        ):
+            try:
+                op_fn()
+            except Killed:
+                pass
+        return op_fn()  # retry: durable manifest → token no-op
+
+    for n, (kind, ids, replay, crash) in enumerate(ops):
+        token = f"t{n}"
+        ids = set(ids)
+        if kind == "add":
+            add = ids - held  # unique live ids; deleted ids may return
+            if not add:
+                continue
+            op = lambda: idx.add_batch(vecs_df(add), batch_token=token)
+            held_after = held | add
+        elif idx.codes_table.snapshot() is None:
+            continue  # nothing stored yet to delete or compact
+        elif kind == "del":
+            op = lambda: idx.delete_vecs(
+                vecs_df(ids).select("vec_id"), batch_token=token
+            )
+            held_after = held - ids
+        else:
+            op = lambda: idx.maintain()
+            held_after = set(held)
+        run(op, crash)
+        held = held_after
+        if replay and kind != "maintain":  # compaction has no token
+            v = idx.codes_table.snapshot().version
+            op()
+            assert idx.codes_table.snapshot().version == v  # replay no-ops
+        byid: dict = {}
+        if idx.codes_table.snapshot() is not None:
+            for r in idx.codes_table.read().collect():
+                byid.setdefault(r.vec_id, []).append((r.cent_id, r.j, r.code))
+        assert set(byid) == held, (n, kind)
+        assert idx.vec_count() == len(held)
+        for i, rows in byid.items():
+            rows = sorted(rows)
+            assert len(rows) == PQ_M
+            assert len({j for _, j, _ in rows}) == PQ_M  # one code per subspace
+            if i in frozen:
+                assert rows == frozen[i], (n, kind, i)  # deterministic encode
+            else:
+                frozen[i] = rows
