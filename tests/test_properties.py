@@ -1611,3 +1611,110 @@ def test_ivfpq_index_membership_lockstep_property(spark, ops):
                 assert rows == frozen[i], (n, kind, i)  # deterministic encode
             else:
                 frozen[i] = rows
+
+
+# ---------------------------------------------------------------------------
+# r15: same pattern for the write-audit-publish gate (storage/
+# snapshots.py stage/read_staged/publish/discard) — random
+# stage/publish/discard interleavings with DUPLICATE batch tokens and
+# writers killed between the publish commit and the staged-manifest
+# consume, holding the WAP contract: no reader ever sees a staged or
+# discarded row, a published stage lands exactly once even when its
+# token is already in the chain, and a crashed publish retried
+# converges without double-appending.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["stage", "publish", "discard"]),
+            st.integers(min_value=0, max_value=3),  # batch id (tokens collide)
+            st.booleans(),  # publish: crash in the commit gap, then retry
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_wap_stage_publish_discard_property(spark, ops):
+    """Under ANY interleaving of stage / publish / discard — including
+    re-staged batch ids whose tokens collide with already-published
+    ones, and publishers killed between the chain commit and the
+    staged-manifest unlink: the live table always reads EXACTLY the
+    union of effectively-published unique-token batches, the pending
+    set matches the model, staged rows stay readable in isolation
+    until consumed, and a consumed or discarded stage id raises on
+    re-publish."""
+    import tempfile
+    from unittest import mock
+
+    import pytest
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    class Killed(BaseException):
+        pass
+
+    root = tempfile.mkdtemp(prefix="wapprop_")
+    t = SnapshotTable(spark, root)
+
+    def batch(bid):
+        return spark.createDataFrame(
+            [(bid, bid * 10 + j) for j in range(2)], "bid long, val long"
+        )
+
+    pending: list = []  # (stage_id, bid) in stage order
+    consumed: list = []  # stage ids no longer publishable
+    published: list = []  # bids whose token actually landed rows
+    for kind, bid, crash in ops:
+        if kind == "stage":
+            sid = t.stage(batch(bid), batch_token=f"t{bid}")
+            pending.append((sid, bid))
+        elif not pending:
+            if kind == "publish":  # unknown stage ids always raise
+                with pytest.raises(KeyError):
+                    t.publish("deadbeef0000")
+        elif kind == "publish":
+            sid, pbid = pending.pop(bid % len(pending))
+            if crash:
+                with mock.patch.object(
+                    SnapshotTable,
+                    "_advance_pointer",
+                    side_effect=Killed("crash in the gap"),
+                ):
+                    try:
+                        t.publish(sid)
+                    except Killed:
+                        pass
+                t = SnapshotTable(spark, root)
+                t.publish(sid)  # retry: token already in chain → consume only
+            else:
+                t.publish(sid)
+            if pbid not in published:
+                published.append(pbid)  # colliding token: no-op, still consumed
+            consumed.append(sid)
+        else:
+            sid, _ = pending.pop(bid % len(pending))
+            t.discard(sid)
+            consumed.append(sid)
+
+        # the live chain holds exactly the effectively-published batches
+        try:
+            got = sorted((r.bid, r.val) for r in t.read().collect())
+        except FileNotFoundError:
+            got = []
+        want = sorted((b, b * 10 + j) for b in published for j in range(2))
+        assert got == want, (kind, bid)
+        # pending set in lock-step; staged rows readable in isolation
+        assert sorted(t.staged()) == sorted(s for s, _ in pending)
+        for sid2, bid2 in pending:
+            srows = sorted((r.bid, r.val) for r in t.read_staged(sid2).collect())
+            assert srows == [(bid2, bid2 * 10 + j) for j in range(2)]
+        # consumed/discarded ids are gone for good
+        for sid2 in consumed:
+            with pytest.raises(KeyError):
+                t.publish(sid2)
