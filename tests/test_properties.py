@@ -1718,3 +1718,181 @@ def test_wap_stage_publish_discard_property(spark, ops):
         for sid2 in consumed:
             with pytest.raises(KeyError):
                 t.publish(sid2)
+
+
+# ---------------------------------------------------------------------------
+# r15: the composed admission topology — ExactDedupIndex WITH a paired
+# BloomIndex (dedup/incremental.py:359 + dedup/bloom.py) — under
+# random ingest / doc-forget / content-forget / compact sequences.
+# index_batch in admission mode makes TWO lock-step commits (append
+# new-unique fps, then merge their bits); the crash point picks WHICH
+# commit dies, so both halves of the gap are walked. The model is a
+# text → canonical-doc dict; verdicts, held rows, replay stability and
+# the no-false-negative admission contract are checked every op.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["ingest", "forget_doc", "forget_fp", "maintain"]),
+            st.lists(
+                st.integers(min_value=0, max_value=5), min_size=1, max_size=3
+            ),  # text ids (ingest) / held-text picks (forgets)
+            st.booleans(),  # replay the ingest token right after
+            st.integers(min_value=0, max_value=1),  # crash at commit 0/1, or no crash
+            st.booleans(),  # whether to crash at all
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_exact_index_bloom_admission_lockstep_property(spark, ops):
+    """Under ANY interleaving of ingest batches (repeated texts within
+    and across batches), canonical-doc forgets, content-level fp
+    forgets (each followed by the documented Bloom rebuild), and
+    compaction — with token replays and writers killed at EITHER of
+    index_batch's two lock-step commits: verdicts match the
+    first-arrival-wins model, the fingerprint table holds exactly the
+    model's canonical rows, a replayed batch reproduces its resolution
+    columns, and every held fingerprint probes bloom_maybe=True."""
+    import tempfile
+    from unittest import mock
+
+    from event_to_lakehouse_spark.dedup.bloom import BloomIndex
+    from event_to_lakehouse_spark.dedup.incremental import ExactDedupIndex
+    from event_to_lakehouse_spark.functions.text import fingerprint
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    class Killed(BaseException):
+        pass
+
+    texts = [f"document body number {i} with shared words" for i in range(6)]
+    fp_of = {
+        r.tid: r.fp
+        for r in spark.createDataFrame(
+            list(enumerate(texts)), "tid int, text string"
+        )
+        .select("tid", fingerprint("text").alias("fp"))
+        .collect()
+    }
+
+    root = tempfile.mkdtemp(prefix="exprop_")
+    idx = ExactDedupIndex(spark, f"{root}/fps")
+    bloom = BloomIndex(spark, f"{root}/bloom", m_bits=128)
+    model: dict = {}  # text id -> canonical doc_id
+    next_id = 0
+    orig_adv = SnapshotTable._advance_pointer
+
+    def crashing(at):
+        calls = {"n": 0}
+
+        def wrapper(self, *a, **kw):
+            n = calls["n"]
+            calls["n"] += 1
+            if n == at:
+                raise Killed(f"crash at commit {at}")
+            return orig_adv(self, *a, **kw)
+
+        return wrapper
+
+    def run(op_fn, crash, at):
+        if not crash:
+            return op_fn()
+        with mock.patch.object(
+            SnapshotTable, "_advance_pointer", crashing(at)
+        ):
+            try:
+                op_fn()
+            except Killed:
+                pass
+        return op_fn()  # retry: committed halves are token no-ops
+
+    def held_fps_df():
+        return idx.table.read().select("fp")
+
+    for n, (kind, tids, replay, crash_at, crash) in enumerate(ops):
+        token = f"t{n}"
+        if kind == "ingest":
+            rows = []
+            for tid in tids:
+                rows.append((next_id, tid, texts[tid]))
+                next_id += 1
+            df = spark.createDataFrame(
+                [(i, tx) for i, _, tx in rows], "doc_id long, text string"
+            )
+            # model verdicts: held canonical wins, else batch min id
+            bmin = {}
+            for i, tid, _ in rows:
+                bmin[tid] = min(bmin.get(tid, i), i)
+            want = {}
+            for i, tid, _ in rows:
+                if tid in model:
+                    want[i] = (False, model[tid])
+                elif i == bmin[tid]:
+                    want[i] = (True, None)
+                else:
+                    want[i] = (False, bmin[tid])
+            out = run(
+                lambda: idx.index_batch(df, batch_token=token, bloom=bloom),
+                crash,
+                crash_at,
+            )
+            got = {
+                r.doc_id: (r.is_new_unique, r.dup_of) for r in out.collect()
+            }
+            assert got == want, (n, rows)
+            for tid in bmin:
+                model.setdefault(tid, bmin[tid])
+            if replay:
+                again = idx.index_batch(df, batch_token=token, bloom=bloom)
+                got2 = {
+                    r.doc_id: (r.is_new_unique, r.dup_of)
+                    for r in again.collect()
+                }
+                assert got2 == want  # replay reproduces resolutions
+        elif kind == "maintain":
+            if idx.table.snapshot() is not None:
+                idx.maintain()
+        elif not model:
+            continue
+        else:
+            held_tids = sorted(model)
+            picks = {held_tids[t % len(held_tids)] for t in tids}
+            if kind == "forget_doc":
+                ids = spark.createDataFrame(
+                    [(model[t],) for t in sorted(picks)], "doc_id long"
+                )
+                run(
+                    lambda: idx.delete_docs(ids, batch_token=token),
+                    crash,
+                    0,
+                )
+            else:  # content-level forget by fingerprint
+                fpdf = spark.createDataFrame(
+                    [(fp_of[t],) for t in sorted(picks)], "fp string"
+                )
+                run(
+                    lambda: idx.delete_fps(fpdf, batch_token=token),
+                    crash,
+                    0,
+                )
+            for t in picks:
+                del model[t]
+            # the documented pairing: rebuild the bitmap from survivors
+            bloom.rebuild_from(held_fps_df(), "fp", batch_token=f"rb{n}")
+
+        # lock-step invariants
+        try:
+            held = {(r.fp, r.doc_id) for r in idx.table.read().collect()}
+        except FileNotFoundError:
+            held = set()
+        assert held == {(fp_of[t], d) for t, d in model.items()}, (n, kind)
+        assert idx.doc_count() == len(model)
+        if model:  # no false negatives for anything held
+            probed = bloom.probe(held_fps_df(), "fp").collect()
+            assert all(r.bloom_maybe for r in probed), (n, kind)
