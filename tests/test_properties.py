@@ -1896,3 +1896,110 @@ def test_exact_index_bloom_admission_lockstep_property(spark, ops):
         if model:  # no false negatives for anything held
             probed = bloom.probe(held_fps_df(), "fp").collect()
             assert all(r.bloom_maybe for r in probed), (n, kind)
+
+
+# ---------------------------------------------------------------------------
+# r15: the retention surface — vacuum / tags / time travel — where the
+# classic lakehouse data-loss bugs live (a sweep deleting a data file
+# an older RETAINED manifest still references). COW deletes make file
+# sets diverge across versions, tags pin arbitrary old versions
+# through vacuums, and every op re-validates EVERY retained version's
+# full contents against the model history.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "tag", "drop", "vacuum"]),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_vacuum_tags_time_travel_retention_property(spark, ops):
+    """Under ANY interleaving of appends, COW key-deletes, tagging at
+    arbitrary live versions, tag drops, and vacuums with varying
+    keep_versions: the live read and EVERY retained version (newest-k
+    window and every tagged snapshot) read exactly their model
+    contents — shared data files survive any sweep while some retained
+    manifest references them — and swept untagged versions raise."""
+    import tempfile
+
+    import pytest
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="vacprop_")
+    t = SnapshotTable(spark, root, stats_col="bid")
+    contents: dict = {}  # version -> full row multiset after that commit
+    live: list = []  # versions whose manifests exist
+    dead: set = set()
+    tags: dict = {}  # name -> version
+
+    for n, (kind, arg) in enumerate(ops):
+        cur = sorted(contents[live[-1]]) if live else []
+        if kind == "append":
+            rows = [(n, n * 10 + j) for j in range(2)]
+            t.append(
+                spark.createDataFrame(rows, "bid long, val long"),
+                batch_token=f"a{n}",
+            )
+            v = (live[-1] if live else 0) + 1
+            contents[v] = cur + rows
+            live.append(v)
+        elif kind == "delete":
+            bids = sorted({b for b, _ in cur})
+            if not bids:
+                continue
+            bid = bids[arg % len(bids)]
+            t.delete_keys(
+                spark.createDataFrame([(bid,)], "bid long"),
+                "bid",
+                batch_token=f"d{n}",
+            )
+            v = live[-1] + 1
+            contents[v] = [r for r in cur if r[0] != bid]
+            live.append(v)
+        elif kind == "tag":
+            if not live:
+                continue
+            name = f"g{arg % 3}"
+            v = live[arg % len(live)]
+            t.tag(name, v)
+            tags[name] = v
+        elif kind == "drop":
+            name = f"g{arg % 3}"
+            if name not in tags:
+                continue
+            t.drop_tag(name)
+            del tags[name]
+        else:  # vacuum
+            if not live:
+                continue
+            k = 1 + arg % 2
+            t.vacuum(keep_versions=k)
+            keep = set(live[-k:]) | set(tags.values())
+            dead |= set(live) - keep
+            live = sorted(keep)
+
+        # every retained version reads its exact model contents
+        if live:
+            got = sorted((r.bid, r.val) for r in t.read().collect())
+            assert got == sorted(contents[live[-1]]), (n, kind)
+            assert t.snapshot().version == live[-1]
+        for v in live:
+            got = sorted((r.bid, r.val) for r in t.read(version=v).collect())
+            assert got == sorted(contents[v]), (n, kind, v)
+        for name, v in tags.items():
+            got = sorted((r.bid, r.val) for r in t.read(tag=name).collect())
+            assert got == sorted(contents[v]), (n, kind, name)
+        # swept versions are gone for good
+        for v in dead:
+            with pytest.raises((FileNotFoundError, KeyError)):
+                t.read(version=v).collect()
