@@ -2003,3 +2003,108 @@ def test_vacuum_tags_time_travel_retention_property(spark, ops):
         for v in dead:
             with pytest.raises((FileNotFoundError, KeyError)):
                 t.read(version=v).collect()
+
+
+# ---------------------------------------------------------------------------
+# r15: end-to-end schema evolution — the pure _evolve algebra is
+# property-tested above, but the SURFACE it protects is the read path:
+# heterogeneous parquet files (written under different schema
+# generations: missing columns, narrower physical types) reconciled
+# under the evolved manifest schema without a footer-merge. Random
+# append sequences drive widening, column appearance order, NULL
+# backfill, and rejected-incompatible appends leaving the chain
+# untouched.
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["integer", "long", "breaking"]),  # x physical type
+            st.booleans(),  # carries y (float/double chain)
+            st.booleans(),  # y physical type is double
+            st.booleans(),  # carries z (string)
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_schema_evolution_read_reconciliation_property(spark, ops):
+    """Under ANY append sequence mixing x:int/x:long files, optional
+    y:float/y:double and z:string columns, and incompatible appends
+    (x:string — rejected with nothing committed): the live read always
+    surfaces every committed row under the EVOLVED schema — widest
+    type per chain, columns in first-appearance order, NULL backfill
+    for files predating a column — with values intact across the
+    physical-type boundary."""
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="evoprop_")
+    t = SnapshotTable(spark, root)
+    model_rows: list = []  # dicts with x / y / z (None = absent at write)
+    fields: list = []  # evolved (name, typeName) in first-appearance order
+    version = 0
+
+    def widen(name, tn):
+        order = {"integer": 0, "long": 1, "float": 0, "double": 1}
+        for i, (fn, ft) in enumerate(fields):
+            if fn == name:
+                if order.get(tn, 0) > order.get(ft, 0):
+                    fields[i] = (name, tn)
+                return
+        fields.append((name, tn))
+
+    for n, (xk, has_y, y_dbl, has_z) in enumerate(ops):
+        if xk == "breaking":
+            if version == 0:
+                continue  # a first append merely pins whatever it brings
+            bad = spark.createDataFrame([(f"s{n}",)], "x string")
+            with pytest.raises(ValueError):
+                t.append(bad, batch_token=f"b{n}")
+            assert t.snapshot().version == version  # nothing committed
+        else:
+            names = ["x"] + (["y"] if has_y else []) + (["z"] if has_z else [])
+            spark_t = {
+                "x": T.IntegerType() if xk == "integer" else T.LongType(),
+                "y": T.DoubleType() if y_dbl else T.FloatType(),
+                "z": T.StringType(),
+            }
+            schema = T.StructType([T.StructField(c, spark_t[c]) for c in names])
+            rows = []
+            for j in range(2):
+                vals = {
+                    "x": n * 10 + j,
+                    "y": float(n + j) + 0.5 if has_y else None,
+                    "z": f"s{n}{j}" if has_z else None,
+                }
+                rows.append(tuple(vals[c] for c in names))
+                model_rows.append(vals)
+            t.append(spark.createDataFrame(rows, schema), batch_token=f"b{n}")
+            version += 1
+            widen("x", xk)
+            if has_y:
+                widen("y", "double" if y_dbl else "float")
+            if has_z:
+                widen("z", "string")
+        if version == 0:
+            continue
+        df = t.read()
+        got_fields = [(f.name, f.dataType.typeName()) for f in df.schema.fields]
+        assert got_fields == fields, (n, got_fields)
+        got = sorted(
+            (r["x"], r["y"] if "y" in df.columns else None,
+             r["z"] if "z" in df.columns else None)
+            for r in df.collect()
+        )
+        want = sorted((m["x"], m["y"], m["z"]) for m in model_rows)
+        assert got == want, (n, xk)
