@@ -2108,3 +2108,120 @@ def test_schema_evolution_read_reconciliation_property(spark, ops):
         )
         want = sorted((m["x"], m["y"], m["z"]) for m in model_rows)
         assert got == want, (n, xk)
+
+
+# ---------------------------------------------------------------------------
+# r15: feed soundness — the theorem every change_feed consumer
+# (RollupView, InvertedIndex, BloomIndex sync) implicitly relies on:
+# for ANY two versions a < b with no sidecar-less rewrite between
+# them, multiset(read(a)) + feed'+' - feed'-' == multiset(read(b)),
+# with the '-' rows exact pre-images. Checked for EVERY version pair
+# of random append / CDC / delete / compaction histories against the
+# table's own time-travel reads (no separate model needed — the
+# storage validates its own feed), and sidecar-less rewrites must make
+# exactly the crossing pairs raise.
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "cdc", "delete", "compact"]),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=3),  # key
+                    st.integers(min_value=0, max_value=2),  # I/U/D pick
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_change_feed_fold_soundness_property(spark, ops):
+    """For every pair of live versions in a random history of appends,
+    changelog-recorded CDC commits, COW deletes (sidecar-less), and
+    compactions: folding the feed's '+'/'-' rows onto read(a)
+    reconstructs read(b) exactly as a multiset, and any pair crossing
+    a sidecar-less rewrite raises ValueError instead of lying."""
+    import tempfile
+    from collections import Counter
+
+    import pytest
+
+    from event_to_lakehouse_spark.storage.compaction import compact_snapshot
+    from event_to_lakehouse_spark.storage.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="feedprop_")
+    t = SnapshotTable(spark, root, stats_col="k")
+    latest = 0
+    barriers: set = set()  # versions whose commit the feed cannot express
+
+    for n, (kind, picks) in enumerate(ops):
+        if kind == "append":
+            rows = [(k, n) for k, _ in picks]
+            t.append(spark.createDataFrame(rows, "k long, v long"))
+            latest += 1
+        elif latest == 0:
+            continue
+        elif kind == "cdc":
+            seen: dict = {}
+            for k, op_i in picks:
+                seen.setdefault(k, "IUD"[op_i])
+            rows = [(k, n, op) for k, op in sorted(seen.items())]
+            t.apply_changes(
+                spark.createDataFrame(rows, "k long, v long, _op string"),
+                key="k",
+                order_col="v",
+                changelog=True,
+            )
+            latest += 1
+        elif kind == "delete":
+            before = set(t.snapshot().paths)
+            t.delete_keys(
+                spark.createDataFrame(
+                    [(k,) for k, _ in picks], "k long"
+                ).distinct(),
+                "k",
+            )
+            latest += 1
+            if before - set(t.snapshot().paths):
+                barriers.add(latest)  # COW rewrite, no sidecar
+        else:
+            before = set(t.snapshot().paths)
+            compact_snapshot(t, sort_cols=["k"])
+            new = t.snapshot().version
+            if new != latest:
+                latest = new
+                if before - set(t.snapshot().paths):
+                    barriers.add(latest)
+
+    if latest == 0:
+        return
+    reads = {0: Counter()}
+    for v in range(1, latest + 1):
+        reads[v] = Counter(
+            (r.k, r.v) for r in t.read(version=v).collect()
+        )
+    for a in range(0, latest + 1):
+        for b in range(a + 1, latest + 1):
+            crossing = any(a < bv <= b for bv in barriers)
+            if crossing:
+                with pytest.raises(ValueError):
+                    t.change_feed(a, b)
+                continue
+            feed = t.change_feed(a, b).collect()
+            plus = Counter((r.k, r.v) for r in feed if r._change == "+")
+            minus = Counter((r.k, r.v) for r in feed if r._change == "-")
+            want = reads[a] + plus
+            want.subtract(minus)
+            assert not minus - (reads[a] + plus), (a, b)  # '-' are pre-images
+            assert +want == reads[b], (a, b)
+            # provenance is well-formed: commit versions inside (a, b]
+            assert all(a < r._commit_version <= b for r in feed), (a, b)
