@@ -1,6 +1,18 @@
-"""Property-based tests (hypothesis) for the engine's pure logic:
-schema-evolution algebra and compaction planning. Spark-free, so
-hundreds of examples run in milliseconds."""
+"""Property-based tests (hypothesis), two tiers:
+
+- PURE logic (schema-evolution algebra, compaction planning, label
+  propagation references, ...): Spark-free, hundreds of examples in
+  milliseconds.
+- STATEFUL maintainers (the r14-r15 suites at the bottom): random
+  op interleavings with token replays and commit-gap crash injection,
+  checked after every op against a pure-Python model — the pattern
+  that flushed out the r14 always-false pointer guard and the r15
+  cross-commit feed-fold ordering bug. Spark-bound, so example counts
+  are small (5-10); each test names the component and contract it
+  walks. Covered: two-step commit, near-dup index, CDC apply,
+  inverted-index feed sync, rollup view, SCD2 apply, Bloom admission,
+  IVFPQ index, WAP gate, vacuum/tag retention, schema-evolution
+  reads, change-feed fold soundness."""
 
 from __future__ import annotations
 
