@@ -320,6 +320,20 @@ def test_interval_islands_match_sweep_reference(spark):
 
 from hypothesis import HealthCheck, settings
 
+# Example budget for the Spark-bound property tests below. The CI
+# default stays small (each example spins real Spark jobs); soak runs
+# export SPARK_GRAFT_PROP_EXAMPLES to push the same generators much
+# deeper — the bug-hunting mode that surfaced the r14 pointer guard
+# and the r15 feed-fold ordering bug.
+import os as _os
+
+_PROP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_PROP_EXAMPLES", "0"))
+
+
+def _ex(default: int) -> int:
+    return _PROP_EXAMPLES or default
+
+
 
 @given(
     edges=st.sets(
@@ -330,7 +344,7 @@ from hypothesis import HealthCheck, settings
         max_size=40,
     )
 )
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_ex(5), deadline=None)
 def test_pagerank_mass_conserved_on_random_graphs(edges):
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -358,7 +372,7 @@ def test_pagerank_mass_conserved_on_random_graphs(edges):
         max_size=18,
     )
 )
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=_ex(5), deadline=None)
 def test_entropy_from_counts_bounds_and_exactness(counts):
     import math
 
@@ -673,7 +687,7 @@ def test_global_row_numbers_equals_single_sort(spark):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_ex(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -808,7 +822,7 @@ def _nd_stored_ids(table):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -942,7 +956,7 @@ def _cdc_model_apply(model, batch):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1063,7 +1077,7 @@ _IDX_POOL = ["crimson rose red", "azure sea blue", "verdant leaf green"]
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1170,7 +1184,7 @@ def test_inverted_index_feed_sync_lockstep_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1292,7 +1306,7 @@ def _scd2_model(accepted):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1398,7 +1412,7 @@ def test_scd2_apply_batch_model_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1519,7 +1533,7 @@ def test_bloom_index_no_false_negative_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1637,7 +1651,7 @@ def test_ivfpq_index_membership_lockstep_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1744,7 +1758,7 @@ def test_wap_stage_publish_discard_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1920,7 +1934,7 @@ def test_exact_index_bloom_admission_lockstep_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2029,7 +2043,7 @@ def test_vacuum_tags_time_travel_retention_property(spark, ops):
 
 
 @settings(
-    max_examples=10,
+    max_examples=_ex(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -2135,7 +2149,7 @@ def test_schema_evolution_read_reconciliation_property(spark, ops):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_ex(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
