@@ -1178,6 +1178,18 @@ class SnapshotTable:
         reference (manifest-only). ``batch_token`` gives exactly-once
         replay and ``keep_tokens`` bounds the carried chain under the
         single horizon rule (trim parents to N, then append).
+
+        PRECONDITION (key-unique base — r15, surfaced by the
+        feed-soundness property soak): the base table must hold at
+        most ONE row per ``key``, the invariant every commit through
+        this method or ``merge`` maintains (``delete_keys`` documents
+        the contrast for intentionally non-unique tables). If raw
+        appends put duplicate rows of a key into the table and a later
+        CDC commit rewrites their file (even for OTHER keys), the
+        latest-wins rewrite collapses the duplicates silently — and a
+        ``changelog=True`` sidecar cannot express that collapse, so
+        feed folds would diverge from the table. Keep keyed ingest on
+        ``apply_changes``/``merge``, or dedup before appending.
         """
         from ..pipeline.upsert import latest_per_key
 
