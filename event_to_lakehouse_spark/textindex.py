@@ -146,8 +146,20 @@ class InvertedIndex:
 
         Delete-then-reinsert is the standard inverted-index CDC fold;
         both halves are tokened off ``batch_token`` so a replay of the
-        same feed window converges (delete of already-deleted keys and
-        re-append are both storage no-ops). A window spanning several
+        same feed window converges. The delete half is additionally
+        gated PER TABLE on the ADD token: a table that already holds
+        ``batch_token`` has this window's add applied, so its delete
+        half is stale and must not run again. Without that gate, the
+        FIRST window of a fresh index records only the add token (the
+        delete half finds no table and is skipped before its ``:del``
+        token can commit), and a replay would delete the just-indexed
+        docs while the add half token-skips — the index forgets docs
+        the table holds (found by the r15 feed-composition property
+        suite, ``test_inverted_index_feed_sync_lockstep_property``).
+        The same gate heals a crash between the two add commits: the
+        table that committed skips its stale delete, the table that
+        did not re-runs delete (token-gated) then add. A window
+        spanning several
         commits can carry multiple generations of one doc ('+' v1,
         '-' v1, '+' v2 …) and must fold to the NET outcome. When the
         feed carries ``_commit_version`` (every ``change_feed`` since
@@ -180,13 +192,19 @@ class InvertedIndex:
         re-insert at lower versions must be synced per-commit
         windows."""
         minus = feed.filter(F.col("_change") == "-").select("doc_id")
-        try:
-            self.delete_docs(
+        for table in (self.postings_table, self.doclens_table):
+            snap = table.snapshot()
+            if snap is None:
+                continue  # fresh index: nothing to clear; on a replay
+                # the table exists and the ADD-token gate below skips
+            if batch_token is not None and batch_token in snap.batch_tokens:
+                continue  # this window's add already landed here: the
+                # delete half is stale (see docstring)
+            table.delete_keys(
                 minus,
+                "doc_id",
                 batch_token=f"{batch_token}:del" if batch_token else None,
             )
-        except FileNotFoundError:
-            pass  # feed replayed onto an empty index: nothing to clear
         plus = feed
         if "_commit_version" in feed.columns:
             from pyspark.sql import Window
