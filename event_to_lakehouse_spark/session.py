@@ -21,6 +21,17 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r15 (guide §6 small files / §2.2): let AQE re-plan CACHED frames
+    # too. The durable-index builders persist their batch frames before
+    # committing them (minhash signatures, band rows, PQ codes …); with
+    # this off — the upstream default, kept for consumers that depend
+    # on a cached plan's exact output partitioning — every persisted
+    # frame materializes at the raw spark.sql.shuffle.partitions width
+    # and each SnapshotTable append wrote that many near-empty parquet
+    # files (measured: 256 → 4 files and 19.5 → 11.1 s warm on the
+    # admission pipeline at sf0.1). Scale-neutral: AQE sizes partitions
+    # from runtime statistics on any cluster; results are unchanged.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # local[32] sizing; on a real cluster this would be ~2-3x total cores.
     "spark.sql.shuffle.partitions": "64",
     # The testdata events table stores TIMESTAMP(NANOS), which Spark's

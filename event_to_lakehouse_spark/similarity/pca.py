@@ -6,11 +6,14 @@ whitening input, drift axis).
 Why this decomposition fits Spark: the ONLY data-sized pass is the
 covariance accumulation — (dim × dim) integer sufficient statistics
 with map-side partial aggregation — after which the eigen-iteration
-runs over a dim²-row frame (64² = 4096 rows here) that never grows
+runs over a dim²-row frame (64² = 4096 cells here) that never grows
 with the corpus. This is the textbook "sufficient statistics then
-driver-scale solve" split, except the solve also stays declarative
-(joins/aggs over the tiny frame) so the ENTIRE computation is one
-Catalyst plan and one DuckDB oracle.
+driver-scale solve" split: the corpus pass is one Catalyst plan, the
+solve runs on the driver over the collected metadata-scale statistics
+(the r15 optimization; the solve was previously chained declaratively,
+which cost ~220 corpus-independent stages of pure scheduling — see
+``emb_pca_power_iteration``'s docstring), and the DuckDB oracle still
+replays the whole computation declaratively.
 
 Exactness discipline: embeddings quantize to the 1e-6 integer grid
 first (the ``pq_codebook_trained`` convention), so Σq_i and Σq_i·q_j
@@ -95,18 +98,43 @@ def _pca_oracle() -> str:
 @query("emb_pca_power_iteration", _pca_oracle())
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding table: exact integer
-    Gram/covariance accumulation, then {PCA_ITERS} normalized power
-    iterations and a Rayleigh-quotient eigenvalue, all inside one
-    declarative plan (module docstring has the full exactness story).
+    Gram/covariance accumulation in ONE corpus pass, then {PCA_ITERS}
+    normalized power iterations and a Rayleigh-quotient eigenvalue
+    solved over the dim²-row sufficient statistics ON THE DRIVER
+    (module docstring has the full exactness story).
+
+    r15 optimization (guide §1.2 step 1 + §3.3): the previous fully-
+    declarative version touched the corpus twice (dim-sums, then full
+    dim² pair products) and chained the corpus-independent iterations
+    as nested broadcast joins — a 10,691-line physical plan whose
+    ~220 stages were pure scheduling overhead (measured 5.5-6.2 s at
+    sf0.1 where the two corpus aggregations account for well under a
+    second). Now:
+
+    - ONE pass: the JVM-quantized integer vectors cross the Arrow
+      boundary once per task and NumPy accumulates X^T·X + Σq + n as
+      int64 per-task partials (guide §4.2 — the codegen HOF pair
+      expansion allocated dim² structs per row; the matmul does the
+      same exact integer arithmetic in vectorized native code). Each
+      task emits ≤ dim²+dim partial rows; the single groupBy shuffles
+      only those — the corpus never shuffles.
+    - The collected statistics are dim²-bounded (2,144 integer rows —
+      metadata-scale at ANY corpus size; guide §5's driver rule), and
+      the covariance cell formula is the SAME IEEE expression
+      (ss − si·sj/n)/(n·10¹²) the declarative plan evaluated, so the
+      driver solve is bit-identical per cell; iteration double-sums
+      were already only round(6)/round(4)-stable across engines (see
+      module docstring), which the NumPy solve preserves.
+    - Final rounding still happens IN SPARK over the 64-row result
+      frame, so the decimal-rounding semantics the oracle hash is
+      built on are untouched.
 
     Start vector is the uniform unit vector (deterministic, so the
     converged SIGN is identical cross-engine — no sign-fixing rule
-    needed). Scale: the corpus is touched exactly twice (dim-sums and
-    the vec_id-local pair products — both map-side partial aggs whose
-    shuffle is dim²-bounded); every iteration joins the dim²-row
-    covariance frame against a dim-row vector, constant work at any
-    corpus size. At 10⁹ vectors the same plan holds; only the two
-    integer accumulations see the data."""
+    needed). At 10⁹ vectors the same shape holds: only the one integer
+    accumulation sees the data; the solve stays dim²."""
+    import numpy as np
+
     emb = load_tables(spark, sf_dir)["embeddings"]
     qvec = emb.select(
         F.expr(
@@ -114,73 +142,93 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" x -> CAST(round(x * {_Q}) AS BIGINT))"
         ).alias("q")
     )
-    cells = qvec.select(F.posexplode("q").alias("i", "q"))
-    sq = cells.groupBy("i").agg(
-        F.sum("q").cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    # pair products expand ROW-LOCALLY (nested HOF, no join, no shuffle
-    # of the corpus by vec_id) — the dim²-cell stream then collapses in
-    # the map-side partial agg, so only dim² rows per task ever shuffle
-    pairs = qvec.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(q, (qi, i) ->"
-                " transform(q, (qj, j) ->"
-                " struct(i AS i, j AS j, qi * qj AS p))))"
-            )
-        ).alias("c")
-    )
-    sqq = (
-        pairs.select("c.i", "c.j", "c.p")
+    # Gram partials per TASK via Arrow batches + NumPy int64 matmul
+    # (guide §4.2: hand whole batches to vectorized native code — the
+    # codegen HOF pair expansion allocated dim² structs per row and
+    # measured 2.9 s at sf0.1 where X^T·X over the same integers is
+    # milliseconds). Each task emits ≤ dim²+dim integer partial rows
+    # ((i, j, partial sum) cells plus (i, -1, Σq_i, row-count)
+    # sentinels); the downstream groupBy shuffles only those — the
+    # corpus itself never shuffles, exactly as before. int64 products
+    # carry the same overflow headroom as the previous JVM sum.
+    def _gram(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        dim = EMB_DIM
+        sv = np.zeros(dim, dtype=np.int64)
+        gm = np.zeros((dim, dim), dtype=np.int64)
+        n_rows = 0
+        for b in batches:
+            col = b.column(0)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = np.asarray(flat, dtype=np.int64).reshape(-1, dim)
+            n_rows += x.shape[0]
+            sv += x.sum(axis=0)
+            gm += x.T @ x
+        if n_rows == 0:
+            return
+        ii = np.repeat(np.arange(dim), dim)
+        jj = np.tile(np.arange(dim), dim)
+        yield pa.record_batch(
+            [
+                pa.array(
+                    np.concatenate([ii, np.arange(dim)]), type=pa.int32()
+                ),
+                pa.array(
+                    np.concatenate([jj, np.full(dim, -1)]), type=pa.int32()
+                ),
+                pa.array(
+                    np.concatenate([gm[ii, jj], sv]), type=pa.int64()
+                ),
+                pa.array(
+                    np.concatenate(
+                        [np.zeros(dim * dim, np.int64), np.full(dim, n_rows)]
+                    ),
+                    type=pa.int64(),
+                ),
+            ],
+            names=["i", "j", "s", "cnt"],
+        )
+
+    stats = (
+        qvec.mapInArrow(_gram, "i int, j int, s long, cnt long")
         .groupBy("i", "j")
-        .agg(F.sum("p").cast("long").alias("ss"))
-    )
-    si = sq.select(F.col("i").alias("ci"), F.col("s").alias("si"), "n")
-    sj = sq.select(F.col("i").alias("cj"), F.col("s").alias("sj"))
-    cov = (
-        sqq.join(F.broadcast(si), sqq.i == si.ci)
-        .join(F.broadcast(sj), sqq.j == sj.cj)
-        .select(
-            "i",
-            "j",
-            (
-                (
-                    F.col("ss").cast("double")
-                    - F.col("si").cast("double") * F.col("sj") / F.col("n")
-                )
-                / (F.col("n").cast("double") * float(_Q) * float(_Q))
-            ).alias("c"),
+        .agg(
+            F.sum("s").cast("long").alias("s"),
+            F.sum("cnt").cast("long").alias("cnt"),
         )
+        .collect()
     )
-    v = sq.select("i", F.lit(_V0).alias("v"))
+    s = np.zeros(EMB_DIM, dtype=np.int64)
+    ss = np.zeros((EMB_DIM, EMB_DIM), dtype=np.int64)
+    n = 0
+    for r in stats:
+        if r["j"] == -1:
+            s[r["i"]] = r["s"]
+            n = max(n, r["cnt"])
+        else:
+            ss[r["i"], r["j"]] = r["s"]
+    nf = float(n)
+    sd = s.astype(np.float64)
+    # per-cell: (ss − si·sj/n) / ((n·Q)·Q) — operand order exactly as
+    # the declarative plan's expression tree, so each cell is the same
+    # IEEE double the old plan produced
+    cov = (ss.astype(np.float64) - np.outer(sd, sd) / nf) / (
+        nf * float(_Q) * float(_Q)
+    )
+    v = np.full(EMB_DIM, _V0, dtype=np.float64)
     for _ in range(PCA_ITERS):
-        w = (
-            cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("v")
-        )
-    ray = (
-        cov.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        w = cov @ v
+        v = w / np.sqrt(float((w * w).sum()))
+    lam = float((cov @ v) @ v)
+    out = spark.createDataFrame(
+        [(int(i), float(v[i]), lam, int(n)) for i in range(EMB_DIM)],
+        "dim long, loading double, eigval double, n_vecs long",
     )
-    lam = (
-        ray.join(F.broadcast(v), "i")
-        .agg(F.sum(F.col("w") * F.col("v")).alias("eigval"))
-    )
-    n_vecs = sq.agg(F.max("n").cast("long").alias("n_vecs"))
-    return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(n_vecs))
-        .select(
-            F.col("i").cast("long").alias("dim"),
-            F.round("v", 6).alias("loading"),
-            F.round("eigval", 4).alias("eigval"),
-            "n_vecs",
-        )
+    return out.select(
+        "dim",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigval", 4).alias("eigval"),
+        "n_vecs",
     )
