@@ -114,13 +114,20 @@ def coarse_centroids_trained(
             F.col("embedding").alias("c_emb"),
             l2_norm("embedding").alias("c_norm"),
         )
+    from pyspark import StorageLevel
+
+    # r15: same loop discipline as ``pq_codebook_trained`` — the
+    # snapped training frame is read twice per iteration and the
+    # centroid chain doubles per iteration un-materialized; persist
+    # the sample-sized frame, eagerly checkpoint the ≤ max_cells-row
+    # centroid frame each round (exact integers; values unmoved).
     v = emb.select(
         "vec_id",
         F.expr(
             f"transform(CAST(embedding AS ARRAY<DOUBLE>),"
             f" x -> CAST(round(x * {_MICRO}) AS BIGINT))"
         ).alias("s"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = v.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("s").alias("c")
     )
@@ -134,12 +141,16 @@ def coarse_centroids_trained(
                         F.expr(_D2_INT.format(a="s", b="c")).alias("d"),
                         F.col("cent_id"),
                     )
-                ).alias("m")
+                ).alias("m"),
+                # carry the vector through the argmin (first over the
+                # vec_id group — one row per vec_id after the agg), so
+                # the update needs no second corpus join (r15)
+                F.first("s").alias("s"),
             )
-            .select("vec_id", F.col("m.cent_id").alias("cent_id"))
+            .select("vec_id", F.col("m.cent_id").alias("cent_id"), "s")
         )
         upd = (
-            assigned.join(v, "vec_id")
+            assigned
             .select("cent_id", F.posexplode("s").alias("d0", "x"))
             .groupBy("cent_id", "d0")
             .agg(
@@ -155,15 +166,19 @@ def coarse_centroids_trained(
                 ).alias("new_c")
             )
         )
-        cents = cents.join(upd, "cent_id", "left").select(
-            "cent_id", F.coalesce("new_c", "c").alias("c")
+        cents = (
+            cents.join(upd, "cent_id", "left")
+            .select("cent_id", F.coalesce("new_c", "c").alias("c"))
+            .localCheckpoint()  # eager: truncate before the next round
         )
-    return cents.select(
+    out = cents.select(
         "cent_id",
         F.expr(f"transform(c, x -> CAST(x AS DOUBLE) / {_MICRO})").alias(
             "c_emb"
         ),
     ).select("cent_id", "c_emb", l2_norm("c_emb").alias("c_norm"))
+    v.unpersist()  # cents is materialized; nothing re-derives v
+    return out
 
 
 def _coarse_trained_ctes(stride_sql: str, n_iters: int) -> str:

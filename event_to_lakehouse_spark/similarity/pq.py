@@ -145,12 +145,29 @@ def pq_codebook_trained(
     micro/1e6 — both engines divide the same exact integers, so the
     doubles are bit-identical cross-engine and every downstream stage
     (``pq_encode``'s argmin, the ADC LUTs) stays deterministic."""
+    from pyspark import StorageLevel
+
+    # r15 (guide §5 caching / §3.3 plan size): each Lloyd iteration
+    # reads the snapped training frame TWICE (assignment pair-up, then
+    # the update's re-join) and the chained centroid frame appears
+    # twice per iteration (update input + empty-cell coalesce), so the
+    # un-materialized loop re-derived the corpus ~2× per iteration and
+    # grew the plan exponentially (the residual-trained entry compiled
+    # a 4,290-line plan). The training frame is sample-sized by the
+    # train-on-a-sample contract — persist it for the loop; the
+    # PQ_M×PQ_K-row centroid frame localCheckpoints eagerly per
+    # iteration (exact integers — materialization cannot move values).
     subs = _sub_micro(emb)
+    if n_iters > 0:
+        subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
     cents = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("cent_id"), "j", F.col("s").alias("c")
     )
     for _ in range(n_iters):
         paired = subs.join(F.broadcast(cents), "j")
+        # the argmin agg carries the subvector along (first over the
+        # (vec_id, j) group — every row holds the same s), so the
+        # update needs NO second corpus join per iteration (r15)
         assigned = (
             paired.groupBy("vec_id", "j")
             .agg(
@@ -159,12 +176,13 @@ def pq_codebook_trained(
                         F.expr(_D2_INT.format(a="s", b="c")).alias("d"),
                         F.col("cent_id"),
                     )
-                ).alias("m")
+                ).alias("m"),
+                F.first("s").alias("s"),
             )
-            .select("vec_id", "j", F.col("m.cent_id").alias("cent_id"))
+            .select("vec_id", "j", F.col("m.cent_id").alias("cent_id"), "s")
         )
         upd = (
-            assigned.join(subs, ["vec_id", "j"])
+            assigned
             .select("j", "cent_id", F.posexplode("s").alias("d0", "v"))
             .groupBy("j", "cent_id", "d0")
             .agg(
@@ -187,14 +205,18 @@ def pq_codebook_trained(
                 "j",
                 F.coalesce("new_c", "c").alias("c"),  # empty cell: keep
             )
+            .localCheckpoint()  # eager: truncate before the next round
         )
-    return cents.select(
+    out = cents.select(
         "cent_id",
         "j",
         F.expr(f"transform(c, x -> CAST(x AS DOUBLE) / {_MICRO})").alias(
             "c_sub"
         ),
     )
+    if n_iters > 0:
+        subs.unpersist()  # cents is materialized; nothing re-derives subs
+    return out
 
 
 def pq_encode(emb: DataFrame, codebook: DataFrame) -> DataFrame:
