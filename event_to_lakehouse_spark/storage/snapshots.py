@@ -474,12 +474,109 @@ class SnapshotTable:
 
     # -- writes -------------------------------------------------------------
 
+    def _footer_entries(self, paths: list[str]) -> list[dict] | None:
+        """Manifest entries from the parquet FOOTERS — no Spark job
+        (r15, guide §1.2 step 1: every commit used to launch a second
+        read-back job just to aggregate rows + min/max over the files
+        it had just written; footers already hold both). Row counts
+        are exact by the parquet spec. Min/max are taken ONLY for
+        integer/string stats columns whose every non-empty row group
+        carries exact statistics — the types every stats/bloom column
+        in this repo uses except the streaming ``ingest_ts`` — and the
+        values equal the Spark aggregate's by the parquet statistics
+        contract (exact or absent; parquet-mr drops oversized stats
+        rather than truncating them, and ``is_*_value_exact`` is
+        honored where pyarrow exposes it). ANY other case — temporal/
+        float/bool/decimal stats column, missing or inexact footer
+        stats, unreadable footer — returns None and the caller falls
+        back to the Spark aggregation path, so pruning semantics can
+        never degrade silently. Equivalence is pinned by
+        ``test_snapshots.py::test_footer_entries_match_spark_stats``."""
+        try:
+            import pyarrow.parquet as _pq
+        except Exception:  # pragma: no cover - pyarrow ships with pyspark
+            return None
+        out = []
+        for p in paths:
+            try:
+                md = _pq.ParquetFile(p).metadata
+            except Exception:
+                return None
+            schema = md.schema.to_arrow_schema()
+            names = set(schema.names)
+            # parquet row groups index PHYSICAL leaves; a stats column
+            # must be a flat top-level leaf (path == name) or we fall
+            # back — nested leaves reorder the physical index space
+            leaf_idx = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            entry: dict = {"path": p, "rows": int(md.num_rows)}
+            if md.num_rows == 0:
+                # mirror the Spark path: an empty file gets no stats
+                # block (its groupBy produced no row)
+                entry["min"] = entry["max"] = None
+                out.append(entry)
+                continue
+            stats: dict[str, list] = {}
+            for c in self.stats_cols:
+                if c not in names:
+                    stats[c] = [None, None]  # absent column: no pruning
+                    continue
+                import pyarrow as _pa
+
+                typ = schema.field(c).type
+                if not (
+                    _pa.types.is_integer(typ)
+                    or _pa.types.is_string(typ)
+                    or _pa.types.is_large_string(typ)
+                ):
+                    return None  # unsupported type: Spark path
+                ci = leaf_idx.get(c)
+                if ci is None:
+                    return None  # not a flat leaf: Spark path
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    if g.num_rows == 0:
+                        continue
+                    col = g.column(ci)
+                    st = col.statistics
+                    if (
+                        st is not None
+                        and getattr(st, "has_null_count", True)
+                        and st.null_count == g.num_rows
+                    ):
+                        continue  # all-null group contributes nothing
+                    if st is None or not st.has_min_max:
+                        return None
+                    if getattr(st, "is_min_value_exact", True) is False:
+                        return None
+                    if getattr(st, "is_max_value_exact", True) is False:
+                        return None
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                stats[c] = [_stat_safe(mn), _stat_safe(mx)]
+            mn0, mx0 = (
+                stats[self.stats_cols[0]] if self.stats_cols else (None, None)
+            )
+            entry["min"], entry["max"] = mn0, mx0
+            if self.stats_cols:
+                entry["stats"] = stats
+            out.append(entry)
+        return out
+
     def _file_entries(self, commit_dir: Path) -> list[dict]:
         """Per-file manifest entries with rows + stats-column min/max —
-        ONE column-pruned read over the new files only."""
+        from the parquet footers when possible (no Spark job; see
+        ``_footer_entries``), else ONE column-pruned read over the new
+        files only."""
         paths = sorted(str(p) for p in commit_dir.glob("*.parquet"))
         if not paths:
             return []
+        if self.bloom_col is None:  # bloom bits need a real value scan
+            entries = self._footer_entries(paths)
+            if entries is not None:
+                return entries
         df = self.spark.read.parquet(*paths).withColumn(
             "_file", F.input_file_name()
         )

@@ -1265,3 +1265,74 @@ def test_pointer_tracks_commits_and_survives_concurrent_race(spark, tmp_dir):
         t.append(_batch(spark, i * 10, 10), batch_token=f"b{i}")
         assert (t.root / "meta" / "_latest").read_text() == str(i + 1)
     assert t._pointer_version() == t._latest_version() == 3
+
+
+def test_footer_entries_match_spark_stats(spark, tmp_dir):
+    """r15: manifest entries built from parquet footers must equal the
+    Spark-aggregation path's entries field-for-field — rows, min/max,
+    per-column stats blocks, empty files, nulls, absent columns, and
+    64-char string keys (the fingerprint shape) — and the footer path
+    must REFUSE (return None) exactly where it cannot guarantee
+    equality: float/temporal stats columns and bloom-backed tables."""
+    import datetime as dt
+    import uuid
+
+    from pyspark.sql import Row
+
+    def entries_both(t, df):
+        commit_dir = t.root / "data" / uuid.uuid4().hex[:12]
+        df.write.mode("overwrite").parquet(str(commit_dir))
+        paths = sorted(str(p) for p in commit_dir.glob("*.parquet"))
+        footer = t._footer_entries(paths)
+        # force the Spark path for comparison
+        saved, t.__class__._footer_entries = (
+            t.__class__._footer_entries,
+            lambda self, p: None,
+        )
+        try:
+            via_spark = t._file_entries(commit_dir)
+        finally:
+            t.__class__._footer_entries = saved
+        return footer, via_spark
+
+    # int + 64-char-string stats cols, nulls included
+    t = SnapshotTable(
+        spark, f"{tmp_dir}/fs1", stats_cols=["doc_id", "fp"]
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=i, fp=("%064x" % (i * 7)) if i % 3 else None, v=i * 2)
+         for i in range(50)]
+    )
+    footer, via_spark = entries_both(t, df)
+    assert footer is not None
+    assert footer == via_spark
+
+    # a stats col absent from the frame: stats recorded as (None, None)
+    t2 = SnapshotTable(spark, f"{tmp_dir}/fs2", stats_cols=["doc_id", "zz"])
+    footer2, spark2 = entries_both(t2, df)
+    assert footer2 is not None
+    assert footer2 == spark2
+    assert footer2[0]["stats"]["zz"] == [None, None]
+
+    # temporal stats col: footer path must decline (Spark path serves)
+    t3 = SnapshotTable(spark, f"{tmp_dir}/fs3", stats_col="ts")
+    df3 = spark.createDataFrame(
+        [Row(ts=dt.datetime(2031, 3, 1, 6, 0, i), k=i) for i in range(5)]
+    )
+    commit_dir = t3.root / "data" / uuid.uuid4().hex[:12]
+    df3.write.mode("overwrite").parquet(str(commit_dir))
+    paths = sorted(str(p) for p in commit_dir.glob("*.parquet"))
+    assert t3._footer_entries(paths) is None
+    assert all(
+        f["min"] is not None for f in t3._file_entries(commit_dir) if f["rows"]
+    )
+
+    # bloom-backed table: _file_entries must keep the value-scan path
+    t4 = SnapshotTable(spark, f"{tmp_dir}/fs4", bloom_col="doc_id")
+    snap = t4.append(df.select("doc_id"))
+    assert all("bloom" in f for f in snap.files if f["rows"])
+
+    # end-to-end: an appended table reads back identically and prunes
+    t.append(df, batch_token="b0")
+    assert t.read().count() == 50
+    assert {r["doc_id"] for r in t.read(where={"doc_id": (10, 12)}).collect()} >= {10, 11, 12}
