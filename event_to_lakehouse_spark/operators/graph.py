@@ -915,10 +915,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     see the loop comment).
     """
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # ROUND 1 collapses algebraically (r15, guide §1.2 step 1): with
+    # the identity seed (label(v) = v) over a DISTINCT edge set, every
+    # (dst, label) group holds exactly one row — c = 1 for all — so
+    # the plurality argmax (count desc, min label) degenerates to
+    # "smallest neighbor label": one node-scale groupBy-min, no label
+    # join and no edge-cardinality (dst, label) hash aggregation (the
+    # most expensive aggregation of the old plan: 2.4M all-distinct
+    # groups at sf0.1). Identical values by the identity; the chained
+    # CTE oracle (unchanged) certifies them at all SFs.
+    labels = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.min("src").alias("label")
     )
-    for _ in range(LPA_ITERS):
+    for _ in range(LPA_ITERS - 1):
         counts = (
             edges.join(F.broadcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
