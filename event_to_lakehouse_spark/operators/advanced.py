@@ -917,10 +917,26 @@ def join_basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_a, part_b) ordering keeps the LIMIT engine-stable."""
     t = load_tables(spark, sf_dir)
     l = t["lineitem"].select("l_orderkey", "l_partkey")
-    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = l.select(F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b"))
+    # r15 (guide §2.4, the _copurchase_edges shape): ONE groupBy shuffle
+    # builds per-order part LISTS (collect_list, not set — the oracle's
+    # join counts every lineitem combination, so within-order part
+    # repeats must keep their multiplicity: m_a·m_b pairs per order,
+    # exactly what the row-local list×list expansion under a < b
+    # yields); the previous fact-fact self-join co-partitioned the same
+    # bytes twice. Basket size bounds the expansion as before.
     return (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        l.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> transform(ps,"
+                    " b -> struct(a AS part_a, b AS part_b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.part_a", "e.part_b")
+        .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")

@@ -163,24 +163,41 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     trees, so the oracle matches exactly.
     """
     t = load_tables(spark, sf_dir)
-    items = (
+    # r15 (guide §2.4, the _copurchase_edges shape): per-order distinct
+    # brand SETS in ONE groupBy shuffle — collect_set dedups the
+    # (order, brand) memberships exactly as the previous DISTINCT did —
+    # then supports, the order count, and the catalog-bounded pair
+    # expansion all derive row-locally from the checkpointed sets; the
+    # old plan paid a distinct shuffle plus a fact-fact self-join.
+    sets = (
         t["lineitem"]
         .join(
             F.broadcast(t["part"]),
             t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
-        .distinct()
-        # Reused three ways (pair self-join × 2, supports, order count):
+        .groupBy("ok")
+        .agg(F.collect_set("item").alias("items"))
+        # Reused three ways (pairs, supports, order count):
         # materialize once instead of three base scans (r6 N-scan lesson).
         .localCheckpoint(eager=False)
     )
-    n = items.agg(F.count_distinct("ok").alias("n_orders"))
-    supp = items.groupBy("item").agg(F.count("*").alias("s"))
-    a = items.select("ok", F.col("item").alias("antecedent"))
-    b = items.select("ok", F.col("item").alias("consequent"))
+    n = sets.agg(F.count(F.lit(1)).alias("n_orders"))  # one row per order
+    supp = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("s"))
+    )
     pair = (
-        a.join(b, "ok")
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (a, i) -> transform(items,"
+                    " b -> struct(a AS antecedent, b AS consequent))))"
+                )
+            ).alias("e")
+        )
+        .select("e.antecedent", "e.consequent")
         .where(F.col("antecedent") != F.col("consequent"))
         .groupBy("antecedent", "consequent")
         .agg(F.count("*").alias("s_pair"))
