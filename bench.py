@@ -213,6 +213,37 @@ HEADLINE = [
 
 PKG = "event_to_lakehouse_spark"
 
+# SUPERSET-STABLE printed tail (VERDICT r15 #2a): the final stdout
+# line's "queries" dict must never print FEWER names than the prior
+# round's, or the driver marks the displaced names dropped_from_bench
+# and loses their prev/now comparison (r15: three graph/KMV entries
+# fell off when new headline fields lengthened the line). These names
+# — r15's printed set plus the three it displaced — are included
+# UNCONDITIONALLY; remaining HEADLINE names fill whatever budget is
+# left. Grow this list whenever a new name makes it into print.
+PRINT_FLOOR = [
+    "q1_pricing_summary", "q2_min_cost_per_part", "q3_shipping_priority",
+    "q9_product_profit", "q13_order_count_distribution",
+    "q17_small_quantity_revenue", "q21_waiting_suppliers",
+    "q22_untapped_segments", "agg_multidim", "agg_distinct_stats",
+    "window_rank_topk", "window_analytics", "scalar_functions_suite",
+    "setop_flavors", "events_payload_parse", "events_windowed_agg",
+    "events_sessionize", "events_retention_cohorts",
+    "events_funnel_conversion", "join_asof_prior_purchase",
+    "join_range_follow_events", "join_basket_copurchase", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_cluster_labels", "dedup_embedding_neardup",
+    "ann_bruteforce_topk", "ann_lsh_bucketed_topk", "ann_ivf_topk",
+    "text_enrich", "text_token_topk", "text_decontaminate", "text_chunks",
+    "corpus_curation", "events_gap_fill", "multimodal_features",
+    "multimodal_transform", "profile_documents", "gold_current_assets",
+    "gold_asset_posture", "events_interval_islands", "gold_scd2_history",
+    "events_winsorize", "quality_constraints", "text_tfidf_topterms",
+    "ann_hard_negatives", "graph_pagerank_parts",
+    "graph_label_propagation", "graph_link_prediction_capped",
+    "agg_kmv_setops",
+]
+
 
 def _baseline_root() -> tuple[str, Path] | None:
     """Extract the A-side code: $SPARK_GRAFT_AB_BASELINE or the newest
@@ -460,6 +491,50 @@ def _run_pass(
     return total
 
 
+def _final_line(out: dict, phases: dict, timings: dict) -> str:
+    """Serialize the compact final stdout line to the byte budget:
+    PRINT_FLOOR names unconditionally (superset-stable tail), then
+    remaining HEADLINE names up to BUDGET bytes; "phases" values become
+    [build, serve, build_ratio, serve_ratio] arrays and "cpu_alarms" is
+    capped at 3 names — the labeled full forms stay in BENCH_AB.json
+    and the early stdout line."""
+    BUDGET = 1900
+    HARD_CAP = 1990  # driver tail capture is ~2000 chars
+    line_out = dict(out)
+    if phases:
+        line_out["phases"] = {
+            n: [
+                row.get("build"),
+                row.get("serve"),
+                row.get("build_ratio"),
+                row.get("serve_ratio"),
+            ]
+            for n, row in phases.items()
+        }
+    if "cpu_alarms" in line_out:
+        line_out["cpu_alarms"] = line_out["cpu_alarms"][:3]
+    kept: dict[str, float] = {}
+    line_out["queries"] = kept
+    line_out["queries_omitted"] = 0
+    floor = set(PRINT_FLOOR)
+    for name in HEADLINE:
+        if name in timings and name in floor:
+            kept[name] = timings[name]
+    for name in HEADLINE:
+        if name not in timings or name in kept:
+            continue
+        kept[name] = timings[name]
+        if len(json.dumps(line_out, separators=(",", ":"))) > BUDGET:
+            del kept[name]
+            break
+    line_out["queries_omitted"] = sum(
+        1 for n in HEADLINE if n in timings and n not in kept
+    )
+    line = json.dumps(line_out, separators=(",", ":"))
+    assert len(line) <= HARD_CAP, len(line)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
@@ -470,6 +545,12 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # VERDICT r15 #2b: prove the effective core count to the driver —
+    # session.py honors $SPARK_GRAFT_CPUS, but nothing in the headline
+    # echoed it, so a lower-core run whose sub-second queries are
+    # fixed-overhead-bound (flat ratios at sf0.1) looked like the env
+    # var was ignored (`suspect_cpus_ignored`).
+    cpus_effective = spark.sparkContext.defaultParallelism
 
     baseline = _baseline_root()
     cur_qs = _load_queries(REPO)
@@ -529,6 +610,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "sd": round(statistics.stdev(totals), 3) if n_runs > 1 else 0.0,
+        "cpus_effective": cpus_effective,
     }
     detail: dict = {"queries_full": {
         n: [round(x, 4) for x in v] for n, v in b_times.items()
@@ -662,27 +744,18 @@ def main() -> None:
     # HARD SIZE CAP (r6 regression: the compact line grew past the
     # driver's 2000-char tail capture as HEADLINE reached 68 queries,
     # and BENCH_r06.json came back ``parsed: null`` again). The final
-    # line is now built to a byte budget: query means are added in
-    # HEADLINE order until the serialized line would exceed 1900
-    # bytes; the rest are counted in "queries_omitted" (their means
-    # live in BENCH_AB.json's "queries", committed and judge-readable).
-    BUDGET = 1900
-    kept: dict[str, float] = {}
-    out["queries"] = kept
-    out["queries_omitted"] = 0
-    for name in HEADLINE:
-        if name not in timings:
-            continue
-        kept[name] = timings[name]
-        if len(json.dumps(out, separators=(",", ":"))) > BUDGET:
-            del kept[name]
-            out["queries_omitted"] = sum(
-                1 for n in HEADLINE if n in timings and n not in kept
-            )
-            break
-    line = json.dumps(out, separators=(",", ":"))
-    assert len(line) <= BUDGET + 50, len(line)
-    print(line)
+    # line is built to a byte budget: PRINT_FLOOR names are included
+    # unconditionally (superset-stable tail, VERDICT r15 #2a), then
+    # remaining HEADLINE names fill up to 1900 bytes; the rest are
+    # counted in "queries_omitted" (their means live in BENCH_AB.json's
+    # "queries", committed and judge-readable). To make the floor fit,
+    # the final line compacts two blocks — BENCH_AB.json and the early
+    # stdout line above keep the full labeled forms:
+    #  - "phases" values become [build, serve, build_ratio, serve_ratio]
+    #    arrays (a_build/a_serve are derivable from ratio × b-side),
+    #  - "cpu_alarms" is capped at 3 names (full list in the detail's
+    #    "cpu_alarms_full").
+    print(_final_line(out, phases, timings))
 
 
 if __name__ == "__main__":

@@ -73,11 +73,34 @@ by SURVEY §2's "large-scale training-data pipeline" tier.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_tables
 from .relational import query
+
+
+def _node_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast hint for NODE-scale frames (rank/label/degree/
+    adjacency tables — the part catalog by construction), gated by
+    ``$SPARK_GRAFT_NODE_BROADCAST`` (VERDICT r15 #6). Default ON: on
+    this harness (and any deployment whose node catalog is
+    dimension-scale) the hint is what keeps the edge list from
+    re-shuffling every round. At 100 TB the node set outgrows a driver
+    broadcast, and an EXPLICIT hint overrides Spark's size check — it
+    fails hard (driver OOM / 8 GB broadcast cap) instead of degrading.
+    Set the env var to ``0`` there: every call site degrades to a
+    plain join and AQE picks the strategy from runtime sizes — same
+    results, pinned by ``test_graph_node_broadcast_gate``."""
+    if os.environ.get("SPARK_GRAFT_NODE_BROADCAST", "1").lower() in (
+        "0",
+        "false",
+    ):
+        return df
+    return F.broadcast(df)
+
 
 DAMPING = 0.85
 TELEPORT = 0.15
@@ -276,7 +299,7 @@ def pagerank(
 
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
-        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
+        rhs = _node_broadcast(ranks) if broadcast_ranks else ranks
         ranks = (
             links.join(rhs, links.src == rhs.node)
             .groupBy(F.col("dst").alias("node"))
@@ -432,8 +455,8 @@ def _orient(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     ds = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
     dd = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
     oriented = (
-        edges.join(F.broadcast(ds), "src")
-        .join(F.broadcast(dd), "dst")
+        edges.join(_node_broadcast(ds), "src")
+        .join(_node_broadcast(dd), "dst")
         .where(
             (F.col("sdeg") < F.col("ddeg"))
             | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
@@ -459,21 +482,22 @@ def _per_node_triangles(oriented: DataFrame) -> DataFrame:
     (~25 s of the r7 headline; see BENCH_r08 for the measured cut —
     identical output by construction, parity re-certified). At a scale where the adjacency table outgrows broadcast
     (edges far beyond catalog-scale — which edge SUPPORT scaling
-    prevents, see ``_copurchase_edges``), drop the two ``F.broadcast``
-    hints and AQE falls back to shuffle joins with the same plan
-    semantics."""
+    prevents, see ``_copurchase_edges``), set
+    ``SPARK_GRAFT_NODE_BROADCAST=0`` (r16: the two hints go through
+    ``_node_broadcast``) and AQE falls back to shuffle joins with the
+    same plan semantics."""
     adj = oriented.groupBy(F.col("src").alias("node")).agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
     tri = (
         oriented.join(
-            F.broadcast(
+            _node_broadcast(
                 adj.select(F.col("node").alias("src"), F.col("nbrs").alias("na"))
             ),
             "src",
         )
         .join(
-            F.broadcast(
+            _node_broadcast(
                 adj.select(F.col("node").alias("dst"), F.col("nbrs").alias("nb"))
             ),
             "dst",
@@ -929,7 +953,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(LPA_ITERS - 1):
         counts = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
+            edges.join(_node_broadcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
@@ -947,7 +971,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     # sizes is community-scale but derived (no stats) -> hint, else SMJ
-    return labels.join(F.broadcast(sizes), "label").select(
+    return labels.join(_node_broadcast(sizes), "label").select(
         F.col("node").alias("p_partkey"),
         F.col("label").alias("community"),
         "community_size",
@@ -1034,7 +1058,7 @@ def graph_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     degd = F.col("deg").cast("double")
     cc = (
         deg.where(F.col("deg") >= 2)
-        .join(F.broadcast(pernode), "node", "left")  # node-scale, derived
+        .join(_node_broadcast(pernode), "node", "left")  # node-scale, derived
         .select(
             "deg",
             tri_n.cast("long").alias("tri_n"),
@@ -1118,7 +1142,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit hints: the degree table is node-scale (part catalog)
     # but DERIVED, so Catalyst has no size stats and falls back to two
     # edge-list sort-merge shuffles without them (caught in PLANS.md).
-    xy = edges.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst").select(
+    xy = edges.join(_node_broadcast(ds), "src").join(_node_broadcast(dd), "dst").select(
         F.col("x").cast("long").alias("x"), F.col("y").cast("long").alias("y")
     )
     s = xy.agg(
@@ -1193,7 +1217,7 @@ def khop_distances(
     100 TB the k-hop neighborhood is the small output, the node
     catalog is not.
     """
-    hint = F.broadcast if broadcast_frontier else (lambda df: df)
+    hint = _node_broadcast if broadcast_frontier else (lambda df: df)
     dist = sources.select("node").withColumn("hops", F.lit(0))
     for h in range(1, hops + 1):
         frontier = dist.where(F.col("hops") == h - 1).select("node")

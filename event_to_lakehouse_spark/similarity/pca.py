@@ -118,7 +118,8 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
       same exact integer arithmetic in vectorized native code). Each
       task emits ≤ dim²+dim partial rows; the single groupBy shuffles
       only those — the corpus never shuffles.
-    - The collected statistics are dim²-bounded (2,144 integer rows —
+    - The collected statistics are dim²-bounded (dim²+dim = 4,160
+      integer rows at EMB_DIM=64 —
       metadata-scale at ANY corpus size; guide §5's driver rule), and
       the covariance cell formula is the SAME IEEE expression
       (ss − si·sj/n)/(n·10¹²) the declarative plan evaluated, so the
@@ -161,7 +162,25 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = 0
         for b in batches:
             col = b.column(0)
-            flat = col.flatten().to_numpy(zero_copy_only=False)
+            flat_arr = col.flatten()
+            # Fail LOUDLY on malformed embeddings (ADVICE r15): a null
+            # element would become NaN → INT64_MIN under the asarray
+            # cast (numpy warns, doesn't raise) and silently corrupt
+            # the Gram sums; a null/ragged row misaligns the reshape.
+            # The declarative plan null-propagated these away — this
+            # path must never differ silently.
+            if (
+                col.null_count
+                or flat_arr.null_count
+                or len(flat_arr) != len(col) * dim
+            ):
+                raise ValueError(
+                    "pca gram pass: null or ragged embedding row "
+                    f"(list nulls={col.null_count}, "
+                    f"element nulls={flat_arr.null_count}, "
+                    f"values={len(flat_arr)} for {len(col)} rows of dim {dim})"
+                )
+            flat = flat_arr.to_numpy(zero_copy_only=False)
             x = np.asarray(flat, dtype=np.int64).reshape(-1, dim)
             n_rows += x.shape[0]
             sv += x.sum(axis=0)

@@ -474,6 +474,25 @@ class SnapshotTable:
 
     # -- writes -------------------------------------------------------------
 
+    def _string_stats_exact(self) -> bool:
+        """Can this table's OWN writer have truncated binary min/max?
+        ``_footer_entries`` only ever reads files the commit paths just
+        wrote through ``self.spark``, so the writer config is in hand:
+        parquet-mr truncates stats only when
+        ``parquet.statistics.truncate.length`` is set below its
+        Integer.MAX_VALUE default (oversized stats are DROPPED, not
+        truncated, at the default — the exact-or-absent contract the
+        footer path relies on). Unknown/unreadable conf counts as
+        "may truncate" → Spark path (ADVICE r15)."""
+        try:
+            v = (
+                self.spark.sparkContext._jsc.hadoopConfiguration()
+                .get("parquet.statistics.truncate.length")
+            )
+            return v is None or int(v) >= 2**31 - 1
+        except Exception:
+            return False
+
     def _footer_entries(self, paths: list[str]) -> list[dict] | None:
         """Manifest entries from the parquet FOOTERS — no Spark job
         (r15, guide §1.2 step 1: every commit used to launch a second
@@ -496,6 +515,7 @@ class SnapshotTable:
             import pyarrow.parquet as _pq
         except Exception:  # pragma: no cover - pyarrow ships with pyspark
             return None
+        str_exact: bool | None = None  # lazy: one writer-conf read/call
         out = []
         for p in paths:
             try:
@@ -549,10 +569,30 @@ class SnapshotTable:
                         continue  # all-null group contributes nothing
                     if st is None or not st.has_min_max:
                         return None
-                    if getattr(st, "is_min_value_exact", True) is False:
+                    # Exactness (ADVICE r15): False means the writer
+                    # truncated the value (parquet.statistics.truncate.
+                    # length on a long string) — bounds stay
+                    # conservative for pruning but would diverge from
+                    # the Spark aggregate, so fall back. On pyarrow
+                    # builds that don't expose the flags (<17, incl.
+                    # the one pyspark ships) they read as None: an
+                    # integer's stats are fixed-width (never truncated,
+                    # exact by spec), but a STRING's exactness is then
+                    # UNKNOWN from the footer alone — prove it from the
+                    # WRITER instead (these files were just written by
+                    # self.spark; see _string_stats_exact) or take the
+                    # Spark path.
+                    mn_exact = getattr(st, "is_min_value_exact", None)
+                    mx_exact = getattr(st, "is_max_value_exact", None)
+                    if mn_exact is False or mx_exact is False:
                         return None
-                    if getattr(st, "is_max_value_exact", True) is False:
-                        return None
+                    if not _pa.types.is_integer(typ) and (
+                        mn_exact is None or mx_exact is None
+                    ):
+                        if str_exact is None:
+                            str_exact = self._string_stats_exact()
+                        if not str_exact:
+                            return None
                     mn = st.min if mn is None else min(mn, st.min)
                     mx = st.max if mx is None else max(mx, st.max)
                 stats[c] = [_stat_safe(mn), _stat_safe(mx)]

@@ -13,6 +13,7 @@ import pytest
 
 from event_to_lakehouse_spark.operators.graph import (
     er_fuzzy_part_matches,
+    graph_label_propagation,
     graph_pagerank_parts,
     graph_triangle_count,
 )
@@ -38,6 +39,44 @@ def _edges(spark):
         for a, b in itertools.combinations(sorted(parts), 2):
             und.add((a, b))
     return und
+
+
+def test_graph_node_broadcast_gate(spark, monkeypatch):
+    """VERDICT r15 #6: the node-scale broadcast hints in the graph
+    loops are env-gated for the 100 TB case where the node set
+    outgrows a driver broadcast. With SPARK_GRAFT_NODE_BROADCAST=0 the
+    helper is an identity (AQE picks the join strategy from runtime
+    sizes) and every family entry returns IDENTICAL rows."""
+    from event_to_lakehouse_spark.operators.graph import (
+        _node_broadcast,
+        graph_clustering_profile,
+        unpersist_copurchase_edges,
+    )
+
+    df = spark.range(3)
+    assert _node_broadcast(df) is not df  # default: hint applied
+
+    def rows(q):
+        return sorted(map(tuple, q(spark, SF).collect()))
+
+    hinted = (
+        rows(graph_pagerank_parts),
+        rows(graph_label_propagation),
+        rows(graph_clustering_profile),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_NODE_BROADCAST", "0")
+    assert _node_broadcast(df) is df  # gate off: no hint, AQE decides
+    # the derived-table caches hold hinted plans; clear so the gated
+    # path actually re-plans
+    unpersist_copurchase_edges()
+    unhinted = (
+        rows(graph_pagerank_parts),
+        rows(graph_label_propagation),
+        rows(graph_clustering_profile),
+    )
+    monkeypatch.delenv("SPARK_GRAFT_NODE_BROADCAST")
+    unpersist_copurchase_edges()
+    assert hinted == unhinted
 
 
 def test_pagerank_mass_conserved(spark):

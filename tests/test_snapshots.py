@@ -1332,6 +1332,31 @@ def test_footer_entries_match_spark_stats(spark, tmp_dir):
     snap = t4.append(df.select("doc_id"))
     assert all("bloom" in f for f in snap.files if f["rows"])
 
+    # ADVICE r15: with pyarrow builds that don't expose the
+    # is_*_value_exact flags, a STRING stats column's exactness must be
+    # proven from the writer — when stats truncation is configured, the
+    # footer path must decline (Spark path serves); integers stay on
+    # the footer path either way (fixed-width stats, never truncated).
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("parquet.statistics.truncate.length", "16")
+    try:
+        commit_dir = t.root / "data" / uuid.uuid4().hex[:12]
+        df.write.mode("overwrite").parquet(str(commit_dir))
+        paths = sorted(str(p) for p in commit_dir.glob("*.parquet"))
+        flags_known = hasattr(
+            __import__("pyarrow.parquet", fromlist=["ParquetFile"])
+            .ParquetFile(paths[0]).metadata.row_group(0).column(0)
+            .statistics,
+            "is_min_value_exact",
+        )
+        footer_trunc = t._footer_entries(paths)
+        if not flags_known:
+            assert footer_trunc is None  # cannot prove: Spark path
+        t_int = SnapshotTable(spark, f"{tmp_dir}/fs5", stats_col="doc_id")
+        assert t_int._footer_entries(paths) is not None
+    finally:
+        hconf.unset("parquet.statistics.truncate.length")
+
     # end-to-end: an appended table reads back identically and prunes
     t.append(df, batch_token="b0")
     assert t.read().count() == 50
