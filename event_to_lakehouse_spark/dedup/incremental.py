@@ -193,8 +193,17 @@ class NearDupIndex:
         # localCheckpoint: both sides of the candidate self-join read
         # this (probed-buckets-only, so batch-scale) set — without
         # materialization the index scan + semi probe + window would
-        # execute twice (measured 6.4 s -> 2.5 s at sf0.1).
-        guarded = guard_hot_buckets(combined, self.max_bucket).localCheckpoint()
+        # execute twice (measured 6.4 s -> 2.5 s at sf0.1). LAZY (r16,
+        # guide §1.2 — don't compute what's thrown away): a BUILD-ONLY
+        # call (indexing a held corpus, returned pairs never executed)
+        # used to pay the full probe window as an eager job before the
+        # appends; eager=False materializes on first consumption — once,
+        # shared by both self-join sides — or never. The plan still
+        # reads the PRE-append pinned file set, so laziness cannot move
+        # any value.
+        guarded = guard_hot_buckets(combined, self.max_bucket).localCheckpoint(
+            eager=False
+        )
         a, b = guarded.alias("a"), guarded.alias("b")
         pairs = (
             a.join(
@@ -409,6 +418,8 @@ class ExactDedupIndex:
         bloom_maybe reads True — callers that persist verdicts should
         guard replays at the batch level, as
         ``streaming.jobs.bloom_admission_stream`` does."""
+        from pyspark import StorageLevel
+
         from ..functions.text import fingerprint
 
         fps = docs.select("doc_id", fingerprint(self.text_col).alias("fp"))
@@ -428,6 +439,14 @@ class ExactDedupIndex:
             per = per.join(matched, "fp", "left")
         else:
             per = per.withColumn("held_survivor", F.lit(None).cast("long"))
+        # Persist the per-doc resolution (r16, guide §5 caching rule):
+        # batch-scale by contract, and read by up to THREE consumers —
+        # the new-uniques append job, the bloom merge's build_bloom,
+        # and the caller's consumption of ``out``. Unpersisted, each
+        # re-ran the fingerprint scan + the 4 bitmap broadcast-probe
+        # joins + both probe joins (measured: the admission entry's
+        # probe step re-derived this plan 3× ≈ 2 s of its 8.9 s solo).
+        per = per.persist(StorageLevel.MEMORY_AND_DISK)
         # held_survivor == doc_id happens only on replay (the doc's own
         # indexed row): report it exactly as the first run did.
         self_held = F.col("held_survivor") == F.col("doc_id")
@@ -601,6 +620,7 @@ def dedup_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's input: the bitmap is metadata-scale, the exact probe is
     bloom-pass-sized, the LSH probe is new-unique-sized."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from .bloom import BloomIndex
 
@@ -610,11 +630,19 @@ def dedup_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="admission_")
 
     ex = ExactDedupIndex(spark, f"{root}/exact")
-    ex.index_batch(held, batch_token="held")
-    bloom = BloomIndex.for_table(spark, f"{root}/bloom", ex.table)
-    bloom.add_batch(ex.table.read(), "fp", batch_token="held")
     nd = NearDupIndex(spark, f"{root}/nd", hash_flavor="portable")
-    nd.index_batch(held, batch_token="held")
+    # The two held builds are INDEPENDENT index lineages (the bloom
+    # bitmap derives from the exact table; the near-dup band/sig store
+    # touches neither) — overlap them so the near-dup build's commit
+    # jobs back-fill the exact chain's scheduling gaps (guide §2.6).
+    # Results are unaffected: no shared mutable state, and each
+    # index's own commits stay ordered within its thread.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        nd_held = pool.submit(nd.index_batch, held, "held")
+        ex.index_batch(held, batch_token="held")
+        bloom = BloomIndex.for_table(spark, f"{root}/bloom", ex.table)
+        bloom.add_batch(ex.table.read(), "fp", batch_token="held")
+        nd_held.result()
 
     resolved = ex.index_batch(
         batch, batch_token="new", bloom=bloom
