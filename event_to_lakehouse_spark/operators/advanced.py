@@ -924,18 +924,14 @@ def join_basket_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly what the row-local list×list expansion under a < b
     # yields); the previous fact-fact self-join co-partitioned the same
     # bytes twice. Basket size bounds the expansion as before.
+    # r16: two chained generators instead of the nested transform×
+    # transform HOF — same pair multiset (lists keep multiplicity), no
+    # basket²-struct array allocation per row (see _copurchase_edges).
     return (
         l.groupBy("l_orderkey")
         .agg(F.collect_list("l_partkey").alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (a, i) -> transform(ps,"
-                    " b -> struct(a AS part_a, b AS part_b))))"
-                )
-            ).alias("e")
-        )
-        .select("e.part_a", "e.part_b")
+        .select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))

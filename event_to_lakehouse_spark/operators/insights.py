@@ -188,16 +188,12 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count("*").alias("s"))
     )
+    # r16: two chained generators instead of the nested transform×
+    # transform HOF — same pair multiset, no basket²-struct array
+    # allocation per row (see _copurchase_edges).
     pair = (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (a, i) -> transform(items,"
-                    " b -> struct(a AS antecedent, b AS consequent))))"
-                )
-            ).alias("e")
-        )
-        .select("e.antecedent", "e.consequent")
+        sets.select(F.explode("items").alias("antecedent"), "items")
+        .select("antecedent", F.explode("items").alias("consequent"))
         .where(F.col("antecedent") != F.col("consequent"))
         .groupBy("antecedent", "consequent")
         .agg(F.count("*").alias("s_pair"))

@@ -80,8 +80,19 @@ class InvertedIndex:
     def add_batch(self, docs: DataFrame, batch_token: str | None = None):
         """Tokenize the batch and append postings + doc lengths. Each
         table skips the commit if it already holds ``batch_token``, so
-        replays (and crash retries) are no-ops that converge."""
-        postings, doclens = tokenize_postings(docs)
+        replays (and crash retries) are no-ops that converge.
+
+        The batch is tokenized ONCE (r16, guide §1.2): the doc-length
+        commit derives from the PERSISTED postings frame — previously
+        each of the two appends re-ran the full explode + per-(doc,
+        term) count over the batch text (the build's dominant job)."""
+        from pyspark import StorageLevel
+
+        postings, _ = tokenize_postings(docs)
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        doclens = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("dl")
+        )
 
         def _tokened(table: SnapshotTable, rows: DataFrame):
             snap = table.snapshot()

@@ -250,7 +250,13 @@ def test_incremental_index_probes_never_shuffle_the_index(spark, tmp_dir):
     a = audit_plan(probe)
     assert a.sort_merge_joins == 0
     assert a.broadcast_hash_joins >= 1  # the fp semi-probe + resolution
-    assert a.shuffle_exchanges <= 2  # batch-side fp groupBy only
+    # ≤3 since r16: the probe result is served off the PERSISTED
+    # resolution frame, and the formatted plan embeds the cached
+    # subtree, so the batch-side fp shuffle is counted again through
+    # the persist boundary. At runtime the batch-side shuffles execute
+    # once (at cache materialization); the INDEX side still never
+    # shuffles — which the sort_merge_joins == 0 assertion pins.
+    assert a.shuffle_exchanges <= 3  # batch-side fp groupBy only
 
     emb = load_tables(spark, SF_DIR)["embeddings"].select("vec_id", "embedding")
     ivf = IVFIndex.build(spark, f"{tmp_dir}/ivf", emb, cent_stride=50)
