@@ -968,6 +968,15 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("distinct_parts"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+    # r16 measured negative (VERDICT r15 #7, kept as the exact agg):
+    # the two-pass rank-selection that wins for stats_quantile_bins'
+    # GLOBAL quantiles (serial single-buffer sort → parallel hash aggs)
+    # LOSES here — with 3 groups the exact percentile already
+    # parallelizes across group partitions, and the selection's six
+    # driver-actioned passes (2 value columns × geometry/histogram/
+    # stripe) cost more than they save: 1.60 → 2.26 s wall, 3.4 → 9.7
+    # CPU s same-session. At 100 TB per-group value buffers would still
+    # force the swap (or approx_percentile, as documented below).
     p = l.groupBy("l_returnflag").agg(
         _r4(F.median("l_extendedprice")).alias("med_price"),
         _r4(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),

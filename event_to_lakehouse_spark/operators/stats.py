@@ -726,23 +726,25 @@ def stats_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` and nothing downstream changes; the exact
     flavor here is what makes the oracle bit-checkable.
     """
+    from ..functions.selection import exact_percentiles
+
     t = load_tables(spark, sf_dir)["lineitem"]
     v = F.col("l_extendedprice")
-    # ONE array-percentile aggregate, not three scalar ones: each
-    # scalar F.percentile is its own sort of the column, so the
-    # three-quantile edges cost 3× (measured 6.1 s → ~2 s at sf0.1);
-    # the array form sorts once and reads three ranks.
-    q = t.agg(
-        F.percentile(v, F.array(*[F.lit(p) for p in BIN_QS])).alias("qs")
-    ).select(
-        F.col("qs")[0].alias("q1"),
-        F.col("qs")[1].alias("q2"),
-        F.col("qs")[2].alias("q3"),
-    )
-    b = t.crossJoin(F.broadcast(q)).select(
-        F.when(v <= F.col("q1"), 0)
-        .when(v <= F.col("q2"), 1)
-        .when(v <= F.col("q3"), 2)
+    # r16 (VERDICT r15 #7): the edges come from the two-pass exact
+    # rank-selection instead of a single F.percentile aggregate — the
+    # exact aggregate collects EVERY value into one object buffer and
+    # sorts it in one task (serial at any scale; wall ≈ CPU here), while
+    # the selection runs three map-side-combinable hash aggregations
+    # and touches only the ~n/4096 candidate stripe row-wise. The
+    # returned doubles are BIT-IDENTICAL to F.percentile (its own
+    # interpolation formula over the same order statistics —
+    # test_exact_percentiles_matches_spark_percentile), so every bin
+    # comparison below sees the same edge values as before.
+    q1, q2, q3 = exact_percentiles(t, "l_extendedprice", list(BIN_QS))[()]
+    b = t.select(
+        F.when(v <= F.lit(q1), 0)
+        .when(v <= F.lit(q2), 1)
+        .when(v <= F.lit(q3), 2)
         .otherwise(3)
         .alias("bin"),
         v.alias("v"),
