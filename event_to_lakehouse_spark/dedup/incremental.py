@@ -255,8 +255,22 @@ class NearDupIndex:
         guard's append-monotone caveat runs in reverse here: a bucket
         that dropped below ``max_bucket`` through deletes simply
         becomes eligible again — no correctness debt."""
-        self.bands_table.delete_keys(doc_ids, "doc_id", batch_token=batch_token)
-        self.sigs_table.delete_keys(doc_ids, "doc_id", batch_token=batch_token)
+        from concurrent.futures import ThreadPoolExecutor
+
+        # independent tables, same token: overlap the two COW rewrites
+        # (guide §2.6); crash semantics are unchanged — either table
+        # may land first, and the shared token self-heals a retry.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                self.sigs_table.delete_keys,
+                doc_ids,
+                "doc_id",
+                batch_token=batch_token,
+            )
+            self.bands_table.delete_keys(
+                doc_ids, "doc_id", batch_token=batch_token
+            )
+            fut.result()
 
     def maintain(
         self, target_file_bytes: int = 128 * 1024 * 1024, keep_versions: int = 1
@@ -471,11 +485,27 @@ class ExactDedupIndex:
             F.col("held_survivor").isNull()
             & (F.col("doc_id") == F.col("batch_survivor"))
         ).select("fp", "doc_id")
-        self.table.append(new_uniques, batch_token=batch_token)
         if bloom is not None:
-            bloom.add_batch(
-                new_uniques.select("fp"), "fp", batch_token=batch_token
-            )
+            # independent stores fed by the persisted resolution frame:
+            # overlap the fingerprint append with the bitmap merge
+            # (guide §2.6). Either commit may land first; a crash
+            # between them leaves at worst bitmap-ahead-of-index —
+            # bloom FALSE POSITIVES only (the exact probe resolves
+            # them), never a false negative, and the shared token
+            # converges the retry exactly as the sequential form did.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(
+                    bloom.add_batch,
+                    new_uniques.select("fp"),
+                    "fp",
+                    batch_token=batch_token,
+                )
+                self.table.append(new_uniques, batch_token=batch_token)
+                fut.result()
+        else:
+            self.table.append(new_uniques, batch_token=batch_token)
         return out
 
     def doc_count(self) -> int:

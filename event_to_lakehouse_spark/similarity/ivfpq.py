@@ -311,9 +311,19 @@ class IVFPQIndex:
                 F.col("embedding").alias("c_emb"),
                 l2_norm("embedding").alias("c_norm"),
             )
-        idx.centroids_table.append(cent, batch_token="build")
-        idx.codebook_table.append(cb, batch_token="build")
-        idx.n_centroids = idx.centroids_table.read().count()
+        # The two quantizer commits are independent tables fed by
+        # already-materialized frames — overlap them (guide §2.6), and
+        # take the centroid count from the committed MANIFEST row stats
+        # (a metadata read) instead of a read-back count job (r16).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                idx.codebook_table.append, cb, batch_token="build"
+            )
+            idx.centroids_table.append(cent, batch_token="build")
+            fut.result()
+        idx.n_centroids = idx.centroids_table.row_count()
         (idx.root / "index.json").write_text(
             json.dumps({"n_centroids": idx.n_centroids})
         )

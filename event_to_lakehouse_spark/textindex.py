@@ -128,12 +128,22 @@ class InvertedIndex:
         crash between the two commits self-heals on retry and the
         ``token_consistent_versions`` pin keeps a racing reader on the
         pre-delete frontier until both land."""
-        self.postings_table.delete_keys(
-            doc_ids, "doc_id", batch_token=batch_token
-        )
-        self.doclens_table.delete_keys(
-            doc_ids, "doc_id", batch_token=batch_token
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        # independent tables, same token: overlap the two COW rewrites
+        # (guide §2.6); either may land first — the non-atomicity of
+        # the pair is pre-existing and handled by the token pin above.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                self.doclens_table.delete_keys,
+                doc_ids,
+                "doc_id",
+                batch_token=batch_token,
+            )
+            self.postings_table.delete_keys(
+                doc_ids, "doc_id", batch_token=batch_token
+            )
+            fut.result()
 
     def sync_from_changelog(
         self,
